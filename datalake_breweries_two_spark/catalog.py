@@ -1,0 +1,210 @@
+"""Explicit-schema catalog for the lake tables.
+
+The reference pays an extra full scan per run for JSON schema inference
+(``spark.read.json`` with no schema, reference ``plugins/brewery_operators.py:189``
+— SURVEY.md §4 "Schema-inference avoidance"). This engine registers an
+explicit ``StructType`` per table and always reads with it: deterministic
+schemas, zero inference scans — at 100 TB an inference pass is a full extra
+read of the dataset.
+
+Tables mirror TESTDATA.md / FIXTURES.md (TPC-H-ish star schema + events /
+documents / embeddings), plus the reference's own brewery-domain layer
+schemas (bronze/silver/gold) used by the medallion pipeline in
+``plans/medallion.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Synthetic star-schema tables (driver-generated parquet; FIXTURES.md)
+# --------------------------------------------------------------------------
+
+TABLES: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# --------------------------------------------------------------------------
+# Reference brewery-domain layer schemas (SURVEY.md §1.3, FIXTURES.md)
+# --------------------------------------------------------------------------
+
+# Raw API payload fields consumed by the reference's silver projection
+# (reference plugins/brewery_operators.py:255-264).
+BRONZE_BREWERY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("brewery_type", T.StringType()),
+        T.StructField("address_1", T.StringType()),
+        T.StructField("address_2", T.StringType()),
+        T.StructField("address_3", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state_province", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("longitude", T.StringType()),
+        T.StructField("latitude", T.StringType()),
+    ]
+)
+
+# Curated silver schema, defined by the reference's projection
+# (reference plugins/brewery_operators.py:255-265).
+SILVER_BREWERY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("brewery_name", T.StringType()),
+        T.StructField("brewery_type", T.StringType()),
+        T.StructField("full_address", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("latitude", T.DoubleType()),
+    ]
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Events parquet stores ts as TIMESTAMP(NANOS), which Spark cannot read as a
+# timestamp; with spark.sql.legacy.parquet.nanosAsLong (session factory) it
+# arrives as epoch-nanos long and is floor-divided to micros here. DuckDB
+# oracles over raw event ts use date_trunc('microseconds', ts) to match.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one lake table with its explicit schema.
+
+    Scale note: plain ``spark.read.parquet`` — Catalyst gets footer min/max
+    stats for predicate pushdown and hive-style partition discovery for
+    free; passing the explicit schema skips the footer-sampling schema merge
+    step on huge datasets.
+    """
+    sf_dir = sf_dir or default_sf_dir()
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
+        # exact integer division ns → µs (a double division would lose
+        # precision at 1e18 magnitudes)
+        return raw.select(
+            F.col("event_id"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+    return spark.read.schema(TABLES[name]).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every lake table as a temp view (enables the SQL surface)."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

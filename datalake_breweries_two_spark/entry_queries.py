@@ -1,0 +1,942 @@
+"""Declared-query registry: every operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) its
+DuckDB oracle SQL.
+
+Hash-match hygiene applied throughout (SURVEY.md §5):
+  * every computed column aliased identically in Spark and SQL;
+  * double aggregates computed in exact decimal then surfaced as double
+    (order-independent → partition-count-independent);
+  * deterministic tie-breakers in every ORDER BY/LIMIT;
+  * COUNT(col) vs COUNT(*) chosen deliberately (reference uses COUNT(col),
+    ``plugins/brewery_operators.py:379``);
+  * Spark int-typed results cast to long where the oracle's are BIGINT.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_breweries_two_spark.catalog import TABLES, load_table
+from datalake_breweries_two_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    quality,
+    semistructured,
+    setops,
+    similarity,
+    text,
+    windows,
+)
+from datalake_breweries_two_spark.operators.projection import null_or_empty
+from datalake_breweries_two_spark.sources import http_api, lake
+from datalake_breweries_two_spark.streaming import windows as stream_windows
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ==========================================================================
+# Reference-surface parity (SURVEY.md §2.1)
+# ==========================================================================
+
+def q_ingest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: paginated-API ingest with an injected offline fetcher (the
+    reference's loop-until-short-page semantics) → DataFrame. Rows-only."""
+    pages = [
+        [{"id": str(i), "name": f"brew {i}", "brewery_type": "micro"} for i in range(p * 3, p * 3 + 3)]
+        for p in range(4)
+    ]
+    pages[-1] = pages[-1][:1]  # short page terminates pagination
+
+    def fake_fetch(url: str, page: int, per_page: int) -> list[dict]:
+        return pages[page - 1]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("brewery_type", T.StringType()),
+        ]
+    )
+    return http_api.fetch_paginated_driver(
+        spark, "offline://breweries", schema, per_page=3, fetch=fake_fetch
+    )
+
+
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON-lines scan with explicit schema (no inference pass). The
+    nation table is round-tripped parquet→JSON→DataFrame."""
+    json_dir = os.path.join(_SCRATCH, "json_nation")
+    _t(spark, sf_dir, "nation").write.mode("overwrite").json(json_dir)
+    return lake.read_json(spark, json_dir, TABLES["nation"]).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema (no inferSchema pass)."""
+    csv_dir = os.path.join(_SCRATCH, "csv_region")
+    _t(spark, sf_dir, "region").write.mode("overwrite").option("header", "true").csv(csv_dir)
+    return (
+        spark.read.schema(TABLES["region"]).option("header", "true").csv(csv_dir)
+        .select("r_regionkey", "r_name")
+    )
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: parquet scan with projection + predicate (both pushed to the
+    scan — ReadSchema/PushedFilters visible in .explain)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+def q_silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P5 composite: the reference's silver curation shape
+    (rename/trim/lower/concat_ws/string→double cast,
+    ``plugins/brewery_operators.py:255-265``) on the part table."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.trim(F.col("p_name")).alias("item_name"),
+        F.lower(F.col("p_type")).alias("item_type"),
+        F.concat_ws(", ", F.col("p_name"), F.col("p_brand"), F.col("p_type")).alias(
+            "full_desc"
+        ),
+        F.col("p_size").cast("string").cast("double").alias("size_double"),
+    )
+
+
+def q_str_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.trim(F.col("c_name")).alias("name_trimmed")
+    )
+
+
+def q_str_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_type")).alias("type_lower")
+    )
+
+
+def q_str_concat_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(", ", F.col("p_name"), F.col("p_brand"), F.col("p_type")).alias(
+            "joined"
+        ),
+    )
+
+
+def q_cast_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("string").cast("double").alias("size_double")
+    )
+
+
+def q_filter_null_or_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the quality predicate as a standalone filter."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(null_or_empty("text") | null_or_empty("lang"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 re-expressed deterministically: existence as a 1-row aggregate
+    (the imperative ``limit(1).count() > 0`` probe lives in
+    operators.quality.has_violations)."""
+    return _t(spark, sf_dir, "customer").agg(
+        (F.count(F.when(F.col("c_acctbal") < 0, 1)) > 0).cast("int").alias("exists_flag")
+    )
+
+
+def q_is_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 as a 1-row aggregate (imperative twin: DataFrame.isEmpty)."""
+    return _t(spark, sf_dir, "region").agg(
+        (F.count(F.lit(1)) == 0).cast("int").alias("is_empty")
+    )
+
+
+def q_limit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: bounded count — counts at most 100 rows via CollectLimit."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .limit(100)
+        .agg(F.count(F.lit(1)).alias("bounded_cnt"))
+    )
+
+
+def q_gold_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — FLAGSHIP: the reference's gold aggregate shape (group-by +
+    COUNT(col)) on orders: count per (status, order month)."""
+    return aggregates.orders_by_status_month(_t(spark, sf_dir, "orders"))
+
+
+def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: full quality contract in ONE pass (vs the reference's
+    job-per-column, ``plugins/data_quality_operator.py:69-70``)."""
+    return quality.quality_summary(
+        _t(spark, sf_dir, "documents"), ["text", "lang", "source"]
+    )
+
+
+# ==========================================================================
+# Relational completion (SURVEY.md §2.2)
+# ==========================================================================
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return joins.join_inner(
+        c, n, c.c_nationkey == n.n_nationkey, broadcast_dim=True
+    ).select("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return joins.join_left(o, c, o.o_custkey == c.c_custkey, broadcast_right=True).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.join_semi(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.join_anti(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.star_join_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.global_top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_totalprice",
+        "o_orderkey",
+        10,
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.top_k_per_group(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+        3,
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.rank_in_group(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.running_sum(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    ).select("o_custkey", "o_orderkey", "running_sum")
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.lag_delta(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+    ).select("user_id", "event_id", "prev_value", "delta_value")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.rollup_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"], "o_orderkey", "n_orders"
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.cube_counts(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], "l_orderkey", "n_items"
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.col("l_orderkey")))
+        .na.fill(0, ["F", "O"])  # empty cells: match CASE-count oracle's 0
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.distinct_rows(_t(spark, sf_dir, "customer"), ["c_mktsegment"])
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.count_distinct_exact(
+        _t(spark, sf_dir, "orders"), "o_custkey", "n_customers"
+    )
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ — engine-specific sketch, rows-only check."""
+    return setops.count_distinct_approx(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "approx_parts"
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.union_all(c, s)
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.intersect_rows(c, s)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return setops.except_rows(c, s)
+
+
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.date_trunc_agg(_t(spark, sf_dir, "events"), "ts", "day", "value")
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling window (same F.window expr)."""
+    return aggregates.tumbling_window_agg(_t(spark, sf_dir, "events"), "ts", "1 hour", "value")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = semistructured.json_get_int("props", "$.k")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = semistructured.embedding_stats(_t(spark, sf_dir, "embeddings"))
+    return stats.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "l2_norm", "mean_component"
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface: TPC-H Q1 shape via spark.sql over a registered view.
+    Decimal-exact sums surfaced as double (order-independent)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               count(l_orderkey) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ==========================================================================
+# LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
+# ==========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — engine-specific hashing, rows-only."""
+    return dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.4
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — engine-specific hashing, rows-only."""
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against the vec_id=0 query vector,
+    joined in-plan (broadcast single-row cross join — no collect)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                semistructured.dot_product(F.col("embedding"), F.col("qv"))
+                / (
+                    semistructured.vector_norm("embedding")
+                    * F.sqrt(
+                        F.aggregate(
+                            F.col("qv"),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                        )
+                    )
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant (random-hyperplane LSH prefilter) — rows-only."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qv = [float(x) for x in tbl.column("embedding")[0].as_py()]
+    return similarity.cosine_topk_lsh(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets — rows-only."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid assignment histogram — rows-only."""
+    assigned = similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
+    return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats_by_lang(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "len_chars",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "upper_ratio",
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id_heuristic(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", F.col("lang_score").cast("long").alias("lang_score")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_md5(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", F.col("fp_bucket").cast("long").alias("fp_bucket")
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 winnowing fingerprint — engine-specific hash, rows-only."""
+    return text.rolling_hash_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "robust_fingerprint"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_windows.sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas feature extraction
+    (decode stubbed; plumbing real) — rows-only."""
+    media = multimodal.synthetic_media(spark, n=48)
+    return multimodal.extract_features(media).select(
+        "media_id", "media_type", "payload_bytes", "sha256"
+    )
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts driven to completion via
+    the memory sink (update mode) — rows-only (no SQL oracle for streams)."""
+    stream = stream_windows.read_events_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    agg = stream_windows.windowed_event_counts(stream, "1 hour", "10 minutes")
+    return stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_tumbling_sink", output_mode="update"
+    )
+
+
+# ==========================================================================
+# Registry + oracles
+# ==========================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    # reference parity
+    "q_ingest_rows": q_ingest_rows,
+    "q_scan_json": q_scan_json,
+    "q_scan_csv": q_scan_csv,
+    "q_scan_parquet": q_scan_parquet,
+    "q_silver_projection": q_silver_projection,
+    "q_str_trim": q_str_trim,
+    "q_str_lower": q_str_lower,
+    "q_str_concat_ws": q_str_concat_ws,
+    "q_cast_double": q_cast_double,
+    "q_filter_null_or_empty": q_filter_null_or_empty,
+    "q_exists_probe": q_exists_probe,
+    "q_is_empty": q_is_empty,
+    "q_limit_count": q_limit_count,
+    "q_gold_agg": q_gold_agg,
+    "q_quality_summary": q_quality_summary,
+    # relational completion
+    "q_join_inner": q_join_inner,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_star_join": q_star_join,
+    "q_topk": q_topk,
+    "q_topk_per_group": q_topk_per_group,
+    "q_window_rank": q_window_rank,
+    "q_window_running_sum": q_window_running_sum,
+    "q_window_lag": q_window_lag,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_pivot": q_pivot,
+    "q_distinct": q_distinct,
+    "q_count_distinct": q_count_distinct,
+    "q_approx_count_distinct": q_approx_count_distinct,
+    "q_union": q_union,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_date_trunc_agg": q_date_trunc_agg,
+    "q_tumbling_window": q_tumbling_window,
+    "q_json_extract": q_json_extract,
+    "q_array_ops": q_array_ops,
+    "q_explode_tokens": q_explode_tokens,
+    "q_sql_tpch_q1": q_sql_tpch_q1,
+    # LLM-pipeline extensions
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near": q_dedup_near,
+    "q_simhash": q_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_cosine_topk": q_cosine_topk,
+    "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_ivf_assign": q_ivf_assign,
+    "q_text_stats": q_text_stats,
+    "q_text_quality": q_text_quality,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_sessionize": q_sessionize,
+    "q_media_features": q_media_features,
+    "q_streaming_tumbling": q_streaming_tumbling,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q_scan_json": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "q_scan_parquet": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "q_silver_projection": """
+        SELECT CAST(p_partkey AS VARCHAR) AS id,
+               trim(p_name) AS item_name,
+               lower(p_type) AS item_type,
+               concat_ws(', ', p_name, p_brand, p_type) AS full_desc,
+               CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_double
+        FROM part
+    """,
+    "q_str_trim": "SELECT c_custkey, trim(c_name) AS name_trimmed FROM customer",
+    "q_str_lower": "SELECT p_partkey, lower(p_type) AS type_lower FROM part",
+    "q_str_concat_ws": """
+        SELECT p_partkey, concat_ws(', ', p_name, p_brand, p_type) AS joined FROM part
+    """,
+    "q_cast_double": """
+        SELECT p_partkey, CAST(CAST(p_size AS VARCHAR) AS DOUBLE) AS size_double FROM part
+    """,
+    "q_filter_null_or_empty": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE text IS NULL OR text = '' OR lang IS NULL OR lang = ''
+    """,
+    "q_exists_probe": """
+        SELECT CAST(count(CASE WHEN c_acctbal < 0 THEN 1 END) > 0 AS INT) AS exists_flag
+        FROM customer
+    """,
+    "q_is_empty": "SELECT CAST(count(*) = 0 AS INT) AS is_empty FROM region",
+    "q_limit_count": """
+        SELECT count(*) AS bounded_cnt FROM (SELECT * FROM lineitem LIMIT 100)
+    """,
+    "q_gold_agg": """
+        SELECT o_orderstatus,
+               date_trunc('month', o_orderdate) AS order_month,
+               count(o_orderkey) AS order_count
+        FROM orders GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
+    """,
+    "q_quality_summary": """
+        SELECT count(*) AS total_rows,
+               CAST(coalesce(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS viol_text,
+               CAST(coalesce(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS viol_lang,
+               CAST(coalesce(sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS viol_source
+        FROM documents
+    """,
+    "q_join_inner": """
+        SELECT c_custkey, c_name, n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_join_left": """
+        SELECT o_orderkey, o_totalprice, c_name
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_star_join": """
+        SELECT r_name AS region_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(l_orderkey) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q_topk_per_group": """
+        SELECT c_custkey, c_mktsegment, c_acctbal, CAST(rn AS INT) AS rn FROM (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer
+        ) WHERE rn <= 3
+    """,
+    "q_window_rank": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(rank()       OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    "q_window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_sum
+        FROM orders
+    """,
+    "q_window_lag": """
+        SELECT user_id, event_id,
+               lag(value) OVER w AS prev_value,
+               value - lag(value) OVER w AS delta_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC)
+    """,
+    "q_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n_orders
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus, count(l_orderkey) AS n_items
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               count(CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS "F",
+               count(CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS "O"
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+    "q_count_distinct": "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders",
+    "q_union": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_date_trunc_agg": """
+        SELECT date_trunc('day', ts) AS bucket,
+               count(value) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY date_trunc('day', ts)
+    """,
+    "q_tumbling_window": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(value) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    "q_json_extract": """
+        SELECT event_type,
+               count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "q_array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(sqrt(list_aggregate(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')), 4) AS l2_norm,
+               round(list_aggregate(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+                   / len(embedding), 4) AS mean_component
+        FROM embeddings
+    """,
+    "q_explode_tokens": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+    "q_sql_tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               count(l_orderkey) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_dedup_exact": """
+        SELECT md5(text) AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(doc_id) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+        ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.set_size AS sz_a, b.set_size AS sz_b,
+                   count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sz_a + sz_b - n_inter), 4) AS jaccard
+        FROM inter
+        WHERE round(n_inter / (sz_a + sz_b - n_inter), 4) >= 0.2
+    """,
+    "q_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    "q_text_stats": """
+        SELECT lang,
+               count(doc_id) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY lang
+    """,
+    "q_text_quality": """
+        SELECT doc_id,
+               len(text) AS len_chars,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+               round(len(text) / greatest(
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS mean_token_len,
+               round(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1), 4) AS punct_ratio,
+               round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in|that|it|for)\\b'))
+                   / greatest(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS stopword_ratio,
+               round(len(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(len(text), 1), 4) AS upper_ratio
+        FROM documents
+    """,
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_lang_id": """
+        WITH scores AS (
+            SELECT doc_id,
+                   CAST((len(p) - len(replace(p, ' the ', ''))) / 5
+                      + (len(p) - len(replace(p, ' and ', ''))) / 5
+                      + (len(p) - len(replace(p, ' of ', ''))) / 4
+                      + (len(p) - len(replace(p, ' to ', ''))) / 4
+                      + (len(p) - len(replace(p, ' is ', ''))) / 4 AS INT) AS s_en,
+                   CAST((len(p) - len(replace(p, ' el ', ''))) / 4
+                      + (len(p) - len(replace(p, ' la ', ''))) / 4
+                      + (len(p) - len(replace(p, ' de ', ''))) / 4
+                      + (len(p) - len(replace(p, ' que ', ''))) / 5
+                      + (len(p) - len(replace(p, ' los ', ''))) / 5 AS INT) AS s_es,
+                   CAST((len(p) - len(replace(p, ' der ', ''))) / 5
+                      + (len(p) - len(replace(p, ' die ', ''))) / 5
+                      + (len(p) - len(replace(p, ' und ', ''))) / 5
+                      + (len(p) - len(replace(p, ' das ', ''))) / 5
+                      + (len(p) - len(replace(p, ' ist ', ''))) / 5 AS INT) AS s_de,
+                   CAST((len(p) - len(replace(p, ' le ', ''))) / 4
+                      + (len(p) - len(replace(p, ' la ', ''))) / 4
+                      + (len(p) - len(replace(p, ' et ', ''))) / 4
+                      + (len(p) - len(replace(p, ' les ', ''))) / 5
+                      + (len(p) - len(replace(p, ' des ', ''))) / 5 AS INT) AS s_fr
+            FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents)
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                    WHEN s_en >= s_de THEN 'en'
+                    ELSE 'de' END AS pred_lang,
+               CAST(greatest(s_en, s_es, s_de, s_fr) AS BIGINT) AS lang_score
+        FROM scores
+    """,
+    "q_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS fingerprint,
+               CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS fp_bucket
+        FROM documents
+    """,
+    "q_sessionize": """
+        WITH norm AS (
+            SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events
+        ),
+        gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM norm
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+            FROM gaps
+        )
+        SELECT user_id, session_seq,
+               count(event_id) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_seq
+    """,
+}

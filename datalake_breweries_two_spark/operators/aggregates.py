@@ -1,0 +1,113 @@
+"""Aggregation operators: hash agg (the reference's gold layer), rollup/cube,
+date_trunc aggregates, batch tumbling windows.
+
+Parity core: the reference's single aggregation is a group-by-count
+(``df.groupBy("brewery_type","state").agg(count("id"))``, reference
+``plugins/brewery_operators.py:373-379``; SURVEY.md §2.1 A1). Note it is
+COUNT(col) — NULL-skipping — not COUNT(*); preserved here.
+
+Scale profile: groupBy → partial HashAggregate (map-side combine) →
+exchange on the grouping keys → final HashAggregate. The shuffle moves one
+row per (partition × group), not per input row, so low-cardinality groupings
+(status × month, type × state) cost near-zero network even at 100 TB. For
+high-cardinality or skewed keys, AQE skew handling is on in the session
+factory; `two_level_agg` below shows the explicit salting pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, keys: list[str], count_col: str, alias: str) -> DataFrame:
+    """The reference's gold aggregate shape: count(col) per key tuple.
+
+    COUNT(col) semantics (skips NULLs) per reference
+    ``plugins/brewery_operators.py:379``.
+    """
+    return df.groupBy(*keys).agg(F.count(F.col(count_col)).alias(alias))
+
+
+def orders_by_status_month(orders: DataFrame) -> DataFrame:
+    """Flagship query — the reference's gold aggregate on the lake schema:
+    order count per (status, order month). Scan → project → hash agg."""
+    return (
+        orders.groupBy(
+            F.col("o_orderstatus"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        )
+        .agg(F.count(F.col("o_orderkey")).alias("order_count"))
+    )
+
+
+def rollup_counts(df: DataFrame, keys: list[str], count_col: str, alias: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — one shuffle, Catalyst expands the
+    grouping sets; at scale prefer this over N separate groupBys (N scans)."""
+    return df.rollup(*keys).agg(F.count(F.col(count_col)).alias(alias))
+
+
+def cube_counts(df: DataFrame, keys: list[str], count_col: str, alias: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    return df.cube(*keys).agg(F.count(F.col(count_col)).alias(alias))
+
+
+def date_trunc_agg(
+    df: DataFrame, ts_col: str, granularity: str, value_col: str
+) -> DataFrame:
+    """Time-bucketed aggregate: count + sum(value) per truncated timestamp.
+
+    Sum is computed over a decimal cast so results are order-independent
+    (FP addition is not associative; decimal is — oracle-hash-safe,
+    SURVEY.md §5 pitfalls) then surfaced as double.
+    """
+    return (
+        df.groupBy(F.date_trunc(granularity, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.col(value_col)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str, duration: str, value_col: str
+) -> DataFrame:
+    """Batch twin of the streaming tumbling window: ``F.window`` buckets.
+
+    Same operator the streaming module uses with a watermark; in batch mode
+    it is oracle-checkable (window start == date_trunc for aligned windows).
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"))
+        .agg(
+            F.count(F.col(value_col)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n"),
+            F.col("sum_value"),
+        )
+    )
+
+
+def two_level_agg(df: DataFrame, key: str, value_col: str, salt_buckets: int = 32) -> DataFrame:
+    """Skew-resistant aggregation: salt the key, partial-agg on (key, salt),
+    then final-agg on key. Use when one key holds >~1% of 100 TB and AQE's
+    skew split is not enough (e.g. a null-heavy join key). Two shuffles, but
+    the first moves salted partials, never the raw hot partition.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(F.col(key), F.col("_salt")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sum"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_cnt").cast("long").alias("n"),
+        F.sum("_sum").cast("double").alias("sum_value"),
+    )

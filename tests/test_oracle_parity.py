@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every declared query
+AND its DuckDB oracle on the same parquet, compare row-count + schema-width +
+order-insensitive value-hash. Catches oracle drift before the driver does.
+
+Runs at sf0.001 by default for speed (driver uses sf0.01 — set
+SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to mirror exactly).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
+
+from .conftest import SF_ORACLE
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _row_multiset(rows, colnames) -> list[str]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append("|".join(_norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL.keys()))
+def test_oracle_match(spark, name):
+    sf_dir = SF_ORACLE
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    try:
+        res = con.execute(ORACLE_SQL[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    sm = _row_multiset(spark_rows, spark_cols)
+    dm = _row_multiset(duck_rows, duck_cols)
+    if sm != dm:
+        diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(k for k in QUERIES if k not in ORACLE_SQL)
+)
+def test_rows_only_queries_run(spark, name):
+    """Engine-specific queries (no SQL oracle): must run and have a stable
+    non-empty schema."""
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    assert len(sdf.columns) > 0
+    n = sdf.count()
+    assert n >= 0

@@ -536,9 +536,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window counts driven to completion via
     the memory sink (update mode) — rows-only (no SQL oracle for streams)."""
-    stream = stream_windows.read_events_stream(
-        spark, os.path.join(sf_dir, "events.parquet")
+    # file-stream source needs a DIRECTORY; stage the raw events as 4 files
+    # so maxFilesPerTrigger=1 yields multiple batches (watermark advances
+    # between batches, exercising state cleanup like a real stream)
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    stage_dir = os.path.join(_SCRATCH, "events_stream")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
     )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
     agg = stream_windows.windowed_event_counts(stream, "1 hour", "10 minutes")
     return stream_windows.run_stream_to_memory(
         spark, agg, "q_streaming_tumbling_sink", output_mode="update"
@@ -650,7 +661,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_gold_agg": """
         SELECT o_orderstatus,
-               date_trunc('month', o_orderdate) AS order_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
                count(o_orderkey) AS order_count
         FROM orders GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
     """,
@@ -757,7 +768,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_nationkey AS nationkey FROM supplier
     """,
     "q_date_trunc_agg": """
-        SELECT date_trunc('day', ts) AS bucket,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
                count(value) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY date_trunc('day', ts)
@@ -782,7 +793,7 @@ ORACLE_SQL: dict[str, str] = {
                    'sum')), 4) AS l2_norm,
                round(list_aggregate(
                    list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
-                   / len(embedding), 4) AS mean_component
+                   / len(embedding), 4) + 0.0 AS mean_component
         FROM embeddings
     """,
     "q_explode_tokens": """

@@ -217,7 +217,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     bit_cols = []
-    for bit in range(64):
+    for bit in range(63):  # 63 bits: skip the sign bit to stay in signed-long range
         ones = F.size(
             F.filter(hashes, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
         )
@@ -227,7 +227,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             )
             * F.lit(2 ** bit).cast("long")
         )
-    sim = sum(bit_cols[:-1])  # drop the sign bit to stay in signed-long range
+    sim = sum(bit_cols)
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -60,13 +60,16 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.col("vec_id"),
         F.size(F.col("embedding")).alias("dim"),
         F.round(vector_norm("embedding"), 4).alias("l2_norm"),
-        F.round(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double"),
+        (
+            F.round(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                )
+                / F.size(F.col("embedding")),
+                4,
             )
-            / F.size(F.col("embedding")),
-            4,
+            + F.lit(0.0)  # normalize IEEE -0.0 → 0.0 (engines differ)
         ).alias("mean_component"),
     )

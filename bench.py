@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed as a count() action (forces the full plan without
+driver-side result materialization costs skewing the number). A warmup pass
+on a small query amortizes JVM/codegen startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_breweries_two_spark import entry_queries
+from datalake_breweries_two_spark.session import build_session
+
+HEADLINE = [
+    "q_gold_agg",
+    "q_scan_parquet",
+    "q_silver_projection",
+    "q_quality_summary",
+    "q_join_inner",
+    "q_star_join",
+    "q_topk",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_rollup",
+    "q_date_trunc_agg",
+    "q_tumbling_window",
+    "q_json_extract",
+    "q_array_ops",
+    "q_sql_tpch_q1",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_ngram_jaccard",
+    "q_cosine_topk",
+    "q_text_stats",
+    "q_text_quality",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = build_session(app_name="bench", shuffle_partitions=cpus)
+
+    # warmup: JVM + parquet footer caches + codegen paths
+    entry_queries.q_gold_agg(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Unit tests for operators without a DuckDB oracle: quality probes, HTTP
+ingestion, multimodal plumbing, streaming equivalence, similarity, lake I/O."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalake_breweries_two_spark.catalog import load_table
+from datalake_breweries_two_spark.operators import multimodal, quality, similarity
+from datalake_breweries_two_spark.sources import http_api, lake
+from datalake_breweries_two_spark.streaming import windows as stream_windows
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- quality
+
+def test_quality_probes(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", ""), ("c", None)], ["k", "v"]
+    )
+    assert not quality.is_empty_probe(df)
+    assert quality.bounded_count(df, 2) == 2
+    assert quality.has_violations(df, "v")
+    assert not quality.has_violations(df, "k")
+    report = quality.run_quality_gate(df, ["k", "v"], min_rows=2)
+    assert not report.passed
+    assert report.violations == {"k": 0, "v": 2}
+    assert report.total_rows == 3
+
+
+# ---------------------------------------------------------------- http_api
+
+def test_paginated_driver_fetch_stops_on_short_page(spark):
+    calls = []
+
+    def fetch(url, page, per_page):
+        calls.append(page)
+        if page <= 2:
+            return [{"id": str(page * 10 + i), "name": f"n{i}"} for i in range(per_page)]
+        return [{"id": "last", "name": "n"}]
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+    )
+    df = http_api.fetch_paginated_driver(
+        spark, "offline://x", schema, per_page=4, fetch=fetch
+    )
+    assert df.count() == 9  # 4 + 4 + 1 (short page terminates)
+    assert calls == [1, 2, 3]
+
+
+def test_paginated_distributed_fetch(spark):
+    def fetch(url, page, per_page):
+        return [{"id": str(page), "name": f"page{page}"}]
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+    )
+    df = http_api.fetch_paginated_distributed(
+        spark, "offline://x", schema, n_pages=6, per_page=1, fetch=fetch
+    )
+    rows = {r["id"] for r in df.collect()}
+    assert rows == {str(p) for p in range(1, 7)}
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_media_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["payload_bytes"] == 1024
+        assert len(r["sha256"]) == 64
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in feats.collect()}
+    assert {r["media_id"]: r["feature"] for r in rows} == again
+
+
+def test_media_metadata_prunes_payload(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    summary = multimodal.media_metadata_summary(media)
+    rows = {r["media_type"]: r for r in summary.collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    assert rows["image"]["n"] == 3
+    assert rows["image"]["total_bytes"] == 3 * 1024
+
+
+def test_decode_stub_rejects_unknown_type():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"x", "hologram")
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_streaming_matches_batch_tumbling(spark, tmp_path):
+    """The streaming tumbling window must produce exactly the batch twin's
+    per-(window, event_type) counts once the stream is drained."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    stage = str(tmp_path / "stream_in")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    stream = stream_windows.read_events_stream(spark, stage)
+    # The staged files are a RANDOM 3-way split of the full time range, so
+    # each trigger sees rows far older than the running max event time. A
+    # watermark wider than the data's span keeps every row on-time — the
+    # late-drop semantics themselves are covered by
+    # test_streaming_watermark_drops_late below.
+    agg = stream_windows.windowed_event_counts(stream, "1 hour", "3650 days")
+    streamed = stream_windows.run_stream_to_memory(
+        spark, agg, "t_stream_batch_eq", output_mode="update"
+    )
+    # update-mode memory sink may hold intermediate rows for a key emitted in
+    # several triggers; the LAST row per key is the final state. Aggregate to
+    # the final per-key snapshot before comparing.
+    final = (
+        streamed.groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+
+    batch = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count("event_id").alias("n"))
+    )
+    diff = final.join(batch, ["window_start", "event_type", "n"], "full_outer")
+    assert final.count() == batch.count()
+    assert diff.count() == batch.count()
+
+
+def test_streaming_watermark_drops_late(spark, tmp_path):
+    """A row older than (max event time − watermark delay) arriving in a
+    LATER trigger must be dropped from the windowed aggregate."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    stage = str(tmp_path / "stream_late")
+    ns = 1_000_000_000
+    t0 = 1_700_000_000 * ns  # arbitrary fixed epoch
+    on_time = [(1, t0 + 7200 * ns, 10, "a", 1.0, "{}"),
+               (2, t0 + 7260 * ns, 11, "a", 1.0, "{}")]
+    late = [(3, t0, 12, "a", 1.0, "{}")]  # 2 h older than seen max; wm=10 min
+    spark.createDataFrame(on_time, _EVENTS_RAW).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+
+    stream = stream_windows.read_events_stream(spark, stage)
+    agg = stream_windows.windowed_event_counts(stream, "1 hour", "10 minutes")
+    # Drain the on-time file FIRST (advances the watermark), then land the
+    # late file and drain again — deterministic trigger order, unlike
+    # relying on the file source's initial listing order.
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stream_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(late, _EVENTS_RAW).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM t_stream_late")
+    rows = streamed.groupBy("window_start").agg(F.max("n").alias("n")).collect()
+    got = {(r["window_start"], r["n"]) for r in rows}
+    import datetime as dt
+
+    on_time_window = dt.datetime.fromtimestamp(t0 // ns + 7200, dt.timezone.utc).replace(
+        minute=0, second=0, tzinfo=None
+    )
+    assert got == {(on_time_window, 2)}  # late row's window never appears
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 10, "a", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=50), 10, "a", 1.0, "{}"),  # 40min gap → new session
+        (4, base, 20, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sess = stream_windows.sessionize_batch(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[10]) == 2  # two sessions for user 10
+    assert len(by_user[20]) == 1
+    first = min(by_user[10], key=lambda r: r["session_seq"])
+    assert first["n_events"] == 2
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_ivf_assign_covers_all_vectors(spark):
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    assigned = similarity.ivf_assign(emb, n_centroids=4)
+    assert assigned.count() == emb.count()
+    n_centroids = assigned.select("centroid_id").distinct().count()
+    assert 1 <= n_centroids <= 4
+
+
+def test_cosine_topk_lsh_overlaps_bruteforce(spark):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(SF_SMOKE, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qv = [float(x) for x in tbl.column("embedding")[0].as_py()]
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_bruteforce(emb, qv, k=10, exclude_id=0).collect()
+    }
+    approx = {
+        r["vec_id"] for r in similarity.cosine_topk_lsh(emb, qv, k=10).collect()
+    }
+    # ANN recall: at least some overlap expected on 500 unit vectors
+    assert len(exact) == 10
+    assert len(approx & exact) >= 3
+
+
+# ---------------------------------------------------------------- lake I/O
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "part_out")
+    df = load_table(spark, "customer", SF_SMOKE)
+    lake.write_parquet(df, out, partition_by=["c_mktsegment"])
+    segments = [d for d in os.listdir(out) if d.startswith("c_mktsegment=")]
+    assert len(segments) == 5
+    one = spark.read.parquet(out).filter(F.col("c_mktsegment") == "BUILDING")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_latest_snapshot_dir(tmp_path):
+    import time
+
+    for name in ["run1", "run2"]:
+        os.makedirs(tmp_path / name)
+        time.sleep(0.05)
+    assert lake.latest_snapshot_dir(str(tmp_path)).endswith("run2")

@@ -1,0 +1,97 @@
+"""End-to-end medallion pipeline tests on brewery-shaped data (the
+reference's own domain: bronze JSON → silver curation → quality gate →
+gold aggregate; reference dags/dag-brewery_pipeline.py:103-119)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from datalake_breweries_two_spark.catalog import BRONZE_BREWERY_SCHEMA
+from datalake_breweries_two_spark.operators.aggregates import group_count
+from datalake_breweries_two_spark.operators.projection import curate_silver_breweries
+from datalake_breweries_two_spark.plans.medallion import (
+    MedallionConfig,
+    QualityGateError,
+    run_medallion,
+)
+
+N_ROWS = 120
+
+
+def _write_bronze(tmp_path, n=N_ROWS, break_quality=False):
+    bronze_dir = str(tmp_path / "bronze")
+    os.makedirs(bronze_dir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "id": "" if (break_quality and i < 5) else f"b{i:04d}",
+                "name": f"  Brewery {i} ",
+                "brewery_type": ["Micro", "NANO", "brewpub"][i % 3],
+                "address_1": f"{i} Main St",
+                "address_2": None if i % 2 else "Suite 2",
+                "address_3": None,
+                "city": f" City{i % 7} ",
+                "state_province": f"State{i % 5}",
+                "country": "United States",
+                "longitude": str(-120.0 + i * 0.01),
+                "latitude": str(40.0 + i * 0.01),
+            }
+        )
+    with open(os.path.join(bronze_dir, "part-0.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    return bronze_dir
+
+
+def _config(tmp_path):
+    return MedallionConfig(
+        base_dir=str(tmp_path / "lake"),
+        bronze_schema=BRONZE_BREWERY_SCHEMA,
+        curate=curate_silver_breweries,
+        aggregate=lambda df: group_count(
+            df, ["brewery_type", "state"], "id", "brewery_count"
+        ),
+        silver_partition_by=["state"],
+        critical_columns=["id", "brewery_name", "brewery_type"],
+        min_rows=100,
+    )
+
+
+def test_medallion_end_to_end(spark, tmp_path):
+    bronze_dir = _write_bronze(tmp_path)
+    result = run_medallion(spark, _config(tmp_path), bronze_dir)
+
+    assert result.quality.passed
+    assert result.quality.total_rows == N_ROWS
+    assert result.gold_rows == 3 * 5  # types × states
+
+    silver = spark.read.parquet(result.silver_path)
+    # curation semantics: trim, lower, null-skipping concat_ws, double casts
+    row = silver.filter(silver.id == "b0001").first()
+    assert row["brewery_name"] == "Brewery 1"
+    assert row["brewery_type"] in ("micro", "nano", "brewpub")
+    assert ", Suite 2" not in row["full_address"] or row["full_address"].count(",") == 1
+    assert isinstance(row["longitude"], float)
+    # partitioned layout: hive-style state dirs exist
+    assert any(d.startswith("state=") for d in os.listdir(result.silver_path))
+
+    gold = spark.read.parquet(result.gold_path)
+    assert gold.columns == ["brewery_type", "state", "brewery_count"]
+    assert gold.agg({"brewery_count": "sum"}).first()[0] == N_ROWS
+
+
+def test_quality_gate_blocks_gold(spark, tmp_path):
+    bronze_dir = _write_bronze(tmp_path, break_quality=True)
+    cfg = _config(tmp_path)
+    with pytest.raises(QualityGateError, match="id"):
+        run_medallion(spark, cfg, bronze_dir)
+    assert not os.path.exists(os.path.join(cfg.base_dir, "gold"))
+
+
+def test_quality_gate_min_rows(spark, tmp_path):
+    bronze_dir = _write_bronze(tmp_path, n=50)
+    with pytest.raises(QualityGateError, match="row count"):
+        run_medallion(spark, _config(tmp_path), bronze_dir)

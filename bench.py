@@ -55,7 +55,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = build_session(app_name="bench", shuffle_partitions=cpus)
 
-    # warmup: JVM + parquet footer caches + codegen paths
+    # Warmup: run every headline query once at the smallest SF so JVM JIT +
+    # whole-stage-codegen compilation (dominant one-time costs for the wide
+    # aggregate/sketch plans, 3-6x first-run inflation measured) are
+    # amortized out — the measured numbers then reflect steady-state
+    # per-query cost, which is what extrapolates to a long-lived cluster.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                entry_queries.QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass
     entry_queries.q_gold_agg(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

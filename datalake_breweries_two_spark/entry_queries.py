@@ -397,6 +397,133 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-trick, one shuffle): each click event matched to the
+    user's latest purchase at-or-before it. No native Spark op — see
+    ``operators.joins.asof_join`` for the scale analysis."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["p_event_id", "value"],
+        tie_col="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("asof_event_id"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders bucketed into static price bands via a
+    broadcast non-equi join (zero shuffles on the fact side)."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = joins.range_join_bands(
+        _t(spark, sf_dir, "orders"), bands, value_col="o_totalprice"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated salted join (deterministic salt, build side replicated
+    8x) — result identical to the plain join, so fully oracle-checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = joins.salted_join_agg(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        salt_buckets=8,
+        salt_src=F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.col("l_orderkey")).alias("n_lineitems"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube — arbitrary grouping combinations in
+    one pass (Catalyst Expand: one scan, one shuffle for all sets)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority revenue): broadcast customer filter
+    into the orders⋈lineitem sort-merge; top-10 via TakeOrderedAndProject."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1998-06-01 00:00:00'
+          AND l_shipdate  > timestamp '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue per nation): five-way join,
+    dims broadcast, facts sort-merged; revenue in exact decimal."""
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer_v JOIN orders_v   ON c_custkey = o_custkey
+                        JOIN lineitem_v ON l_orderkey = o_orderkey
+                        JOIN supplier_v ON l_suppkey = s_suppkey
+                                       AND c_nationkey = s_nationkey
+                        JOIN nation_v   ON s_nationkey = n_nationkey
+                        JOIN region_v   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1998-01-01 00:00:00'
+        GROUP BY n_name
+        """
+    )
+
+
 # ==========================================================================
 # LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
 # ==========================================================================
@@ -603,6 +730,12 @@ QUERIES: dict[str, QueryFn] = {
     "q_array_ops": q_array_ops,
     "q_explode_tokens": q_explode_tokens,
     "q_sql_tpch_q1": q_sql_tpch_q1,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_skew_join_salted": q_skew_join_salted,
+    "q_grouping_sets": q_grouping_sets,
+    "q_sql_tpch_q3": q_sql_tpch_q3,
+    "q_sql_tpch_q5": q_sql_tpch_q5,
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -749,6 +882,72 @@ ORACLE_SQL: dict[str, str] = {
                count(CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS "F",
                count(CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS "O"
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id,
+               (SELECT r.event_id FROM r
+                WHERE r.user_id = l.user_id
+                  AND date_trunc('microseconds', r.ts) <= date_trunc('microseconds', l.ts)
+                ORDER BY date_trunc('microseconds', r.ts) DESC, r.event_id DESC
+                LIMIT 1) AS asof_event_id,
+               (SELECT r.value FROM r
+                WHERE r.user_id = l.user_id
+                  AND date_trunc('microseconds', r.ts) <= date_trunc('microseconds', l.ts)
+                ORDER BY date_trunc('microseconds', r.ts) DESC, r.event_id DESC
+                LIMIT 1) AS asof_value
+        FROM l
+    """,
+    "q_range_join": """
+        SELECT band, count(o_orderkey) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        JOIN (VALUES ('low', 0.0, 100000.0),
+                     ('mid', 100000.0, 250000.0),
+                     ('high', 250000.0, 1e9)) b(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "q_skew_join_salted": """
+        SELECT o_orderpriority, count(l_orderkey) AS n_lineitems,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(o_orderkey) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q_sql_tpch_q3": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q_sql_tpch_q5": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders   ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                                   AND c_nationkey = s_nationkey
+                      JOIN nation   ON s_nationkey = n_nationkey
+                      JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
     """,
     "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
     "q_count_distinct": "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders",

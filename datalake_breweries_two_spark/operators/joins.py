@@ -20,7 +20,7 @@ Scale profile, per strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,3 +83,109 @@ def star_join_revenue(
             F.count(F.col("l_orderkey")).alias("n_lineitems"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same key
+    and ``right.ts <= left.ts`` (ties on ts broken by highest ``tie_col``).
+
+    Spark has no native as-of join; the naive range self-join explodes
+    quadratically per key. This is the scalable union-trick form: tag both
+    sides, union, and carry the most recent right-side row forward with
+    ``last(..., ignorenulls=True)`` over a window ordered by
+    (ts, tag, tie) — right rows sort before left rows at equal ts, so the
+    inclusive <= semantics fall out of the ordering. Exactly ONE shuffle
+    (the window exchange on ``key_col``), O(n log n) per key, no pair
+    blowup — at 100 TB this is a single repartition of left+right combined.
+    All matched right columns come from the SAME row (carried as a struct).
+
+    Returns the left rows (original columns) plus ``asof_<c>`` for each
+    requested right column (null when no prior right row exists).
+    """
+    lt = left.withColumn("_tag", F.lit(1))
+    rt_cols = list(dict.fromkeys([key_col, ts_col, tie_col, *right_cols]))
+    rt = right.select(*rt_cols).withColumn("_tag", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("_tag") == 0, F.struct(*[F.col(c) for c in right_cols])),
+        ignorenulls=True,
+    ).over(w)
+    out = u.withColumn("_asof", carried).filter(F.col("_tag") == 1)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def range_join_bands(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (band) join: each fact row matched to the band whose
+    ``[lo, hi)`` interval contains ``value_col``.
+
+    The band table is tiny and static, so the right physical plan is a
+    broadcast nested-loop join — the 100 TB fact side streams through
+    executors once, no shuffle at all. (If the band table were large, the
+    scale path is interval bucketing: assign each fact
+    ``floor(value/width)`` and explode each band over the buckets it
+    overlaps, turning the range predicate into an equi-join plus a residual
+    filter.)
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "inner")
+
+
+def salted_join_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, replicate the build side.
+
+    A hot key (one orderkey owning millions of lineitems) makes one shuffle
+    partition the straggler of the whole stage. Salting splits each fact key
+    into ``salt_buckets`` sub-keys via a deterministic hash of a
+    high-cardinality column, and replicates each build row across all
+    buckets (explode over a literal sequence — build side grows
+    ``salt_buckets``×, fact side not at all). The join key becomes
+    (key, salt), so the hot key's rows spread over ``salt_buckets``
+    partitions. AQE's skew-join split handles moderate skew automatically;
+    explicit salting is the deterministic fix when a single key exceeds what
+    partition-splitting can balance (the build row for the hot key is still
+    one row per partition here, vs one oversized partition there).
+
+    Result is bit-identical to the unsalted join (the salt columns are
+    dropped), so this IS oracle-checkable against the plain join.
+    """
+    salt = (
+        salt_src if salt_src is not None else F.xxhash64(*[F.col(c) for c in fact.columns])
+    )
+    salted_fact = fact.withColumn("_salt", F.pmod(salt, F.lit(salt_buckets)).cast("int"))
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["_salt"] == replicated_dim["_salt"]),
+        "inner",
+    )
+    return joined.drop("_salt")

@@ -263,3 +263,63 @@ def test_latest_snapshot_dir(tmp_path):
         os.makedirs(tmp_path / name)
         time.sleep(0.05)
     assert lake.latest_snapshot_dir(str(tmp_path)).endswith("run2")
+
+
+# ---------------------------------------------------------------- joins
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from datalake_breweries_two_spark.operators import joins
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 10, base), (2, 10, base + dt.timedelta(minutes=5)), (3, 20, base)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, base, 1.0),                              # same ts as left 1 → inclusive match
+            (101, 10, base + dt.timedelta(minutes=1), 2.0),    # latest before left 2
+            (102, 10, base + dt.timedelta(minutes=9), 9.0),    # after everything → never matched
+        ],
+        "r_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in joins.asof_join(
+            left, right, key_col="user_id", ts_col="ts",
+            right_cols=["r_id", "value"], tie_col="r_id",
+        ).collect()
+    }
+    assert out[1]["asof_r_id"] == 100 and out[1]["asof_value"] == 1.0
+    assert out[2]["asof_r_id"] == 101 and out[2]["asof_value"] == 2.0
+    assert out[3]["asof_r_id"] is None and out[3]["asof_value"] is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datalake_breweries_two_spark.operators import joins
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = joins.salted_join_agg(
+        li, orders, fact_key="l_orderkey", dim_key="o_orderkey", salt_buckets=4
+    )
+    assert salted.count() == plain
+    assert "_salt" not in salted.columns
+
+
+def test_range_join_bands_broadcast_no_shuffle(spark):
+    from datalake_breweries_two_spark.operators import joins
+
+    orders = load_table(spark, "orders", SF_SMOKE)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 250000.0), ("high", 250000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    out = joins.range_join_bands(orders, bands, value_col="o_totalprice")
+    assert out.count() == orders.count()  # bands cover the full range, disjoint
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -683,6 +683,47 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessions with event-time timeout — rows-only (no SQL oracle for
+    stateful streams). Closed sessions must agree with the batch
+    sessionizer (asserted in tests/test_operators.py)."""
+    stage_dir = os.path.join(_SCRATCH, "events_stream_sess")
+    # sequentially-written time slices → the file source replays an
+    # in-order stream (see stage_time_ordered_stream docstring)
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), stage_dir
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    sess = stream_windows.sessionize_stream(stream, gap_minutes=30)
+    return stream_windows.run_stream_to_memory(
+        spark, sess, "q_streaming_sessionize_sink", output_mode="append"
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides staged as bucketed tables on the
+    join key, so the join itself needs NO exchange (asserted in tests) —
+    the 100 TB answer for a join repeated every pipeline run. Result is
+    identical to the plain join → full oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lake.write_bucketed(
+        li, "b_lineitem", "l_orderkey", 8, os.path.join(_SCRATCH, "b_lineitem")
+    )
+    lake.write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, os.path.join(_SCRATCH, "b_orders")
+    )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey, "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.col("l_orderkey")).alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
 # ==========================================================================
 # Registry + oracles
 # ==========================================================================
@@ -754,6 +795,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_sessionize": q_sessionize,
     "q_media_features": q_media_features,
     "q_streaming_tumbling": q_streaming_tumbling,
+    "q_streaming_sessionize": q_streaming_sessionize,
+    "q_bucketed_join": q_bucketed_join,
 }
 
 
@@ -948,6 +991,12 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "q_bucketed_join": """
+        SELECT o_orderpriority, count(l_orderkey) AS n_lineitems,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
     "q_count_distinct": "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders",

@@ -95,6 +95,136 @@ SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
+def stage_time_ordered_stream(
+    spark: SparkSession, src_parquet: str, dest_dir: str, n_slices: int = 4
+) -> None:
+    """Stage a raw events parquet as ``n_slices`` files written SEQUENTIALLY
+    in time order, so the file stream source (which orders by modification
+    time) replays them as an in-order stream — the arrival order a Kafka
+    topic keyed by time would give. A single multi-file write job gives all
+    parts the same mtime and the replay order becomes arbitrary, which is
+    exactly the pathological input for a session operator."""
+    from pyspark.sql import Window
+
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    ev = spark.read.schema(_EVENTS_RAW).parquet(src_parquet)
+    sliced = ev.withColumn(
+        "_slice", F.ntile(n_slices).over(Window.orderBy(F.col("ts").asc()))
+    ).persist()
+    try:
+        sliced.count()
+        for i in range(1, n_slices + 1):
+            (
+                sliced.filter(F.col("_slice") == i)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite" if i == 1 else "append")
+                .parquet(dest_dir)
+            )
+    finally:
+        sliced.unpersist()
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (Arrow-batched; state = one 4-field row per
+    live user, so state-store size is O(active users), not O(events)).
+
+    A session closes when (a) a later event for the user arrives more than
+    ``gap_minutes`` after the previous one, or (b) the event-time watermark
+    passes ``last_event + gap`` (EventTimeTimeout) — so idle users don't pin
+    state forever. Closed sessions are emitted in append mode; sessions
+    still open when the stream ends remain in state (standard streaming
+    semantics — they'd emit on the next trigger).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state):  # noqa: ANN001 - GroupState has no public stub
+        user_id = key[0]
+        if state.exists:
+            last_us, start_us, n, total = state.get
+        else:
+            last_us = start_us = None
+            n, total = 0, 0.0
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if n:
+                closed.append((user_id, start_us, last_us, n, total))
+            state.remove()
+        else:
+            # applyInPandasWithState does NOT drop late rows for us (unlike
+            # windowed aggregations) — filtering rows behind the watermark
+            # is the operator's job
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            frames = [pdf[["ts", "value"]] for pdf in pdf_iter]
+            if frames:
+                batch = pd.concat(frames).sort_values("ts")
+                for ts, val in zip(batch["ts"], batch["value"]):
+                    us = int(ts.value // 1_000)  # pandas ns → epoch µs
+                    if us < wm_us:
+                        continue  # late beyond allowed lateness: drop
+                    if last_us is not None and us - last_us > gap_us:
+                        closed.append((user_id, start_us, last_us, n, total))
+                        start_us, n, total = None, 0, 0.0
+                    if start_us is None:
+                        start_us = us
+                    n += 1
+                    total += float(val) if val == val else 0.0
+                    last_us = us
+            if last_us is not None:
+                state.update((last_us, start_us, n, total))
+                # the timeout API is millisecond-epoch; late data (staged
+                # files aren't time-ordered) can put last+gap behind the
+                # watermark, and a timeout below the watermark is invalid,
+                # so clamp — the session then times out on the very next
+                # trigger, correct for a session already older than the
+                # allowed lateness
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last_us // 1000 + gap_us // 1000, wm + 1))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization (the stateful-operator pattern, §'Common OLAP
     patterns'): session id = cumulative count of gap>threshold breaks per

@@ -323,3 +323,59 @@ def test_range_join_bands_broadcast_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------- streaming state
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Closed sessions from the stateful streaming operator must be a subset
+    of the batch sessionizer's sessions, with identical aggregates."""
+    stage = str(tmp_path / "ev_stream")
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(SF_SMOKE, "events.parquet"), stage
+    )
+    stream = stream_windows.read_events_stream(spark, stage)
+    sess = stream_windows.sessionize_stream(stream, gap_minutes=30)
+    streamed = stream_windows.run_stream_to_memory(
+        spark, sess, "t_sess_stream_sink", output_mode="append"
+    ).collect()
+    assert len(streamed) > 0
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): r
+        for r in stream_windows.sessionize_batch(
+            spark.read.parquet(stage).select(
+                "event_id",
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+                "user_id", "event_type", "value", "props",
+            ),
+            gap_minutes=30,
+        ).collect()
+    }
+    for s in streamed:
+        key = (s["user_id"], s["session_start"], s["session_end"])
+        assert key in batch, f"streamed session {key} not found in batch result"
+        assert batch[key]["n_events"] == s["n_events"]
+
+
+# ---------------------------------------------------------------- bucketed join
+
+def test_bucketed_join_has_no_exchange(spark):
+    from datalake_breweries_two_spark import entry_queries
+
+    df = entry_queries.q_bucketed_join(spark, SF_SMOKE)
+    # disable auto-broadcast so the plan exercises bucket co-location (with
+    # broadcast on, AQE happily broadcasts the small side and bucketing is
+    # moot at this SF — at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined_plan = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in joined_plan, joined_plan
+    assert "Exchange hashpartitioning" not in joined_plan, joined_plan
+    assert df.count() == 5

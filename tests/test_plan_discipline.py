@@ -1,0 +1,98 @@
+"""Scale-discipline checks on PHYSICAL PLANS, not results.
+
+At 100 TB the plan is the product: a query that silently falls back to
+row-at-a-time Python, loses its filter pushdown, or shuffles a side it
+could broadcast would be correct-and-unusable. These tests freeze the
+plan properties the engine's docstrings promise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_breweries_two_spark import entry_queries
+from datalake_breweries_two_spark.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+# Queries allowed to run Python at all: Arrow-batched (mapInPandas /
+# applyInPandasWithState) by design. Everything else must be 100% JVM.
+ARROW_PYTHON_OK = {"q_media_features", "q_streaming_sessionize"}
+
+# Streaming queries produce no batch plan to inspect the same way.
+SKIP_PLAN = {"q_streaming_tumbling", "q_streaming_sessionize", "q_media_features"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in entry_queries.QUERIES if n not in SKIP_PLAN)
+)
+def test_no_row_at_a_time_python(spark, name):
+    """BatchEvalPython = per-row Python UDF: forbidden in every query.
+    ArrowEvalPython / mapInPandas are allowed only where declared."""
+    df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    if name not in ARROW_PYTHON_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} unexpectedly leaves the JVM"
+        )
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark):
+    df = entry_queries.q_scan_parquet(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    # column pruning: only the 4 selected columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(entry_queries.q_star_join(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact table is never broadcast
+    assert "SortMergeJoin" in plan or plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(entry_queries.q_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a limit-k
+
+
+def test_gold_agg_partial_aggregation(spark):
+    """The flagship must do map-side partial aggregation: two HashAggregate
+    nodes around one exchange, so the shuffle carries group rows not data."""
+    plan = _plan(entry_queries.q_gold_agg(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Core relational queries must sit inside WholeStageCodegen spans.
+    (Execute first: AQE's pre-execution plan is a placeholder that hides
+    codegen structure until the final plan is materialized.)"""
+    for name in ["q_gold_agg", "q_silver_projection", "q_join_inner", "q_topk"]:
+        df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+        df.collect()  # count() builds a different plan; collect finalizes THIS one
+        plan = _plan(df)
+        # codegen'd operators print as "*(N) Op" in the executed-plan string
+        assert "*(" in plan, f"{name} fell out of codegen:\n{plan[:400]}"
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned silver layout must prune partitions at scan."""
+    out = str(tmp_path / "part_cust")
+    load_table(spark, "customer", SF_SMOKE).write.partitionBy(
+        "c_mktsegment"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("c_mktsegment") == "BUILDING")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "c_mktsegment#" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -39,6 +39,12 @@ HEADLINE = [
     "q_json_extract",
     "q_array_ops",
     "q_sql_tpch_q1",
+    "q_sql_tpch_q3",
+    "q_sql_tpch_q5",
+    "q_asof_join",
+    "q_range_join",
+    "q_skew_join_salted",
+    "q_grouping_sets",
     "q_dedup_exact",
     "q_dedup_near",
     "q_ngram_jaccard",

@@ -379,3 +379,25 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in joined_plan, joined_plan
     assert "Exchange hashpartitioning" not in joined_plan, joined_plan
     assert df.count() == 5
+
+
+# ---------------------------------------------------------------- incremental read
+
+def test_read_parquet_incremental_watermark(spark, tmp_path):
+    """Only files written after the watermark are read on the next pass."""
+    import datetime as dt
+    import time
+
+    out = str(tmp_path / "inc")
+    df1 = spark.createDataFrame([(1, "old")], "id long, v string")
+    df1.coalesce(1).write.mode("overwrite").parquet(out)
+    time.sleep(1.1)
+    watermark = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    time.sleep(1.1)
+    df2 = spark.createDataFrame([(2, "new")], "id long, v string")
+    df2.coalesce(1).write.mode("append").parquet(out)
+
+    rows = lake.read_parquet_incremental(spark, out, watermark).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, "new")]
+    # full read still sees both
+    assert spark.read.parquet(out).count() == 2

@@ -539,6 +539,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered near-dup: LSH candidates verified by EXACT Jaccard restricted
+    to candidate pairs (the 100 TB pipeline shape) — rows-only (LSH recall
+    is engine-specific; exactness of surviving pairs is unit-tested against
+    the corpus-wide q_ngram_jaccard)."""
+    return dedup.near_duplicates_verified(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — engine-specific hashing, rows-only."""
     return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
@@ -780,6 +790,7 @@ QUERIES: dict[str, QueryFn] = {
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
+    "q_dedup_near_verified": q_dedup_near_verified,
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_cosine_topk": q_cosine_topk,

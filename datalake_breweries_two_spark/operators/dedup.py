@@ -366,3 +366,51 @@ def ngram_jaccard_pairs(
         ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def near_duplicates_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full tiered near-dup pipeline as it runs at 100 TB:
+    MinHash+LSH proposes candidate pairs (sub-quadratic), then EXACT n-gram
+    Jaccard verifies ONLY those candidates — the quadratic tier never sees
+    the corpus, just |candidates| pairs.
+
+    Shuffle profile: shingle window + distinct + minhash agg (keyed on id),
+    band explode + bucket groupBy (keyed on band signature), then two
+    candidate joins keyed on id that ship shingle sets only for candidate
+    ids. Returns (id_a, id_b, jaccard ≥ threshold) — exact values, LSH
+    recall (pairs LSH never proposes are absent; raise num_hashes/bands for
+    higher recall).
+    """
+    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n)
+    # (id, shingle-set array) via codegen'd shingler + one collect_set agg —
+    # the array form lets the verify tier be a per-pair array_intersect
+    # instead of a shingle self-join
+    arrs = shingled.groupBy(id_col).agg(
+        F.collect_set(F.col("shingle")).alias("shingles")
+    ).persist()
+    sigs = minhash_signatures(shingled, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+                / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)

@@ -401,3 +401,24 @@ def test_read_parquet_incremental_watermark(spark, tmp_path):
     assert [(r["id"], r["v"]) for r in rows] == [(2, "new")]
     # full read still sees both
     assert spark.read.parquet(out).count() == 2
+
+
+# ---------------------------------------------------------------- tiered dedup
+
+def test_near_duplicates_verified_subset_of_exact(spark):
+    """Every pair surviving the tiered pipeline must appear in the
+    corpus-wide exact Jaccard result WITH THE SAME jaccard value (LSH may
+    miss pairs — that's recall — but must never invent or mis-score one)."""
+    from datalake_breweries_two_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    tiered = dedup.near_duplicates_verified(docs, threshold=0.2).collect()
+    assert len(tiered) > 0
+    for r in tiered:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"tiered invented pair {key}"
+        assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"

@@ -378,6 +378,87 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: stddev/variance/corr/covar.
+    Rounded to 4 decimals — the estimators are FP-order-sensitive, rounding
+    makes the result partition-count-independent in practice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(F.col("l_quantity")), 4).alias("sd_qty"),
+        F.round(F.var_samp(F.col("l_discount")), 4).alias("var_disc"),
+        F.round(F.corr(F.col("l_quantity"), F.col("l_extendedprice")), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp(F.col("l_quantity"), F.col("l_extendedprice")), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approx twin (``approx_percentile``,
+    t-digest — the 100 TB single-pass answer) is engine-specific and
+    covered by unit tests, not the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: the order row holding each group's extreme
+    price (max_by/min_by — one pass, no window + filter needed)."""
+    o = _t(spark, sf_dir, "orders")
+    # deterministic tie-breaks via an EXACT int64 composite key: totalprice
+    # has 2 decimals, so price*100 is integral and price*100*1e8 + orderkey
+    # fits int64 exactly (struct ordering in arg_max isn't portable SQL)
+    key_max = "cast(round(o_totalprice * 100) as bigint) * 100000000 + o_orderkey"
+    key_min = "cast(round(o_totalprice * 100) as bigint) * 100000000 - o_orderkey"
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(f"max_by(o_orderkey, {key_max})").alias("top_orderkey"),
+        F.expr(f"min_by(o_orderkey, {key_min})").alias("bottom_orderkey"),
+    )
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif chains — constant-folded and
+    codegen'd by Catalyst."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("segment_or_other"),
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + substring over part names (same regex dialect for
+    this pattern class in Spark and DuckDB)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"([a-z]+)$", 1).alias("last_word"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand_prefix"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning via arithmetic (floor division) — one
+    codegen'd projection + partial/final count agg; no shuffle of values."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return o.groupBy(bucket.alias("price_bucket")).agg(
+        F.count(F.col("o_orderkey")).alias("n_orders")
+    )
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface: TPC-H Q1 shape via spark.sql over a registered view.
     Decimal-exact sums surfaced as double (order-independent)."""
@@ -780,6 +861,12 @@ QUERIES: dict[str, QueryFn] = {
     "q_json_extract": q_json_extract,
     "q_array_ops": q_array_ops,
     "q_explode_tokens": q_explode_tokens,
+    "q_stats_agg": q_stats_agg,
+    "q_percentiles": q_percentiles,
+    "q_minmax_by": q_minmax_by,
+    "q_conditional_funcs": q_conditional_funcs,
+    "q_regex_extract": q_regex_extract,
+    "q_histogram": q_histogram,
     "q_sql_tpch_q1": q_sql_tpch_q1,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -936,6 +1023,46 @@ ORACLE_SQL: dict[str, str] = {
                count(CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS "F",
                count(CASE WHEN l_linestatus = 'O' THEN l_orderkey END) AS "O"
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_discount), 4) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_minmax_by": """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS top_orderkey,
+               arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 - o_orderkey) AS bottom_orderkey
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_conditional_funcs": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    ELSE 'high' END AS balance_band,
+               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other
+        FROM customer
+    """,
+    "q_regex_extract": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+               substring(p_brand, 1, 5) AS brand_prefix
+        FROM part
+    """,
+    "q_histogram": """
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+               count(o_orderkey) AS n_orders
+        FROM orders GROUP BY floor(o_totalprice / 50000)
     """,
     "q_asof_join": """
         WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -357,6 +357,14 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.tumbling_window_agg(_t(spark, sf_dir, "events"), "ts", "1 hour", "value")
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h size, 30min slide): each event in 2 windows.
+    Oracle expands the window starts with generate_series in DuckDB."""
+    return aggregates.sliding_window_agg(
+        _t(spark, sf_dir, "events"), "ts", "1 hour", "30 minutes", "value"
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = semistructured.json_get_int("props", "$.k")
@@ -858,6 +866,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_except": q_except,
     "q_date_trunc_agg": q_date_trunc_agg,
     "q_tumbling_window": q_tumbling_window,
+    "q_sliding_window": q_sliding_window,
     "q_json_extract": q_json_extract,
     "q_array_ops": q_array_ops,
     "q_explode_tokens": q_explode_tokens,
@@ -1164,6 +1173,21 @@ ORACLE_SQL: dict[str, str] = {
                count(value) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    "q_sliding_window": """
+        WITH expanded AS (
+            SELECT value,
+                   to_timestamp(s) AS ws
+            FROM events,
+                 UNNEST(generate_series(
+                     CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800,
+                     CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+                     1800)) AS t(s)
+        )
+        SELECT CAST(ws AS TIMESTAMP) AS window_start,
+               count(value) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM expanded GROUP BY ws
     """,
     "q_json_extract": """
         SELECT event_type,

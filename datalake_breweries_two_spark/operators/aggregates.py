@@ -72,6 +72,33 @@ def date_trunc_agg(
     )
 
 
+def sliding_window_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, value_col: str
+) -> DataFrame:
+    """Sliding event-time windows (batch twin of the streaming form —
+    identical ``F.window(ts, duration, slide)`` expression).
+
+    Each row lands in ``duration/slide`` windows; Catalyst expands that
+    fan-out in a codegen'd projection before the partial aggregation, so
+    the shuffle carries (window, partial-agg) rows, amplified only by the
+    window overlap factor — not by raw row count.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.col(value_col)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n"),
+            F.col("sum_value"),
+        )
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame, ts_col: str, duration: str, value_col: str
 ) -> DataFrame:

@@ -422,3 +422,16 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         key = (r["id_a"], r["id_b"])
         assert key in exact, f"tiered invented pair {key}"
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
+
+
+# ---------------------------------------------------------------- approx sketches
+
+def test_approx_percentile_within_tolerance(spark):
+    """approx_percentile (t-digest, single pass — the 100 TB path) must land
+    within 1% relative error of the exact interpolated percentile."""
+    o = load_table(spark, "orders", SF_SMOKE)
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01

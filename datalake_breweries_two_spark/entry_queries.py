@@ -800,6 +800,28 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert over the orders table: keys %100==0 updated (status 'U',
+    price doubled), keys %1000==0 re-inserted as new rows — the incremental
+    replacement for the reference's daily full overwrite. Full oracle (the
+    same full-outer-join rewrite in SQL)."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    return lake.merge_upsert(base, updates, ["o_orderkey"])
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both sides staged as bucketed tables on the
     join key, so the join itself needs NO exchange (asserted in tests) —
@@ -904,6 +926,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_streaming_tumbling": q_streaming_tumbling,
     "q_streaming_sessionize": q_streaming_sessionize,
     "q_bucketed_join": q_bucketed_join,
+    "q_merge_upsert": q_merge_upsert,
 }
 
 
@@ -1138,6 +1161,21 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "q_merge_upsert": """
+        WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+            FROM base WHERE o_orderkey % 100 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N', 1.0 FROM base WHERE o_orderkey % 1000 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
     """,
     "q_bucketed_join": """
         SELECT o_orderpriority, count(l_orderkey) AS n_lineitems,

@@ -74,6 +74,44 @@ def write_bucketed(
     )
 
 
+def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -> "DataFrame":
+    """MERGE / upsert semantics over lake tables: update rows whose key
+    matches, insert rows that don't — the incremental replacement for the
+    reference's daily full overwrite (``plugins/brewery_operators.py:196``,
+    acknowledged as a limitation at ``README.md:178``).
+
+    Expressed as a full-outer join + column-wise ``coalesce(update, base)``
+    — exactly what a Delta/Iceberg MERGE compiles to under the hood, minus
+    the transaction log. At 100 TB: partition the base by a pruning key and
+    semi-join-prune the rewrite to touched partitions, so the join reads
+    the update set + affected partitions, never the whole table. Column
+    sets must match; both sides' key columns must be non-null.
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    value_cols = [c for c in base.columns if c not in key_cols]
+    assert set(base.columns) == set(updates.columns), "schemas must match"
+    # prefix the update side so self-derived updates (base and updates from
+    # the same scan) never hit Spark's ambiguous-self-join analyzer error
+    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_u_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = base.join(u, cond, "full_outer")
+    matched = F.col(f"_u_{key_cols[0]}").isNotNull()
+    out_cols = [
+        F.coalesce(F.col(f"_u_{k}"), F.col(k)).alias(k) for k in key_cols
+    ] + [
+        # matched rows take the update's value (even if NULL — the update
+        # row wins wholesale, standard MERGE semantics); unmatched keep
+        # base; inserts take the update (base side is all-null there)
+        F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out_cols)
+
+
 def read_parquet_incremental(
     spark: SparkSession,
     path: str,

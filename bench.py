@@ -45,7 +45,12 @@ HEADLINE = [
     "q_range_join",
     "q_skew_join_salted",
     "q_grouping_sets",
+    "q_sliding_window",
+    "q_stats_agg",
+    "q_percentiles",
+    "q_merge_upsert",
     "q_dedup_exact",
+    "q_dedup_near_verified",
     "q_dedup_near",
     "q_ngram_jaccard",
     "q_cosine_topk",

@@ -41,6 +41,11 @@ HEADLINE = [
     "q_sql_tpch_q1",
     "q_sql_tpch_q3",
     "q_sql_tpch_q5",
+    "q_sql_tpch_q6",
+    "q_sql_tpch_q14",
+    "q_exists_subquery",
+    "q_join_full",
+    "q_window_lead_ntile",
     "q_asof_join",
     "q_range_join",
     "q_skew_join_salted",

@@ -613,6 +613,209 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join; each side pre-filtered so both contribute unmatched
+    rows (exercises null-extension on both sides)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return joins.join_full(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Cartesian product (nation × region, 25×5) — plan is
+    BroadcastNestedLoopJoin; the larger side never shuffles."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    return joins.join_cross(n, r)
+
+
+def q_window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.lead_ntile_pct(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+    ).select(
+        "c_custkey", "next_val", F.col("quartile").cast("int").alias("quartile"), "pct_rank"
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.first_last_in_group(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+    ).select("c_custkey", "first_key", "last_key")
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over exact cents (±$100 of neighbors per segment) —
+    monetary double converted to integral cents so frame bounds are exact
+    in both engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return windows.range_frame_count(c, "c_mktsegment", "bal_cents", 10000).select(
+        "c_custkey", "n_neighbors"
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to available columns): correlated EXISTS,
+    decorrelated by Catalyst into a left-semi join — never a per-row probe."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(o_orderkey) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left-semi join against the (tiny, broadcast) keyset —
+    never a driver-side collect()ed literal list."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey = 0)
+        """
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: one aggregate job feeds a filter constant (max is
+    exact in double — no FP-threshold ambiguity at the boundary)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_v
+        WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure scan-filter-agg;
+    every predicate reaches the parquet scan as PushedFilters."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(l_orderkey) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+        """
+    )
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): fact⋈dim join + conditional
+    aggregate; part broadcasts, lineitem never shuffles."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(1 - l_discount AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        """
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — post-aggregate filter (runs after the final
+    HashAggregate, before anything is materialized)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: upper/replace/lpad/reverse/length/
+    levenshtein — all JVM-codegen'd, no Python in the plan."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.expr("replace(p_name, ' ', '_')").alias("name_snake"),
+        F.lpad(F.col("p_brand"), 10, "0").alias("brand_padded"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("edit_dist"),
+    )
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function family: calendar extraction, date arithmetic,
+    day-diff, month-end — over the orders date column."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_t0"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read promotion: ``from_json`` parses the raw props JSON
+    string into a typed struct once; absent fields surface as NULL (vs
+    per-access ``get_json_object`` re-parsing, q_json_extract)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT, tag STRING")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("tag").alias("tag_val"),
+    )
+
+
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli TABLESAMPLE with a fixed seed — per-row RNG stream is
+    engine-specific, so rows-only check. At scale this is the standard
+    corpus-subsampling primitive (no shuffle; sampling happens in the scan
+    stage)."""
+    return _t(spark, sf_dir, "orders").sample(0.1, seed=42).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 # ==========================================================================
 # LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
 # ==========================================================================
@@ -905,6 +1108,21 @@ QUERIES: dict[str, QueryFn] = {
     "q_grouping_sets": q_grouping_sets,
     "q_sql_tpch_q3": q_sql_tpch_q3,
     "q_sql_tpch_q5": q_sql_tpch_q5,
+    "q_join_full": q_join_full,
+    "q_cross_join": q_cross_join,
+    "q_window_lead_ntile": q_window_lead_ntile,
+    "q_window_first_last": q_window_first_last,
+    "q_window_range_frame": q_window_range_frame,
+    "q_exists_subquery": q_exists_subquery,
+    "q_in_subquery": q_in_subquery,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_sql_tpch_q6": q_sql_tpch_q6,
+    "q_sql_tpch_q14": q_sql_tpch_q14,
+    "q_having": q_having,
+    "q_string_funcs": q_string_funcs,
+    "q_datetime_funcs": q_datetime_funcs,
+    "q_from_json_struct": q_from_json_struct,
+    "q_sample_seeded": q_sample_seeded,
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -1232,6 +1450,105 @@ ORACLE_SQL: dict[str, str] = {
                count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
                CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
+    """,
+    "q_join_full": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
+                         FROM orders WHERE o_orderkey % 2 = 0) o
+          ON c.c_custkey = o.o_custkey
+    """,
+    "q_cross_join": """
+        SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    "q_window_lead_ntile": """
+        SELECT c_custkey,
+               lead(c_acctbal) OVER w AS next_val,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "q_window_first_last": """
+        SELECT c_custkey,
+               first_value(c_custkey) OVER w AS first_key,
+               last_value(c_custkey) OVER w AS last_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_window_range_frame": """
+        SELECT c_custkey,
+               count(*) OVER (PARTITION BY c_mktsegment
+                              ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
+                              RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING
+                             ) AS n_neighbors
+        FROM customer
+    """,
+    "q_exists_subquery": """
+        SELECT o_orderpriority, count(o_orderkey) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q_in_subquery": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    """,
+    "q_scalar_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
+    """,
+    "q_sql_tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(l_orderkey) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+          AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    "q_sql_tpch_q14": """
+        SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(1 - l_discount AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "q_having": """
+        SELECT o_custkey, count(o_orderkey) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_custkey HAVING count(o_orderkey) >= 12
+    """,
+    "q_string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               replace(p_name, ' ', '_') AS name_snake,
+               lpad(p_brand, 10, '0') AS brand_padded,
+               reverse(p_name) AS name_rev,
+               length(p_name) AS name_len,
+               levenshtein(p_brand, 'Brand#1') AS edit_dist
+        FROM part
+    """,
+    "q_datetime_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               day(o_orderdate) AS o_day,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_t0,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    """,
+    "q_from_json_struct": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k_val,
+               CAST(json_extract_string(props, '$.tag') AS VARCHAR) AS tag_val
+        FROM events
     """,
     "q_array_ops": """
         SELECT vec_id,

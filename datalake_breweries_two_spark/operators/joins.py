@@ -189,3 +189,21 @@ def salted_join_agg(
         "inner",
     )
     return joined.drop("_salt")
+
+
+def join_full(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """FULL OUTER — unmatched rows of BOTH sides survive with NULLs.
+
+    Scale: a full-outer join can never broadcast (both sides must be
+    preserved in full), so it is always a shuffle on the join key; AQE skew
+    handling still applies. If one side is dimension-sized, prefer
+    left-outer + anti-union, which keeps the fact side broadcast-joinable.
+    """
+    return left.join(right, on, "full_outer")
+
+
+def join_cross(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product. Only sane when one side is tiny — broadcast it so
+    the physical plan is BroadcastNestedLoopJoin (fact side never moves),
+    never a shuffled CartesianProduct."""
+    return left.crossJoin(F.broadcast(right))

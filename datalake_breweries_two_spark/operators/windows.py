@@ -89,3 +89,56 @@ def lag_delta(
         prev.alias("prev_value"),
         (F.col(value_col) - prev).alias("delta_value"),
     )
+
+
+def lead_ntile_pct(
+    df: DataFrame, part_key: str, order_col: str, tiebreak: str
+) -> DataFrame:
+    """Navigation + distribution window functions: lead, ntile(4),
+    percent_rank. Deterministic under the (order_col, tiebreak) total order;
+    percent_rank is integer-rank arithmetic so the double is identical
+    across engines (rounded anyway for hash hygiene)."""
+    w = Window.partitionBy(part_key).orderBy(
+        F.col(order_col).asc(), F.col(tiebreak).asc()
+    )
+    return df.select(
+        "*",
+        F.lead(F.col(order_col)).over(w).alias("next_val"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def first_last_in_group(
+    df: DataFrame, part_key: str, order_col: str, tiebreak: str
+) -> DataFrame:
+    """first_value/last_value over the FULL frame. The frame must be
+    explicit ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING: the SQL default
+    frame ends at CURRENT ROW, silently turning last_value into
+    'current value'."""
+    w = (
+        Window.partitionBy(part_key)
+        .orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return df.select(
+        "*",
+        F.first(F.col(tiebreak)).over(w).alias("first_key"),
+        F.last(F.col(tiebreak)).over(w).alias("last_key"),
+    )
+
+
+def range_frame_count(
+    df: DataFrame, part_key: str, order_col_int: str, radius: int
+) -> DataFrame:
+    """Value-range window frame: per row, how many group rows have
+    ``order_col_int`` within ±radius. RANGE frames are value-based, so ties
+    do NOT break determinism (peer rows see identical frames — no tiebreak
+    needed). The order column must be integral for exact frame bounds;
+    callers convert monetary doubles to cents first."""
+    w = (
+        Window.partitionBy(part_key)
+        .orderBy(F.col(order_col_int).asc())
+        .rangeBetween(-radius, radius)
+    )
+    return df.select("*", F.count(F.lit(1)).over(w).alias("n_neighbors"))

@@ -61,6 +61,8 @@ HEADLINE = [
     "q_cosine_topk",
     "q_text_stats",
     "q_text_quality",
+    "q_tfidf",
+    "q_word_count",
     "q_sessionize",
 ]
 

@@ -806,6 +806,58 @@ def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (see ``text.tfidf_top_terms`` for
+    the shuffle profile). Scores rounded before ranking → deterministic."""
+    return text.tfidf_top_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=3
+    ).select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies via TakeOrderedAndProject."""
+    return text.word_count_top(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=20
+    )
+
+
+def q_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: ``collect_list`` ordering is
+    partition-order-dependent, so the array is sorted before use — the
+    canonical trick for reproducible array aggs at any parallelism. Bounded
+    groups only (a group's list must fit in one task's memory)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(c_custkey)),"
+            " x -> cast(x AS string)), ',')"
+        ).alias("custkeys_csv"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup of an at-least-once replay: 30% of events are
+    re-delivered (exact duplicate rows), the union staged as time-ordered
+    file slices, then ``dropDuplicatesWithinWatermark`` repairs the stream.
+    Rows-only (no SQL oracle for streams); output count == distinct ids,
+    asserted in unit tests."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    raw = spark.read.schema(_EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    duplicated = raw.union(raw.filter(F.col("event_id") % 3 == 0))
+    dup_parquet = os.path.join(_SCRATCH, "events_dup_src")
+    duplicated.write.mode("overwrite").parquet(dup_parquet)
+    stage_dir = os.path.join(_SCRATCH, "events_dup_stream")
+    stream_windows.stage_time_ordered_stream(spark, dup_parquet, stage_dir, n_slices=4)
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    deduped = stream_windows.dedup_stream(stream)
+    out = stream_windows.run_stream_to_memory(
+        spark, deduped, "q_streaming_dedup_sink", output_mode="append"
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli TABLESAMPLE with a fixed seed — per-row RNG stream is
     engine-specific, so rows-only check. At scale this is the standard
@@ -1123,6 +1175,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_datetime_funcs": q_datetime_funcs,
     "q_from_json_struct": q_from_json_struct,
     "q_sample_seeded": q_sample_seeded,
+    "q_tfidf": q_tfidf,
+    "q_word_count": q_word_count,
+    "q_collect_list_sorted": q_collect_list_sorted,
+    "q_streaming_dedup": q_streaming_dedup,
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -1549,6 +1605,40 @@ ORACLE_SQL: dict[str, str] = {
                CAST(json_extract(props, '$.k') AS INT) AS k_val,
                CAST(json_extract_string(props, '$.tag') AS VARCHAR) AS tag_val
         FROM events
+    """,
+    "q_tfidf": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tokens
+            WHERE length(term) > 0 GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    "q_word_count": """
+        SELECT token, n FROM (
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) WHERE length(token) > 0 GROUP BY token
+        ) ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "q_collect_list_sorted": """
+        SELECT c_nationkey,
+               string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys_csv,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
     """,
     "q_array_ops": """
         SELECT vec_id,

@@ -128,3 +128,55 @@ def text_stats_by_lang(docs: DataFrame) -> DataFrame:
             F.sum(whitespace_token_count("text")).cast("long").alias("total_tokens"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF scoring with top-k terms per document.
+
+    Plan shape: explode(split) → (doc,term) count agg (map-side partial
+    combine absorbs the token blowup before any shuffle) → term-level
+    doc-frequency agg → term-keyed join back → per-doc top-k window. Four
+    shuffles, each on a bounded-cardinality key ((doc,term), term, term,
+    doc); no Python anywhere in the plan. The corpus size N enters as a
+    1-row broadcast cross join — no driver-side collect.
+
+    Scores are rounded to 4dp BEFORE ranking so the (tfidf desc, term asc)
+    order — and therefore the selected top-k — is stable across engines
+    and partition counts (ln() can differ by 1 ulp between libm
+    implementations).
+    """
+    from datalake_breweries_two_spark.operators.windows import top_k_per_group
+
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    return top_k_per_group(scored, "doc_id", "tfidf", "term", k)
+
+
+def word_count_top(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Global token frequency top-k — the canonical corpus-vocabulary query.
+    explode → partial-count agg → TakeOrderedAndProject: the full token
+    stream is combined map-side; only per-partition (token,count) pairs
+    shuffle, and only P×k rows reach the driver."""
+    from datalake_breweries_two_spark.operators.windows import global_top_k
+
+    tokens = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return global_top_k(counts, "n", "token", k)

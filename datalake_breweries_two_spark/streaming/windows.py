@@ -248,3 +248,18 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max(F.col("ts")).alias("session_end"),
         )
     )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by the watermark:
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    while the key's event time is inside the watermark horizon, then drops
+    it — the standard exactly-once repair for an at-least-once source
+    (Kafka redelivery, file re-ingest). State is O(keys within horizon),
+    not O(stream length) — the property that makes this run forever at
+    100 TB/day. Late duplicates beyond the horizon are dropped by the
+    watermark itself, which is also correct dedup behavior (the original
+    already emitted)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -435,3 +435,28 @@ def test_approx_percentile_within_tolerance(spark):
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_streaming_dedup_restores_distinct_set(spark, tmp_path):
+    """Replaying 30% of events as exact duplicates through the watermarked
+    streaming dedup must restore exactly the original distinct id set."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    raw = spark.read.schema(_EVENTS_RAW).parquet(
+        os.path.join(SF_SMOKE, "events.parquet")
+    )
+    duplicated = raw.union(raw.filter(F.col("event_id") % 3 == 0))
+    dup_src = str(tmp_path / "dup_src")
+    duplicated.write.mode("overwrite").parquet(dup_src)
+    stage = str(tmp_path / "dup_stream")
+    stream_windows.stage_time_ordered_stream(spark, dup_src, stage, n_slices=4)
+
+    deduped = stream_windows.dedup_stream(
+        stream_windows.read_events_stream(spark, stage)
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, deduped, "t_stream_dedup", output_mode="append"
+    )
+    n_distinct = raw.select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == n_distinct
+    assert out.count() == n_distinct

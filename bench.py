@@ -55,6 +55,8 @@ HEADLINE = [
     "q_percentiles",
     "q_merge_upsert",
     "q_dedup_exact",
+    "q_dedup_clusters",
+    "q_scd2",
     "q_dedup_near_verified",
     "q_dedup_near",
     "q_ngram_jaccard",

@@ -858,6 +858,29 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: exact n-gram Jaccard pairs (≥0.2) →
+    connected components → every clustered doc labeled with its cluster's
+    min doc_id (the canonical copy to keep). Oracle computes the same
+    transitive closure with a recursive CTE."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history built from the events changelog: per-user
+    value versions with [valid_from, valid_to) ranges and a current flag."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return lake.build_scd2(
+        ev, "user_id", "ts", "event_id", ["event_id", "value"]
+    )
+
+
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli TABLESAMPLE with a fixed seed — per-row RNG stream is
     engine-specific, so rows-only check. At scale this is the standard
@@ -1179,6 +1202,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_word_count": q_word_count,
     "q_collect_list_sorted": q_collect_list_sorted,
     "q_streaming_dedup": q_streaming_dedup,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_scd2": q_scd2,
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -1639,6 +1664,49 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys_csv,
                count(*) AS n_customers
         FROM customer GROUP BY c_nationkey
+    """,
+    "q_dedup_clusters": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+        ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.set_size AS sz_a, b.set_size AS sz_b,
+                   count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            WHERE round(n_inter / (sz_a + sz_b - n_inter), 4) >= 0.2
+        ),
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_scd2": """
+        SELECT user_id, event_id, value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
     "q_array_ops": """
         SELECT vec_id,

@@ -414,3 +414,50 @@ def near_duplicates_verified(
         )
     )
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list — the near-dup
+    pair graph → duplicate clusters (each doc labeled with its cluster's
+    min doc id, the canonical representative).
+
+    Pregel-style min-label propagation: every node adopts the minimum
+    component label among itself and its neighbors, iterated to fixpoint.
+    Each iteration is one shuffle join + partial/final min-agg; the label
+    travels one hop per iteration so iterations ≈ longest path in a
+    component (near-dup clusters are shallow — a handful). Lineage is
+    truncated with eager ``localCheckpoint`` every iteration, otherwise the
+    loop builds an exponentially deep plan. The only driver round-trip is
+    the scalar convergence count — node/edge data never leaves executors,
+    so the operator scales to billion-edge graphs exactly like GraphX's
+    equivalent.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(nodes, sym["d"] == nodes["id"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = nodes.join(nbr, nodes["id"] == nbr["s"], "left").select(
+            nodes["id"],
+            F.least(nodes["comp"], F.coalesce(F.col("nbr_comp"), nodes["comp"])).alias(
+                "comp"
+            ),
+            (F.col("nbr_comp") < nodes["comp"]).alias("_changed"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        nodes = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return nodes

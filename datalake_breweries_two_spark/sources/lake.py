@@ -150,3 +150,66 @@ def latest_snapshot_dir(base_dir: str) -> str:
     if not entries:
         raise FileNotFoundError(f"no snapshot dirs under {base_dir}")
     return max(entries, key=os.path.getmtime)
+
+
+def build_scd2(
+    changelog: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Changelog → SCD2 (type-2 slowly-changing dimension) history.
+
+    Each change row becomes a version valid over [its ts, next change's ts);
+    the latest version per key is open-ended (valid_to NULL / is_current).
+    The reference rebuilds its dimension by full daily overwrite
+    (``plugins/brewery_operators.py:196``) and keeps no history; SCD2 is
+    the lake-native replacement. One window shuffle on the key; incremental
+    maintenance at 100 TB composes this over only the keys present in the
+    day's changelog, then ``merge_upsert``s the affected key ranges.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return changelog.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(rows / target_rows_per_file) files; returns the new file count.
+
+    The small-files problem is the silent killer of large scans — per-file
+    open/footer/seek overhead and starved vectorized readers. Compaction
+    restores large row groups. ``coalesce`` (no shuffle) is used when
+    reducing the partition count, a hash ``repartition`` only when growing.
+    Locally the swap is a directory rename; on a real lake this operation
+    belongs to the table format's transaction log (Delta OPTIMIZE) so
+    readers never observe a half-swapped directory.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_parts = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    src_parts = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_parts) if n_parts < src_parts else df.repartition(n_parts)
+    sized.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    out = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return len(out)

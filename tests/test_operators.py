@@ -460,3 +460,48 @@ def test_streaming_dedup_restores_distinct_set(spark, tmp_path):
     n_distinct = raw.select("event_id").distinct().count()
     assert out.select("event_id").distinct().count() == n_distinct
     assert out.count() == n_distinct
+
+
+def test_connected_components_known_clusters(spark):
+    """Chain 1-2-3, pair 10-11, isolated-by-absence 99: labels must be each
+    component's min id, converging across multi-hop chains."""
+    from datalake_breweries_two_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs label propagation across 11 hops — exercises
+    the iteration/convergence logic, not just one round."""
+    from datalake_breweries_two_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges).collect()
+    assert {r["comp"] for r in comps} == {100}
+    assert len(comps) == 12
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """20 tiny files compact to ceil(n/target) files with identical data."""
+    from datalake_breweries_two_spark.sources.lake import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.mode("overwrite").parquet(path)
+    import os as _os
+
+    n_before = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 20
+    n_after = compact_parquet(spark, path, target_rows_per_file=1000)
+    assert n_after == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))

@@ -61,6 +61,11 @@ HEADLINE = [
     "q_dedup_near",
     "q_ngram_jaccard",
     "q_cosine_topk",
+    "q_cosine_pairs",
+    "q_ivf_search",
+    "q_data_profile",
+    "q_outliers_zscore",
+    "q_incremental_agg",
     "q_text_stats",
     "q_text_quality",
     "q_tfidf",

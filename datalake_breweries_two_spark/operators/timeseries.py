@@ -1,0 +1,65 @@
+"""Time-series operators: regular-grid resampling with forward fill.
+
+The reference has no time-series surface (timestamps appear only in bronze
+filenames, ``plugins/brewery_operators.py:123``); this is north-star
+extension territory — the gap-filling / last-observation-carried-forward
+shape every metrics lake needs.
+
+Scale profile: the grid is (distinct keys × slots) — generated inside
+executors from a 1-row broadcast of the time bounds (no driver loop, no
+collect). Three shuffles total: the per-slot aggregate, the grid↔values
+join, and the forward-fill window — all keyed by the entity, so a
+1000-executor run partitions cleanly by user and AQE coalesces the
+slot-sparse partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Resample each key's event stream onto a regular [min, max] grid and
+    forward-fill gaps with the last observed value.
+
+    Per slot, "the" value is the latest event by (epoch second, tie id) —
+    an exact int64 composite key (seconds × 1e9 + id), portable across
+    engines where struct-ordered ``max_by`` is not. Slots with no prior
+    observation at all stay NULL (nothing to carry forward).
+    """
+    day0 = F.date_trunc("day", F.min(F.col(ts_col))).alias("d0")
+    day1 = F.date_trunc("day", F.max(F.col(ts_col))).alias("d1")
+    bounds = events.agg(day0, day1)
+    keys = events.select(key_col).distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        key_col,
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr(f"interval {step}"))).alias(
+            "slot"
+        ),
+    )
+    slotted = events.groupBy(
+        key_col, F.date_trunc("day", F.col(ts_col)).alias("slot")
+    ).agg(
+        F.expr(
+            f"max_by({value_col}, unix_timestamp({ts_col}) * 1000000000 + {tie_col})"
+        ).alias("slot_value")
+    )
+    joined = grid.join(slotted, [key_col, "slot"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("slot").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "slot",
+        F.last(F.col("slot_value"), ignorenulls=True).over(w).alias("value_ffill"),
+    )

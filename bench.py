@@ -44,6 +44,8 @@ HEADLINE = [
     "q_sql_tpch_q6",
     "q_sql_tpch_q14",
     "q_sql_tpch_q18",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q22",
     "q_resample_ffill",
     "q_exists_subquery",
     "q_join_full",

@@ -933,6 +933,51 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers): fact⋈fact
+    sort-merge + dim broadcasts + decimal revenue + deterministic top-k."""
+    for t in ["customer", "orders", "lineitem", "nation"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer_v
+        JOIN orders_v   ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        JOIN nation_v   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """
+    )
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery +
+    NOT EXISTS anti join, bucketed by segment (the cntrycode analog)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(c_custkey) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,4)))
+                           FROM customer_v WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 350000.0)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1342,6 +1387,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_scd2": q_scd2,
     "q_cosine_pairs": q_cosine_pairs,
     "q_ivf_search": q_ivf_search,
+    "q_sql_tpch_q10": q_sql_tpch_q10,
+    "q_sql_tpch_q22": q_sql_tpch_q22,
     "q_resample_ffill": q_resample_ffill,
     "q_media_frame_sample": q_media_frame_sample,
     "q_streaming_enrich": q_streaming_enrich,
@@ -1935,6 +1982,33 @@ ORACLE_SQL: dict[str, str] = {
             FROM lineitem GROUP BY l_orderkey
             HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
         ) big ON o_orderkey = big.l_orderkey
+    """,
+    "q_sql_tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q_sql_tpch_q22": """
+        SELECT c_mktsegment,
+               count(c_custkey) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,4)))
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 350000.0)
+        GROUP BY c_mktsegment
     """,
     "q_array_ops": """
         SELECT vec_id,

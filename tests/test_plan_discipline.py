@@ -18,10 +18,20 @@ from .conftest import SF_SMOKE
 
 # Queries allowed to run Python at all: Arrow-batched (mapInPandas /
 # applyInPandasWithState) by design. Everything else must be 100% JVM.
-ARROW_PYTHON_OK = {"q_media_features", "q_streaming_sessionize"}
+ARROW_PYTHON_OK = {
+    "q_media_features",
+    "q_media_frame_sample",
+    "q_streaming_sessionize",
+}
 
 # Streaming queries produce no batch plan to inspect the same way.
-SKIP_PLAN = {"q_streaming_tumbling", "q_streaming_sessionize", "q_media_features"}
+SKIP_PLAN = {
+    "q_streaming_tumbling",
+    "q_streaming_sessionize",
+    "q_streaming_dedup",
+    "q_streaming_enrich",
+    "q_media_features",
+}
 
 
 def _plan(df) -> str:

@@ -933,6 +933,63 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshots with different column ORDER and
+    one missing column unioned by NAME (positional union would silently
+    mis-align); the missing column nulls in. The lake-ingest shape when a
+    field was added mid-stream."""
+    old_snap = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    ).select("c_custkey", "c_name", "c_acctbal")
+    new_snap = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 1
+    ).select("c_acctbal", "c_custkey", "c_name", "c_mktsegment")
+    return old_snap.unionByName(new_snap, allowMissingColumns=True)
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other instead of
+    disappearing — the semantics audits need when joining on nullable
+    attribute columns. Both sides derive a nullable band key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000.0, F.floor(F.col("o_totalprice") / 100000).cast("long")).alias("band"),
+    )
+    ref = spark.createDataFrame(
+        [(3, "high3"), (4, "high4"), (None, "small")],
+        "band long, label string",
+    )
+    joined = o.join(F.broadcast(ref), o["band"].eqNullSafe(ref["band"]), "inner")
+    return joined.select("o_orderkey", "label")
+
+
+def q_skew_agg_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-level aggregation (salted partials → final) —
+    result provably identical to the direct group aggregate, which is what
+    the oracle computes."""
+    return aggregates.two_level_agg(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup OUTPUT: drop every near-dup cluster member except
+    its canonical (min-id) doc — the corpus a training pipeline would keep.
+    Anti-join against the non-canonical cluster members; doc bodies never
+    shuffle (only ids move)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item revenue, top 20 customers): fact⋈fact
     sort-merge + dim broadcasts + decimal revenue + deterministic top-k."""
@@ -1389,6 +1446,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_union_by_name": q_union_by_name,
+    "q_null_safe_join": q_null_safe_join,
+    "q_skew_agg_two_level": q_skew_agg_two_level,
+    "q_dedup_canonical": q_dedup_canonical,
     "q_resample_ffill": q_resample_ffill,
     "q_media_frame_sample": q_media_frame_sample,
     "q_streaming_enrich": q_streaming_enrich,
@@ -1891,6 +1952,69 @@ ORACLE_SQL: dict[str, str] = {
             SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
         )
         SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_union_by_name": """
+        SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    """,
+    "q_null_safe_join": """
+        WITH o AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice >= 300000.0
+                        THEN CAST(floor(o_totalprice / 100000) AS BIGINT) END AS band
+            FROM orders
+        ), ref(band, label) AS (
+            VALUES (3, 'high3'), (4, 'high4'), (NULL, 'small')
+        )
+        SELECT o_orderkey, label
+        FROM o JOIN ref ON o.band IS NOT DISTINCT FROM ref.band
+    """,
+    "q_skew_agg_two_level": """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_dedup_canonical": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+        ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.set_size AS sz_a, b.set_size AS sz_b,
+                   count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            WHERE round(n_inter / (sz_a + sz_b - n_inter), 4) >= 0.2
+        ),
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        ),
+        losers AS (
+            SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) <> s
+        )
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """,
     "q_scd2": """
         SELECT user_id, event_id, value,

@@ -136,17 +136,21 @@ def tfidf_top_terms(
     """TF-IDF scoring with top-k terms per document.
 
     Plan shape: explode(split) → (doc,term) count agg (map-side partial
-    combine absorbs the token blowup before any shuffle) → term-level
-    doc-frequency agg → term-keyed join back → per-doc top-k window. Four
-    shuffles, each on a bounded-cardinality key ((doc,term), term, term,
-    doc); no Python anywhere in the plan. The corpus size N enters as a
-    1-row broadcast cross join — no driver-side collect.
+    combine absorbs the token blowup before any shuffle) → doc-frequency as
+    a WINDOW COUNT over the term partition (no self-join: the tf rows are
+    already one-per-(doc,term), so `count() over (partition by term)` IS
+    the document frequency) → per-doc top-k window. Three shuffles on
+    bounded-cardinality keys ((doc,term), term, doc); no Python anywhere in
+    the plan. The corpus size N enters as a 1-row broadcast cross join — no
+    driver-side collect.
 
     Scores are rounded to 4dp BEFORE ranking so the (tfidf desc, term asc)
     order — and therefore the selected top-k — is stable across engines
     and partition counts (ln() can differ by 1 ulp between libm
     implementations).
     """
+    from pyspark.sql import Window
+
     from datalake_breweries_two_spark.operators.windows import top_k_per_group
 
     tokens = docs.select(
@@ -154,10 +158,10 @@ def tfidf_top_terms(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -96,6 +96,17 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan with explicit schema (columnar alternative to parquet;
+    same pushdown/pruning machinery). Round-trips nation parquet→ORC."""
+    orc_dir = os.path.join(_SCRATCH, "orc_nation")
+    _t(spark, sf_dir, "nation").write.mode("overwrite").orc(orc_dir)
+    return (
+        spark.read.schema(TABLES["nation"]).orc(orc_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: parquet scan with projection + predicate (both pushed to the
     scan — ReadSchema/PushedFilters visible in .explain)."""
@@ -1370,6 +1381,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ingest_rows": q_ingest_rows,
     "q_scan_json": q_scan_json,
     "q_scan_csv": q_scan_csv,
+    "q_scan_orc": q_scan_orc,
     "q_scan_parquet": q_scan_parquet,
     "q_silver_projection": q_silver_projection,
     "q_str_trim": q_str_trim,
@@ -1485,6 +1497,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLE_SQL: dict[str, str] = {
     "q_scan_json": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "q_scan_orc": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_scan_parquet": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem WHERE l_returnflag = 'R'

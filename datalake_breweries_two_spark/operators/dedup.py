@@ -434,9 +434,13 @@ def connected_components(
     so the operator scales to billion-edge graphs exactly like GraphX's
     equivalent.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # materialize the edge list BEFORE symmetrizing: the union reads it
+    # twice, and edges usually carry an expensive lineage (the LSH/Jaccard
+    # pair join) that must not run twice
+    edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
     )
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("s").alias("id")).distinct().withColumn(
         "comp", F.col("id")

@@ -944,6 +944,44 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship dataflow end-to-end: part staged as bronze
+    JSON-lines → explicit-schema scan → curated silver (trim/lower
+    projection, hive-partitioned) → single-pass quality gate → persisted
+    gold aggregate → read back from the lake. One session, lake-path
+    handoffs, gold computed once — everything the reference's five-task
+    Airflow DAG does (SURVEY.md §3), as one Spark application. The oracle
+    recomputes the same dataflow declaratively."""
+    from datalake_breweries_two_spark.plans.medallion import (
+        MedallionConfig,
+        run_medallion,
+    )
+
+    base = os.path.join(_SCRATCH, "medallion_e2e")
+    bronze_dir = os.path.join(base, "bronze")
+    _t(spark, sf_dir, "part").write.mode("overwrite").json(bronze_dir)
+    cfg = MedallionConfig(
+        base_dir=base,
+        bronze_schema=TABLES["part"],
+        curate=lambda df: df.select(
+            F.col("p_partkey").alias("id"),
+            F.trim(F.col("p_name")).alias("item_name"),
+            F.lower(F.col("p_type")).alias("item_type"),
+            F.col("p_brand").alias("brand"),
+        ),
+        aggregate=lambda df: df.groupBy("item_type", "brand").agg(
+            F.count(F.col("id")).alias("n_items")
+        ),
+        silver_partition_by=["item_type"],
+        critical_columns=["item_name", "item_type"],
+        min_rows=100,
+    )
+    res = run_medallion(spark, cfg, bronze_dir)
+    return lake.read_parquet(spark, res.gold_path).select(
+        "item_type", "brand", "n_items"
+    )
+
+
 def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: two snapshots with different column ORDER and
     one missing column unioned by NAME (positional union would silently
@@ -1458,6 +1496,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_medallion_e2e": q_medallion_e2e,
     "q_union_by_name": q_union_by_name,
     "q_null_safe_join": q_null_safe_join,
     "q_skew_agg_two_level": q_skew_agg_two_level,
@@ -1965,6 +2004,11 @@ ORACLE_SQL: dict[str, str] = {
             SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
         )
         SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_medallion_e2e": """
+        SELECT lower(p_type) AS item_type, p_brand AS brand,
+               count(p_partkey) AS n_items
+        FROM part GROUP BY lower(p_type), p_brand
     """,
     "q_union_by_name": """
         SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment

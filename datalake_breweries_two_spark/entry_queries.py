@@ -944,6 +944,29 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): per-part numeric attributes become
+    (attribute, value) rows — a narrow Expand projection, no shuffle at
+    all; the inverse of q_pivot."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "attribute", "value")
+
+
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING() flags: distinguishes a real NULL key from a
+    subtotal row — the correctness subtlety naive rollup consumers miss."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
 def q_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship dataflow end-to-end: part staged as bronze
     JSON-lines → explicit-schema scan → curated silver (trim/lower
@@ -1496,6 +1519,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_unpivot": q_unpivot,
+    "q_grouping_id": q_grouping_id,
     "q_medallion_e2e": q_medallion_e2e,
     "q_union_by_name": q_union_by_name,
     "q_null_safe_join": q_null_safe_join,
@@ -2004,6 +2029,20 @@ ORACLE_SQL: dict[str, str] = {
             SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
         )
         SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_unpivot": """
+        SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS attribute, p_retailprice AS value
+        FROM part
+    """,
+    "q_grouping_id": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(o_orderkey) AS n_orders,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "q_medallion_e2e": """
         SELECT lower(p_type) AS item_type, p_brand AS brand,

@@ -944,6 +944,58 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SLIDING (hopping) windows — each event lands in
+    window/slide overlapping buckets; watermark bounds the multiplied
+    state. Rows-only (no SQL oracle for streams); the batch twin
+    q_sliding_window carries the full oracle."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+
+    stage_dir = os.path.join(_SCRATCH, "events_sliding_stream")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    agg = stream_windows.windowed_event_counts(
+        stream, "1 hour", "3650 days", slide="30 minutes"
+    )
+    return stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_sliding_sink", output_mode="update"
+    )
+
+
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions beyond transform/aggregate: filter,
+    exists, forall over the embedding vectors — all JVM lambda expressions,
+    no Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+        F.exists(F.col("embedding"), lambda x: x > 0.9).cast("int").alias("has_gt_09"),
+        F.forall(F.col("embedding"), lambda x: x > -1.5).cast("int").alias(
+            "all_gt_neg15"
+        ),
+    )
+
+
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND aggregates per group — flag-set accumulation (e.g.
+    merging permission/feature bitmasks) in one partial+final agg pass."""
+    o = _t(spark, sf_dir, "orders")
+    flags = F.pmod(F.col("o_orderkey"), F.lit(8)).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_or(flags).alias("flags_or"),
+        F.bit_and(flags).alias("flags_and"),
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide→long melt): per-part numeric attributes become
     (attribute, value) rows — a narrow Expand projection, no shuffle at
@@ -1519,6 +1571,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_streaming_sliding": q_streaming_sliding,
+    "q_array_higher_order": q_array_higher_order,
+    "q_bitwise_agg": q_bitwise_agg,
     "q_unpivot": q_unpivot,
     "q_grouping_id": q_grouping_id,
     "q_medallion_e2e": q_medallion_e2e,
@@ -2029,6 +2084,19 @@ ORACLE_SQL: dict[str, str] = {
             SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
         )
         SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_array_higher_order": """
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+               CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS INT) AS has_gt_09,
+               CAST(len(list_filter(embedding, x -> NOT (x > -1.5))) = 0 AS INT) AS all_gt_neg15
+        FROM embeddings
+    """,
+    "q_bitwise_agg": """
+        SELECT o_orderstatus,
+               bit_or(o_orderkey % 8) AS flags_or,
+               bit_and(o_orderkey % 8) AS flags_and
+        FROM orders GROUP BY o_orderstatus
     """,
     "q_unpivot": """
         SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS value

@@ -47,14 +47,23 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window + watermark: counts and value sums per
-    (window, event_type). Append-mode compatible: results emit when the
-    watermark passes window end; state for closed windows is dropped."""
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window +
+    watermark: counts and value sums per (window, event_type). Sliding
+    windows multiply state by window/slide overlapping buckets — the
+    watermark still bounds total retention. Append-mode compatible:
+    results emit when the watermark passes window end; state for closed
+    windows is dropped."""
+    win = (
+        F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.col("event_id")).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

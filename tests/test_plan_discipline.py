@@ -30,6 +30,7 @@ SKIP_PLAN = {
     "q_streaming_sessionize",
     "q_streaming_dedup",
     "q_streaming_enrich",
+    "q_streaming_sliding",
     "q_media_features",
 }
 

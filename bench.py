@@ -52,6 +52,7 @@ HEADLINE = [
     "q_window_lead_ntile",
     "q_asof_join",
     "q_range_join",
+    "q_interval_join",
     "q_skew_join_salted",
     "q_grouping_sets",
     "q_sliding_window",

@@ -944,6 +944,19 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within ±5 minutes via the bucketed temporal
+    join (equi-join on (user, time-bucket) + exact filter) — never a
+    quadratic nested loop. Oracle is the naive non-equi join."""
+    return joins.interval_self_join(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
+        "user_id",
+        "ts",
+        "event_id",
+        tolerance_s=300,
+    )
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming SLIDING (hopping) windows — each event lands in
     window/slide overlapping buckets; watermark bounds the multiplied
@@ -1571,6 +1584,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_interval_join": q_interval_join,
     "q_streaming_sliding": q_streaming_sliding,
     "q_array_higher_order": q_array_higher_order,
     "q_bitwise_agg": q_bitwise_agg,
@@ -2084,6 +2098,13 @@ ORACLE_SQL: dict[str, str] = {
             SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
         )
         SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+    """,
+    "q_interval_join": """
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch(a.ts) - epoch(b.ts)) <= 300.0
     """,
     "q_array_higher_order": """
         SELECT vec_id,

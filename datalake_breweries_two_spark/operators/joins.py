@@ -207,3 +207,50 @@ def join_cross(left: DataFrame, right: DataFrame) -> DataFrame:
     the physical plan is BroadcastNestedLoopJoin (fact side never moves),
     never a shuffled CartesianProduct."""
     return left.crossJoin(F.broadcast(right))
+
+
+def interval_self_join(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    tolerance_s: int = 300,
+) -> DataFrame:
+    """Temporal proximity self-join: pairs of same-key events within
+    ±tolerance of each other — WITHOUT the quadratic nested-loop a naive
+    non-equi time join produces.
+
+    Each event is bucketed to floor(epoch/tolerance); the left side joins
+    the right side replicated into its own and both adjacent buckets
+    (covers every |Δt| ≤ tolerance), then the exact predicate filters the
+    candidates. The join is a plain equi-join on (key, bucket) — shuffle
+    partitioned, AQE-skew-splittable — and candidate pairs per event are
+    bounded by the events inside a 3-bucket window, not the whole key
+    group. Epoch seconds carry microsecond fractions (timestamp→double)
+    so the tolerance boundary is exact and engine-portable.
+    """
+    sec = F.col(ts_col).cast("double")
+    bucket = F.floor(sec / tolerance_s).cast("long")
+    a = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_a"),
+        sec.alias("sec_a"),
+        bucket.alias("bucket"),
+    )
+    b = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id_b"),
+        sec.alias("sec_b"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    cand = a.join(b, ["k", "bucket"])
+    return (
+        cand.filter(
+            (F.abs(F.col("sec_a") - F.col("sec_b")) <= F.lit(float(tolerance_s)))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+        .select(F.col("k").alias(key_col), "id_a", "id_b")
+        .distinct()  # an edge pair can match in multiple replicated buckets
+    )

@@ -157,7 +157,13 @@ def zscore_outliers(
         F.round(F.stddev_samp(F.col(value_col)), 4).alias("sigma"),
     )
     joined = df.join(F.broadcast(stats), group_col)
-    z = F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 4)
+    # degenerate groups (all values equal → sigma = 0): Spark's x/0 yields
+    # NULL while DuckDB yields ±inf/NaN — guard explicitly so both engines
+    # agree the row is not an outlier (matching CASE in the oracle SQL)
+    z = F.when(
+        F.col("sigma") > 0,
+        F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 4),
+    )
     return (
         joined.select(F.col(id_col), F.col(group_col), z.alias("z"))
         .filter(F.abs(F.col("z")) >= z_threshold)

@@ -216,32 +216,28 @@ def minhash_near_duplicates(
     signatures (num_hashes × 8 bytes) only for CANDIDATE ids, not the corpus.
     """
     shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n)
-    # persist: the signature table feeds THREE consumers (banding + both
-    # sides of the verify join) — without it the shingle+minhash projection
-    # recomputes per consumer (at 100 TB: write sigs to a parquet stage
-    # instead; same idea, durable)
-    sigs = minhash_signatures(shingled, num_hashes, id_col).persist()
+    # The signature table feeds THREE consumers (banding + both sides of the
+    # verify join). Eager localCheckpoint materializes it ONCE and truncates
+    # lineage WITHOUT registering a CacheManager entry — a leaked .persist()
+    # here survives the query and silently substitutes into later queries'
+    # plans (order-dependent timings; blocks never freed in a long-lived
+    # session). At 100 TB: write sigs to a parquet stage instead — same
+    # idea, durable.
+    sigs = minhash_signatures(shingled, num_hashes, id_col).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    # signature agreement unrolled to num_hashes codegen'd positional
+    # comparisons — zip_with/filter lambdas are interpreted per-row, the
+    # unrolled sum stays inside whole-stage codegen (~10× measured)
+    agree = sum(
+        (F.col("sig_a").getItem(s) == F.col("sig_b").getItem(s)).cast("int")
+        for s in range(num_hashes)
+    )
     est = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-                        ),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(num_hashes)
-            ).alias("est_jaccard"),
-        )
+        .select("id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -281,10 +277,34 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 256,
 ) -> DataFrame:
-    """Candidate pairs by 16-bit-block bucketing, verified by exact Hamming
-    distance via bit_count(xor). Shuffle on (block_idx, block_value)."""
+    """Candidate pairs by disjoint-block bucketing, verified by exact
+    Hamming distance via bit_count(xor).
+
+    The 63-bit simhash is split into ``max_hamming + 1`` disjoint blocks, so
+    by pigeonhole any pair within ``max_hamming`` differing bits agrees
+    EXACTLY on at least one whole block — full recall at the requested
+    radius (a fixed 4×16-bit split only guarantees distance ≤ 3). The cost
+    trade: larger ``max_hamming`` → narrower blocks → more bucket
+    collisions → more candidates to verify; buckets above ``bucket_cap``
+    ids are dropped (degenerate-content guard, same policy as
+    :func:`lsh_candidate_pairs`). At 100 TB keep the radius small or use
+    multi-block probe combinations. Shuffle on (block_idx, block_value);
+    quadratic expansion happens only inside capped buckets.
+    """
+    n_blocks = max_hamming + 1
+    base, extra = divmod(63, n_blocks)
+    offsets, widths, off = [], [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
     sh = simhash(docs, text_col, id_col)
     blocks = sh.select(
         F.col(id_col),
@@ -294,30 +314,47 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),
     ).select(F.col(id_col), F.col("simhash"), F.col("b.blk"), F.col("b.val"))
-    a = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val"
+    grouped = blocks.groupBy("blk", "val").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+        ).alias("members")
     )
-    b = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val"
+    capped = grouped.filter(
+        (F.size("members") > 1) & (F.size("members") <= bucket_cap)
     )
-    cands = (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    pairs = capped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.transform(
+                            F.col("members"),
+                            lambda b: F.struct(
+                                a["id"].alias("id_a"),
+                                a["sh"].alias("sh_a"),
+                                b["id"].alias("id_b"),
+                                b["sh"].alias("sh_b"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b").distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cands.select("id_a", "id_b", ham.alias("hamming"))
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -341,11 +378,15 @@ def ngram_jaccard_pairs(
     candidate set before the explode), never corpus-wide; corpus-wide here
     is for the oracle-checkable declared query on the small test table.
     """
-    # persist: both sides of the self-join re-derive the shingling otherwise
+    # eager localCheckpoint: both sides of the self-join re-derive the
+    # shingling otherwise; checkpoint (not persist) so nothing leaks into
+    # the session CacheManager across queries
     sized = shingle_docs_exploded(docs, text_col, id_col, n).withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int")
     )
-    exploded = sized.select(F.col(id_col), F.col("set_size"), F.col("shingle")).persist()
+    exploded = sized.select(
+        F.col(id_col), F.col("set_size"), F.col("shingle")
+    ).localCheckpoint(eager=True)
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("set_size").alias("sz_a"), "shingle"
     )
@@ -395,7 +436,7 @@ def near_duplicates_verified(
     # instead of a shingle self-join
     arrs = shingled.groupBy(id_col).agg(
         F.collect_set(F.col("shingle")).alias("shingles")
-    ).persist()
+    ).localCheckpoint(eager=True)
     sigs = minhash_signatures(shingled, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -446,6 +487,7 @@ def connected_components(
         "comp", F.col("id")
     )
     nodes = nodes.localCheckpoint(eager=True)
+    n_changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(nodes, sym["d"] == nodes["id"])
@@ -464,4 +506,12 @@ def connected_components(
         nodes = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # labels are still propagating — returning now would silently
+        # mislabel long-path components
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"iterations ({n_changed} labels still changing); raise max_iter "
+            "(iterations ~ longest path in a component)"
+        )
     return nodes

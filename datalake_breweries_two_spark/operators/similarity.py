@@ -166,6 +166,40 @@ def embedding_near_dup_pairs(
 # IVF — inverted-file partitioned ANN (the 100 TB layout)
 # --------------------------------------------------------------------------
 
+def centroid_seeds(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Seeded-deterministic centroid init: the ``n_centroids`` vectors with
+    the smallest xxhash64(id), enumerated DRIVER-SIDE after a TakeOrdered
+    collect (bounded: n_centroids rows — the same scale class as the
+    reference's ``limit(1).count()`` probes). Driver-side enumeration
+    replaces the previous unpartitioned ``row_number`` window, which would
+    funnel even the 16-row post-limit frame through a single partition."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: r[id_col])
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(ordered)]
+
+
+def _seeds_df(embeddings: DataFrame, seeds: list[tuple[int, list[float]]]) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("centroid_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return embeddings.sparkSession.createDataFrame(seeds, schema)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -174,20 +208,13 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest seeded-deterministic centroid.
 
-    Centroid init: the vectors whose xxhash64(id) is smallest — a seeded
-    sample computed with one TakeOrdered, broadcast back as literals-free
-    join (small side auto-broadcasts). One Lloyd refinement pass (assign →
-    mean per cluster → reassign) keeps it cheap; production would iterate.
-    At scale, writing the corpus ``partitionBy("centroid_id")`` makes query
+    The tiny centroid table is broadcast against the corpus (one scan, no
+    shuffle); nearest-centroid selection is a per-id window over the
+    n_centroids scored copies. At scale, writing the result
+    ``partitionBy("centroid_id")`` (see :func:`ivf_build_index`) makes query
     probes partition-pruned scans.
     """
-    seeds = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
-        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
-    )
+    seeds = _seeds_df(embeddings, centroid_seeds(embeddings, n_centroids, id_col, vec_col))
     joined = embeddings.crossJoin(F.broadcast(seeds))
     dist = F.aggregate(
         F.zip_with(
@@ -205,54 +232,71 @@ def ivf_assign(
     )
 
 
-def ivf_search(
+def ivf_build_index(
     embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-time IVF index build — the staging step a 100 TB deployment runs
+    once per corpus version, NOT per query:
+
+      * ``{index_dir}/corpus`` — every vector with its nearest centroid,
+        written ``partitionBy("centroid_id")`` so probe queries become
+        partition-PRUNED scans (only n_probe/n_centroids of the files are
+        even listed);
+      * ``{index_dir}/centroids`` — the n_centroids seed vectors, read and
+        ranked driver-side at query time (bounded).
+    """
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/corpus")
+    )
+    seeds = _seeds_df(embeddings, centroid_seeds(embeddings, n_centroids, id_col, vec_col))
+    seeds.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
     query_vec: list[float],
     k: int = 10,
-    n_centroids: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe search: rank centroids by distance to the query, exact-score
-    ONLY the vectors assigned to the ``n_probe`` nearest clusters.
+    """IVF probe search over a PRECOMPUTED index (:func:`ivf_build_index`):
+    rank centroids by distance to the query, exact-score ONLY the vectors in
+    the ``n_probe`` nearest cells.
 
-    The centroid table is tiny (n_centroids rows) so ranking it is a
-    bounded driver-side step — the corpus itself is touched once, through a
-    partition-prunable ``centroid_id`` filter. At 100 TB with the corpus
-    written ``partitionBy("centroid_id")``, the probe scans n_probe/n_cells
-    of the data and nothing else; recall/cost tunes with ``n_probe``.
-    Approximate (a true neighbor can live in an unprobed cell) → declared
-    query is rows-only; recall vs brute force is unit-tested.
+    The centroid table is tiny so ranking it is a bounded driver-side step;
+    the corpus scan carries ``centroid_id IN (probes)`` as a PARTITION
+    filter — at 100 TB the probe reads n_probe/n_centroids of the data and
+    nothing else (no per-query assignment recompute). Approximate (a true
+    neighbor can live in an unprobed cell) → declared query is rows-only;
+    recall vs brute force is unit-tested.
     """
-    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    seeds = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(n_centroids)
-        .withColumn(
-            "centroid_id", F.row_number().over(Window.orderBy(F.col(id_col))) - 1
-        )
-        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
-    )
     # bounded collect: n_centroids rows, same scale class as the
     # reference's limit(1).count() probes
     ranked = sorted(
         (
-            (
-                sum(
-                    (float(x) - float(y)) ** 2
-                    for x, y in zip(r["centroid_vec"], query_vec)
-                ),
-                r["centroid_id"],
-            )
-            for r in seeds.collect()
+            sum(
+                (float(x) - float(y)) ** 2
+                for x, y in zip(r["centroid_vec"], query_vec)
+            ),
+            r["centroid_id"],
         )
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
     )
     probe_ids = [cid for _, cid in ranked[:n_probe]]
+    corpus = spark.read.parquet(f"{index_dir}/corpus")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        corpus.filter(F.col("centroid_id").isin(probe_ids))
         .select(F.col(id_col), F.round(_cosine(F.col(vec_col), q), 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)

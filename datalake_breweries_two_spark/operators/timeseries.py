@@ -34,10 +34,23 @@ def resample_ffill(
     an exact int64 composite key (seconds × 1e9 + id), portable across
     engines where struct-ordered ``max_by`` is not. Slots with no prior
     observation at all stay NULL (nothing to carry forward).
+
+    ``step`` must be a single calendar unit ("1 day", "1 hour", ...): the
+    grid bounds and the event→slot truncation are BOTH derived from it, so
+    they can never misalign. Multi-unit steps ("15 minutes") would need a
+    floor-to-epoch-multiple slotting — rejected explicitly rather than
+    silently producing a misaligned grid.
     """
-    day0 = F.date_trunc("day", F.min(F.col(ts_col))).alias("d0")
-    day1 = F.date_trunc("day", F.max(F.col(ts_col))).alias("d1")
-    bounds = events.agg(day0, day1)
+    parts = step.strip().split()
+    valid_units = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+    if len(parts) != 2 or parts[0] != "1" or parts[1].rstrip("s") not in valid_units:
+        raise ValueError(
+            f"step must be '1 <unit>' with unit in {sorted(valid_units)}; got {step!r}"
+        )
+    unit = parts[1].rstrip("s")
+    t0 = F.date_trunc(unit, F.min(F.col(ts_col))).alias("d0")
+    t1 = F.date_trunc(unit, F.max(F.col(ts_col))).alias("d1")
+    bounds = events.agg(t0, t1)
     keys = events.select(key_col).distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(
         key_col,
@@ -46,7 +59,7 @@ def resample_ffill(
         ),
     )
     slotted = events.groupBy(
-        key_col, F.date_trunc("day", F.col(ts_col)).alias("slot")
+        key_col, F.date_trunc(unit, F.col(ts_col)).alias("slot")
     ).agg(
         F.expr(
             f"max_by({value_col}, unix_timestamp({ts_col}) * 1000000000 + {tie_col})"

@@ -83,6 +83,29 @@ def fetch_paginated_distributed(
     return spark.range(n_pages).mapInPandas(fetch_pages, schema)
 
 
+def check_api_health(
+    url: str,
+    timeout: float = 30.0,
+    get: Callable[[str, float], int] | None = None,
+) -> bool:
+    """API health probe (reference O1): one GET, healthy iff HTTP 200 —
+    the reference's ``HttpSensor`` ``response_check`` (reference
+    ``dags/dag-brewery_pipeline.py:52-62``). Run it as the pipeline
+    prologue; retry/backoff policy belongs to the orchestrator (the
+    reference pokes every 10 s), not this probe. ``get`` is injectable so
+    tests run without network."""
+    if get is None:
+        def get(u: str, t: float) -> int:
+            import requests  # lazy: not needed in tests
+
+            return requests.get(u, timeout=t).status_code
+
+    try:
+        return get(url, timeout) == 200
+    except Exception:
+        return False
+
+
 def to_bronze_json_lines(rows: list[dict]) -> str:
     """Serialize an ingest batch as JSON-lines (one object per line) — the
     distributed-friendly bronze format (vs the reference's single JSON array

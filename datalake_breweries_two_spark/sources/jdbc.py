@@ -9,6 +9,7 @@ exercised with a no-op/driver-mock in tests and documents the scale knobs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -28,12 +29,40 @@ class JdbcConfig:
     batch_size: int = 10_000      # rows per executemany
 
 
+def ensure_schema(
+    schema_name: str,
+    connect: Callable[[], object],
+) -> None:
+    """DDL side-channel (reference K5): ``CREATE SCHEMA IF NOT EXISTS``
+    issued over a plain DB-API connection BEFORE the Spark JDBC write —
+    Spark's JDBC writer creates tables but cannot emit schema DDL
+    (reference ``plugins/brewery_operators.py:335-356`` does this with
+    psycopg2). ``connect`` is a zero-arg factory returning a DB-API
+    connection (e.g. ``lambda: psycopg2.connect(...)``) — injected so tests
+    mock it and no DB driver is imported here. The identifier is validated
+    (the reference interpolates it raw into SQL)."""
+    if not schema_name.replace("_", "").isalnum() or not schema_name[:1].isalpha():
+        raise ValueError(f"invalid schema identifier: {schema_name!r}")
+    conn = connect()
+    try:
+        if hasattr(conn, "set_session"):  # psycopg2: DDL outside a txn block
+            conn.set_session(autocommit=True)
+        cur = conn.cursor()
+        try:
+            cur.execute(f"CREATE SCHEMA IF NOT EXISTS {schema_name};")
+            if not getattr(conn, "autocommit", False):
+                conn.commit()
+        finally:
+            cur.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc(df: DataFrame, cfg: JdbcConfig) -> None:
     """Partition-parallel JDBC write (reference K4 with the scale knobs set).
 
-    DDL beyond CREATE TABLE (the reference's psycopg2 CREATE SCHEMA, K5)
-    stays a driver-side prologue in the caller — Spark's JDBC writer cannot
-    emit it.
+    Schema DDL (reference K5) goes through :func:`ensure_schema` first —
+    Spark's JDBC writer cannot emit it.
     """
     (
         df.repartition(cfg.num_partitions)

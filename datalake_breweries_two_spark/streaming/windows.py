@@ -112,27 +112,30 @@ def stage_time_ordered_stream(
     time) replays them as an in-order stream — the arrival order a Kafka
     topic keyed by time would give. A single multi-file write job gives all
     parts the same mtime and the replay order becomes arbitrary, which is
-    exactly the pathological input for a session operator."""
-    from pyspark.sql import Window
+    exactly the pathological input for a session operator.
 
+    Slices are TIME RANGES (min..max ts split n ways), not equal-count
+    ntile buckets: an unpartitioned ``ntile`` window would funnel the whole
+    table through one partition; range predicates instead push down to the
+    parquet scan and each slice write stays fully parallel."""
     from datalake_breweries_two_spark.catalog import _EVENTS_RAW
 
     ev = spark.read.schema(_EVENTS_RAW).parquet(src_parquet)
-    sliced = ev.withColumn(
-        "_slice", F.ntile(n_slices).over(Window.orderBy(F.col("ts").asc()))
-    ).persist()
-    try:
-        sliced.count()
-        for i in range(1, n_slices + 1):
-            (
-                sliced.filter(F.col("_slice") == i)
-                .drop("_slice")
-                .coalesce(1)
-                .write.mode("overwrite" if i == 1 else "append")
-                .parquet(dest_dir)
-            )
-    finally:
-        sliced.unpersist()
+    # raw ts is epoch-nanos LONG (see catalog._EVENTS_RAW / nanosAsLong)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = max(hi - lo, 1)
+    for i in range(n_slices):
+        lo_ns = lo + span * i // n_slices
+        hi_ns = lo + span * (i + 1) // n_slices
+        pred = F.col("ts") >= F.lit(lo_ns)
+        if i < n_slices - 1:
+            pred = pred & (F.col("ts") < F.lit(hi_ns))
+        (
+            ev.filter(pred)
+            .coalesce(1)
+            .write.mode("overwrite" if i == 0 else "append")
+            .parquet(dest_dir)
+        )
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

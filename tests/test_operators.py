@@ -68,6 +68,55 @@ def test_paginated_distributed_fetch(spark):
     assert rows == {str(p) for p in range(1, 7)}
 
 
+def test_check_api_health(spark):
+    from datalake_breweries_two_spark.sources.http_api import check_api_health
+
+    assert check_api_health("offline://ok", get=lambda u, t: 200)
+    assert not check_api_health("offline://down", get=lambda u, t: 503)
+
+    def boom(u, t):
+        raise ConnectionError("no route")
+
+    assert not check_api_health("offline://gone", get=boom)
+
+
+# ---------------------------------------------------------------- jdbc DDL
+
+def test_ensure_schema_issues_ddl_and_closes(spark):
+    from datalake_breweries_two_spark.sources.jdbc import ensure_schema
+
+    executed, closed = [], []
+
+    class FakeCursor:
+        def execute(self, sql):
+            executed.append(sql)
+
+        def close(self):
+            closed.append("cur")
+
+    class FakeConn:
+        autocommit = False
+
+        def set_session(self, autocommit):
+            self.autocommit = autocommit
+
+        def cursor(self):
+            return FakeCursor()
+
+        def commit(self):
+            executed.append("COMMIT")
+
+        def close(self):
+            closed.append("conn")
+
+    ensure_schema("gold_layer", connect=FakeConn)
+    assert executed == ["CREATE SCHEMA IF NOT EXISTS gold_layer;"]
+    assert closed == ["cur", "conn"]
+
+    with pytest.raises(ValueError):
+        ensure_schema("gold;DROP TABLE x", connect=FakeConn)
+
+
 # ---------------------------------------------------------------- multimodal
 
 def test_media_feature_extraction(spark):
@@ -507,20 +556,27 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))
 
 
-def test_ivf_search_recall_vs_bruteforce(spark):
-    """IVF probe search must find most of the true top-10 (recall is the
-    probe-count tradeoff; at n_probe=8/16 it should be high on sf0.001)."""
+def test_ivf_search_recall_vs_bruteforce(spark, tmp_path):
+    """IVF probe search over the precomputed partitioned index must find
+    most of the true top-10 (recall is the probe-count tradeoff; at
+    n_probe=8/16 it should be high on sf0.001) — and the probe scan must be
+    partition-pruned, not a full-corpus read."""
     from datalake_breweries_two_spark.operators.similarity import (
         cosine_topk_bruteforce,
+        ivf_build_index,
         ivf_search,
     )
 
     emb = load_table(spark, "embeddings", SF_SMOKE)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     truth = {r["vec_id"] for r in cosine_topk_bruteforce(emb, qvec, k=10).collect()}
-    got = {
-        r["vec_id"]
-        for r in ivf_search(emb, qvec, k=10, n_centroids=16, n_probe=8).collect()
-    }
+    index_dir = str(tmp_path / "ivf")
+    ivf_build_index(emb, index_dir, n_centroids=16)
+    result = ivf_search(spark, index_dir, qvec, k=10, n_probe=8)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], "probe scan must partition-prune on centroid_id"
+    got = {r["vec_id"] for r in result.collect()}
     assert len(truth) == 10 and len(got) == 10
     assert len(truth & got) >= 5

@@ -1197,11 +1197,13 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
-    if not (
-        os.path.exists(os.path.join(index_dir, "corpus", "_SUCCESS"))
-        and os.path.exists(os.path.join(index_dir, "centroids", "_SUCCESS"))
-    ):
+    # own marker, written AFTER the build: the partitioned corpus write
+    # omits Spark's root _SUCCESS under dynamic partition-overwrite mode
+    marker = os.path.join(index_dir, "_BUILT")
+    if not os.path.exists(marker):
         similarity.ivf_build_index(emb, index_dir, n_centroids=16)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return similarity.ivf_search(spark, index_dir, qvec, k=10, n_probe=4)
 
 

@@ -208,11 +208,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest seeded-deterministic centroid.
 
-    The tiny centroid table is broadcast against the corpus (one scan, no
-    shuffle); nearest-centroid selection is a per-id window over the
-    n_centroids scored copies. At scale, writing the result
-    ``partitionBy("centroid_id")`` (see :func:`ivf_build_index`) makes query
-    probes partition-pruned scans.
+    The tiny centroid table is broadcast against the corpus (no shuffle on
+    the corpus side); nearest-centroid selection is a per-id keyed window
+    over the n_centroids scored copies. (A fully literal-unrolled argmin
+    projection was measured SLOWER — 16×64 inline terms overwhelm codegen —
+    as was a narrow min_by-agg + join-back; the broadcast+window shape wins
+    at this dim/centroid count.) At scale, writing the result
+    ``partitionBy("centroid_id")`` (see :func:`ivf_build_index`) makes
+    query probes partition-pruned scans.
     """
     seeds = _seeds_df(embeddings, centroid_seeds(embeddings, n_centroids, id_col, vec_col))
     joined = embeddings.crossJoin(F.broadcast(seeds))

@@ -95,3 +95,18 @@ def test_quality_gate_min_rows(spark, tmp_path):
     bronze_dir = _write_bronze(tmp_path, n=50)
     with pytest.raises(QualityGateError, match="row count"):
         run_medallion(spark, _config(tmp_path), bronze_dir)
+
+
+def test_readme_counts_match_registry():
+    """README's query/oracle counts must track the live registry — the
+    contract doc may never drift from what the driver enumerates."""
+    import re
+
+    import __spark_entry__ as e
+
+    n_q, n_o = len(e.queries()), len(e.oracle_sql())
+    readme = open(os.path.join(os.path.dirname(__file__), "..", "README.md")).read()
+    claims = re.findall(r"(\d+) (?:declared )?queries", readme)
+    assert claims and all(int(c) == n_q for c in claims), (claims, n_q)
+    m = re.search(r"(\d+) with a\s+DuckDB oracle", readme)
+    assert m and int(m.group(1)) == n_o, (m, n_o)

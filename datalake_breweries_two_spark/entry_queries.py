@@ -741,17 +741,20 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share): fact⋈dim join + conditional
-    aggregate; part broadcasts, lineitem never shuffles."""
+    aggregate; part broadcasts, lineitem never shuffles. The revenue
+    doubles are rounded to 4dp in BOTH dialects: the exact 8dp decimal sum
+    can land on ADJACENT doubles across engines' decimal→double casts,
+    and the value hash sees different reprs."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
     return spark.sql(
         """
-        SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        SELECT round(CAST(sum(CASE WHEN p_type = 'ECONOMY'
                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                   * CAST(1 - l_discount AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS promo_revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue
         FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
         """
     )
@@ -2020,12 +2023,12 @@ ORACLE_SQL: dict[str, str] = {
           AND l_quantity < 24
     """,
     "q_sql_tpch_q14": """
-        SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        SELECT round(CAST(sum(CASE WHEN p_type = 'ECONOMY'
                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                   * CAST(1 - l_discount AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS promo_revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
     "q_having": """
@@ -2253,7 +2256,7 @@ ORACLE_SQL: dict[str, str] = {
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                       * sqrt(list_aggregate(list_transform(eb,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-                   4) AS cosine
+                   4) + 0.0 AS cosine
         FROM p
     """,
     "q_data_profile": """

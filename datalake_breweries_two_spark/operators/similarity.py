@@ -319,6 +319,11 @@ def cosine_pairs_exact(
     a = sub.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = sub.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    # + 0.0 normalizes IEEE negative zero: near-orthogonal pairs round to
+    # -0.0 in one engine and +0.0 in the other, which the oracle's value
+    # hash treats as different (same +0.0 in the oracle SQL)
     return pairs.select(
-        "id_a", "id_b", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+        "id_a",
+        "id_b",
+        (F.round(_cosine(F.col("v_a"), F.col("v_b")), 4) + F.lit(0.0)).alias("cosine"),
     )

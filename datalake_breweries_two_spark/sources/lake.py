@@ -213,3 +213,107 @@ def compact_parquet(
     os.rename(tmp, path)
     out = [f for f in os.listdir(path) if f.endswith(".parquet")]
     return len(out)
+
+
+# --------------------------------------------------------------------------
+# Versioned tables — atomic swaps via a pointer file (minimal
+# transaction-log layout; the Parquet/Delta north star without delta-spark)
+# --------------------------------------------------------------------------
+#
+#   table_root/
+#     _latest            one line: the current version dir name ("v00002")
+#     v00001/ *.parquet  immutable snapshot
+#     v00002/ *.parquet  immutable snapshot
+#
+# Writers stage a NEW version dir, then publish it by atomically replacing
+# the pointer file (POSIX rename; one object PUT on S3-like stores). Old
+# versions stay on disk until vacuumed, so an in-flight reader that already
+# resolved its directory never observes a half-swapped table — the property
+# compact_parquet's rmtree+rename swap cannot give.
+
+_POINTER = "_latest"
+
+
+def latest_table_version(root: str) -> str | None:
+    """Current published version name, or None for an empty table."""
+    ptr = os.path.join(root, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return fh.read().strip() or None
+
+
+def _publish_version(root: str, version: str) -> None:
+    tmp = os.path.join(root, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(root, _POINTER))  # atomic on POSIX
+
+
+def write_versioned(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> str:
+    """Write ``df`` as the table's next immutable version and atomically
+    publish it; returns the new version name. ``mode("error")`` on the
+    version dir guarantees a concurrent writer can never clobber a
+    published snapshot (last publisher wins the pointer race; both version
+    dirs remain intact)."""
+    os.makedirs(root, exist_ok=True)
+    cur = latest_table_version(root)
+    nxt = f"v{(int(cur[1:]) if cur else 0) + 1:05d}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(root, nxt))
+    _publish_version(root, nxt)
+    return nxt
+
+
+def read_versioned(
+    spark: SparkSession,
+    root: str,
+    version: str | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read the published (or an explicitly pinned — time travel) version."""
+    v = version or latest_table_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    return read_parquet(spark, os.path.join(root, v), schema)
+
+
+def compact_versioned(
+    spark: SparkSession, root: str, target_rows_per_file: int = 1_000_000
+) -> tuple[str, int]:
+    """Atomic compaction: rewrite the current version into
+    ceil(rows / target_rows_per_file) files as a NEW version, publish by
+    pointer swap. Returns (new_version, file_count). Readers of the old
+    version are undisturbed; run :func:`vacuum_versions` once they drain."""
+    import math
+
+    df = read_versioned(spark, root)
+    n_rows = df.count()
+    n_parts = max(1, math.ceil(n_rows / target_rows_per_file))
+    src_parts = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_parts) if n_parts < src_parts else df.repartition(n_parts)
+    nxt = write_versioned(sized, root)
+    out_dir = os.path.join(root, nxt)
+    return nxt, len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+
+
+def vacuum_versions(root: str, keep: int = 2) -> list[str]:
+    """Drop all but the ``keep`` newest version dirs (never the published
+    one); returns the removed names. The retention window is the reader
+    drain time — Delta's VACUUM with the same contract."""
+    import re
+    import shutil
+
+    current = latest_table_version(root)
+    versions = sorted(
+        d for d in os.listdir(root)
+        if re.fullmatch(r"v\d{5}", d) and os.path.isdir(os.path.join(root, d))
+    )
+    doomed = [v for v in versions[:-keep] if v != current] if keep else list(versions)
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, v))
+    return doomed

@@ -580,3 +580,38 @@ def test_ivf_search_recall_vs_bruteforce(spark, tmp_path):
     got = {r["vec_id"] for r in result.collect()}
     assert len(truth) == 10 and len(got) == 10
     assert len(truth & got) >= 5
+
+
+def test_versioned_table_atomic_swap(spark, tmp_path):
+    """Versioned writes publish atomically via the pointer file: old
+    versions stay readable (time travel) until vacuumed, and compaction
+    never disturbs the previous snapshot."""
+    from datalake_breweries_two_spark.sources.lake import (
+        compact_versioned,
+        latest_table_version,
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.range(100).withColumn("v", F.col("id") * 2)
+    assert write_versioned(df1.repartition(10), root) == "v00001"
+    assert latest_table_version(root) == "v00001"
+
+    df2 = spark.range(200).withColumn("v", F.col("id") * 3)
+    assert write_versioned(df2.repartition(10), root) == "v00002"
+    assert read_versioned(spark, root).count() == 200
+    # time travel: the superseded snapshot is intact
+    assert read_versioned(spark, root, version="v00001").count() == 100
+
+    new_v, n_files = compact_versioned(spark, root, target_rows_per_file=1000)
+    assert new_v == "v00003" and n_files == 1
+    assert read_versioned(spark, root).count() == 200
+    assert read_versioned(spark, root).agg(F.sum("v")).first()[0] == sum(
+        3 * i for i in range(200)
+    )
+
+    removed = vacuum_versions(root, keep=1)
+    assert removed == ["v00001", "v00002"]
+    assert read_versioned(spark, root).count() == 200

@@ -59,6 +59,7 @@ HEADLINE = [
     "q_stats_agg",
     "q_percentiles",
     "q_merge_upsert",
+    "q_versioned_compact_e2e",
     "q_dedup_exact",
     "q_dedup_clusters",
     "q_scd2",

@@ -487,8 +487,8 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
                count(l_orderkey) AS count_order
         FROM lineitem_v
         WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -585,8 +585,8 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
                o_orderdate
         FROM customer_v JOIN orders_v ON c_custkey = o_custkey
                         JOIN lineitem_v ON l_orderkey = o_orderkey
@@ -608,8 +608,8 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         FROM customer_v JOIN orders_v   ON c_custkey = o_custkey
                         JOIN lineitem_v ON l_orderkey = o_orderkey
                         JOIN supplier_v ON l_suppkey = s_suppkey
@@ -1073,6 +1073,30 @@ def q_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_compact_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table lifecycle end-to-end: supplier written as a
+    deliberately fragmented version (16 small files) → atomic compaction
+    publishes a new version via the pointer swap (the old snapshot stays
+    readable until vacuum) → the latest version is read back and
+    aggregated. The oracle recomputes the aggregate directly over the
+    source table — compaction and the version swap must be value-invisible."""
+    root = os.path.join(_SCRATCH, "versioned_supplier")
+    src = _t(spark, sf_dir, "supplier")
+    lake.write_versioned(src.repartition(16), root)
+    lake.compact_versioned(spark, root, target_rows_per_file=1_000_000)
+    lake.vacuum_versions(root, keep=1)
+    return (
+        lake.read_versioned(spark, root)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.col("s_suppkey")).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
 def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: two snapshots with different column ORDER and
     one missing column unioned by NAME (positional union would silently
@@ -1138,8 +1162,8 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         FROM customer_v
         JOIN orders_v   ON c_custkey = o_custkey
         JOIN lineitem_v ON l_orderkey = o_orderkey
@@ -1623,6 +1647,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_unpivot": q_unpivot,
     "q_grouping_id": q_grouping_id,
     "q_medallion_e2e": q_medallion_e2e,
+    "q_versioned_compact_e2e": q_versioned_compact_e2e,
     "q_union_by_name": q_union_by_name,
     "q_null_safe_join": q_null_safe_join,
     "q_skew_agg_two_level": q_skew_agg_two_level,
@@ -1726,8 +1751,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_star_join": """
         SELECT r_name AS region_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
                count(l_orderkey) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -1865,8 +1890,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_sql_tpch_q3": """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
                CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -1879,8 +1904,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_sql_tpch_q5": """
         SELECT n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         FROM customer JOIN orders   ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
                       JOIN supplier ON l_suppkey = s_suppkey
@@ -2170,6 +2195,12 @@ ORACLE_SQL: dict[str, str] = {
                count(p_partkey) AS n_items
         FROM part GROUP BY lower(p_type), p_brand
     """,
+    "q_versioned_compact_e2e": """
+        SELECT s_nationkey,
+               count(s_suppkey) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM supplier GROUP BY s_nationkey
+    """,
     "q_union_by_name": """
         SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
         FROM customer WHERE c_custkey % 2 = 0
@@ -2327,8 +2358,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_sql_tpch_q10": """
         SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -2370,8 +2401,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
                count(l_orderkey) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

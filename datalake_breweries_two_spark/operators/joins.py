@@ -79,7 +79,10 @@ def star_join_revenue(
     return (
         enriched.groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            revenue.cast("double").alias("revenue"),
+            # round to the product's business precision: the exact 8dp
+            # decimal sum can land on ADJACENT doubles across engines'
+            # decimal→double casts (oracle rounds identically)
+            F.round(revenue.cast("double"), 4).alias("revenue"),
             F.count(F.col("l_orderkey")).alias("n_lineitems"),
         )
     )

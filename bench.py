@@ -46,6 +46,8 @@ HEADLINE = [
     "q_sql_tpch_q18",
     "q_sql_tpch_q10",
     "q_sql_tpch_q22",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q19",
     "q_resample_ffill",
     "q_exists_subquery",
     "q_join_full",

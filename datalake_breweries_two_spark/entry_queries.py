@@ -1199,6 +1199,56 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): the fact
+    joins TWO independent dim chains (supplier→nation, orders→customer→
+    nation) — every dim broadcasts, lineitem shuffles once for the
+    orders join; the symmetric nation-pair filter is a pushed-down
+    disjunction over broadcast columns."""
+    for t in ["supplier", "orders", "customer", "nation", "lineitem"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        FROM lineitem_v
+        JOIN supplier_v ON l_suppkey = s_suppkey
+        JOIN orders_v   ON l_orderkey = o_orderkey
+        JOIN customer_v ON o_custkey = c_custkey
+        JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """
+    )
+
+
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs across both join sides — Catalyst pushes the common
+    `p_brand IN (...)` / quantity bounds below the join and evaluates the
+    residual disjunction post-join; part broadcasts."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1640,6 +1690,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_search": q_ivf_search,
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
+    "q_sql_tpch_q7": q_sql_tpch_q7,
+    "q_sql_tpch_q19": q_sql_tpch_q19,
     "q_interval_join": q_interval_join,
     "q_streaming_sliding": q_streaming_sliding,
     "q_array_higher_order": q_array_higher_order,
@@ -2382,6 +2434,33 @@ ORACLE_SQL: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 350000.0)
         GROUP BY c_mktsegment
+    """,
+    "q_sql_tpch_q7": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q_sql_tpch_q19": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "q_array_ops": """
         SELECT vec_id,

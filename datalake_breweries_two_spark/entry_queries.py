@@ -929,6 +929,34 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("tier").agg(F.max("n").alias("n"))
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→click attribution within 30 min):
+    BOTH sides are watermarked streams over the same staged event files;
+    the event-time range bound keeps join state O(lag window). Returns the
+    per-user attribution counts. Rows-only (stream == batch twin is
+    unit-tested; the oracle would be the batch join, which Spark streaming
+    reproduces exactly once drained)."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.streaming import joins as stream_joins
+
+    stage_dir = os.path.join(_SCRATCH, "events_ssjoin_stream")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    pairs = stream_joins.view_click_attribution(views, clicks, max_lag_minutes=30)
+    out = stream_windows.run_stream_to_memory(
+        spark, pairs, "q_streaming_ssjoin_sink", output_mode="append"
+    )
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_attributed"))
+
+
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): aggregate subquery in the
     join input, HAVING on an exact decimal sum."""
@@ -1707,6 +1735,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_resample_ffill": q_resample_ffill,
     "q_media_frame_sample": q_media_frame_sample,
     "q_streaming_enrich": q_streaming_enrich,
+    "q_streaming_interval_join": q_streaming_interval_join,
     "q_sql_tpch_q18": q_sql_tpch_q18,
     "q_data_profile": q_data_profile,
     "q_outliers_zscore": q_outliers_zscore,

@@ -615,3 +615,41 @@ def test_versioned_table_atomic_swap(spark, tmp_path):
     removed = vacuum_versions(root, keep=1)
     assert removed == ["v00001", "v00002"]
     assert read_versioned(spark, root).count() == 200
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch twin's (view_id, click_id) attribution pairs once drained."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW, load_table
+    from datalake_breweries_two_spark.streaming import joins as stream_joins
+    from datalake_breweries_two_spark.streaming import windows as sw
+
+    stage = str(tmp_path / "ssjoin_in")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    stream = sw.read_events_stream(spark, stage)
+    streamed = sw.run_stream_to_memory(
+        spark,
+        stream_joins.view_click_attribution(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "click"),
+            max_lag_minutes=30,
+        ),
+        "t_ssjoin_sink",
+        output_mode="append",
+    )
+    ev = load_table(spark, "events", SF_SMOKE)
+    batch = stream_joins.view_click_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        max_lag_minutes=30,
+    )
+    s_pairs = {(r["view_id"], r["click_id"]) for r in streamed.collect()}
+    b_pairs = {(r["view_id"], r["click_id"]) for r in batch.collect()}
+    assert len(b_pairs) > 0
+    assert s_pairs == b_pairs

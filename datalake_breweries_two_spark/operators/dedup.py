@@ -430,13 +430,18 @@ def near_duplicates_verified(
     recall (pairs LSH never proposes are absent; raise num_hashes/bands for
     higher recall).
     """
-    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n)
+    # checkpoint the exploded shingle table ONCE: both the signature
+    # pipeline and the shingle-set agg consume it, and the window+distinct
+    # shingler is the expensive common prefix (at 100 TB: a parquet stage)
+    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     # (id, shingle-set array) via codegen'd shingler + one collect_set agg —
     # the array form lets the verify tier be a per-pair array_intersect
     # instead of a shingle self-join
     arrs = shingled.groupBy(id_col).agg(
         F.collect_set(F.col("shingle")).alias("shingles")
-    ).localCheckpoint(eager=True)
+    )
     sigs = minhash_signatures(shingled, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

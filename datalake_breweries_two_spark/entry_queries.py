@@ -1170,7 +1170,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual dedup OUTPUT: drop every near-dup cluster member except
     its canonical (min-id) doc — the corpus a training pipeline would keep.
     Anti-join against the non-canonical cluster members; doc bodies never
-    shuffle (only ids move)."""
+    shuffle (only ids move). Pair tier swappable as in q_dedup_clusters:
+    exact corpus-wide for the SQL oracle at test scale, LSH-verified
+    candidates at 100 TB."""
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
@@ -1362,7 +1364,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: exact n-gram Jaccard pairs (≥0.2) →
     connected components → every clustered doc labeled with its cluster's
     min doc_id (the canonical copy to keep). Oracle computes the same
-    transitive closure with a recursive CTE."""
+    transitive closure with a recursive CTE.
+
+    The pair generator is swappable: exact corpus-wide Jaccard here so the
+    oracle can reproduce the pairs in SQL at test scale; at 100 TB the
+    SAME connected_components consumes near_duplicates_verified's
+    LSH-candidate pairs instead (sub-quadratic; see dedup.py tiering)."""
     pairs = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
     )

@@ -31,6 +31,7 @@ SKIP_PLAN = {
     "q_streaming_dedup",
     "q_streaming_enrich",
     "q_streaming_sliding",
+    "q_streaming_interval_join",
     "q_media_features",
 }
 

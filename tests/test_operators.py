@@ -653,3 +653,79 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     b_pairs = {(r["view_id"], r["click_id"]) for r in batch.collect()}
     assert len(b_pairs) > 0
     assert s_pairs == b_pairs
+
+
+def test_running_totals_processor_logic():
+    """The TWS processor's per-batch math, driven directly with a fake
+    ValueState (the TWS runtime itself needs google.protobuf, absent in
+    minimal environments — e2e covered by test_running_totals_stream_e2e
+    where available)."""
+    import pandas as pd
+
+    from datalake_breweries_two_spark.streaming.state import RunningTotalsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    p = RunningTotalsProcessor()
+    p.init(FakeHandle())
+    out1 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value": [1.0, 2.0]})]), None)
+    )
+    out2 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value": [4.0]})]), None)
+    )
+    assert out1[0].iloc[0].tolist() == [7, 2, 3.0]
+    assert out2[0].iloc[0].tolist() == [7, 3, 7.0]
+
+
+def test_running_totals_stream_e2e(spark, tmp_path):
+    """Drained TWS stream's final per-user totals == batch groupBy agg.
+    Skips where the TWS protobuf runtime is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.streaming import state as st
+    from datalake_breweries_two_spark.streaming import windows as sw
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stage = str(tmp_path / "tws_in")
+    (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    stream = sw.read_events_stream(spark, stage)
+    out = sw.run_stream_to_memory(
+        spark, st.running_totals_stream(stream), "t_tws_sink", output_mode="update"
+    )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("total_value").alias("tv")
+    )
+    batch = (
+        spark.read.schema(_EVENTS_RAW)
+        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    s = {(r["user_id"], r["n"], round(r["tv"], 6)) for r in final.collect()}
+    b = {(r["user_id"], r["n"], round(r["tv"], 6)) for r in batch.collect()}
+    assert s == b

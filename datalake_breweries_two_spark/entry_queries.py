@@ -1229,6 +1229,27 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout end-to-end: orders staged range-partitioned +
+    in-file-sorted on o_totalprice, then a selective range predicate scans
+    the layout — the disjoint per-file ranges and tight row-group min/max
+    stats confine the read to ~1 of the files. Oracle = the same filter
+    aggregate over the source table (the layout must be value-invisible)."""
+    path = os.path.join(_SCRATCH, "orders_range_sorted")
+    lake.write_range_sorted(
+        _t(spark, sf_dir, "orders"), path, "o_totalprice", n_files=8
+    )
+    scanned = spark.read.parquet(path).filter(
+        (F.col("o_totalprice") >= 100_000.0) & (F.col("o_totalprice") < 120_000.0)
+    )
+    return scanned.groupBy("o_orderstatus").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between a nation pair): the fact
     joins TWO independent dim chains (supplier→nation, orders→customer→
@@ -1726,6 +1747,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sql_tpch_q10": q_sql_tpch_q10,
     "q_sql_tpch_q22": q_sql_tpch_q22,
     "q_sql_tpch_q7": q_sql_tpch_q7,
+    "q_range_sorted_scan": q_range_sorted_scan,
     "q_sql_tpch_q19": q_sql_tpch_q19,
     "q_interval_join": q_interval_join,
     "q_streaming_sliding": q_streaming_sliding,
@@ -2486,6 +2508,14 @@ ORACLE_SQL: dict[str, str] = {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q_range_sorted_scan": """
+        SELECT o_orderstatus,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_totalprice >= 100000.0 AND o_totalprice < 120000.0
+        GROUP BY o_orderstatus
     """,
     "q_sql_tpch_q19": """
         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -74,6 +74,28 @@ def write_bucketed(
     )
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, sort_col: str, n_files: int = 8
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout — the
+    data-skipping layout for a hot filter column (Z-order-lite for one
+    dimension). ``repartitionByRange`` gives each output file a DISJOINT
+    value range and the in-file sort tightens every row group's min/max
+    stats, so a selective range predicate prunes to ~1 file and a few row
+    groups at scan time instead of reading the whole table — at 100 TB
+    this is the difference between touching 1/n_files of the bytes and
+    all of them. One range-exchange shuffle (sampled bounds), sort is
+    in-partition only."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -> "DataFrame":
     """MERGE / upsert semantics over lake tables: update rows whose key
     matches, insert rows that don't — the incremental replacement for the

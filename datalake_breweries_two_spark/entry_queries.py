@@ -1229,6 +1229,27 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two supplier snapshots (the change feed a downstream
+    consumer would ingest): v2 deterministically deletes every 7th key,
+    bumps acctbal on every remaining 5th, and inserts shifted copies of
+    every 11th. diff_snapshots classifies each key; the oracle recomputes
+    the same insert/update/delete sets declaratively."""
+    v1 = _t(spark, sf_dir, "supplier")
+    kept = v1.filter(F.col("s_suppkey") % 7 != 0)
+    updated = kept.withColumn(
+        "s_acctbal",
+        F.when(
+            F.col("s_suppkey") % 5 == 0, F.col("s_acctbal") + F.lit(100.0)
+        ).otherwise(F.col("s_acctbal")),
+    )
+    inserted = v1.filter(F.col("s_suppkey") % 11 == 0).withColumn(
+        "s_suppkey", F.col("s_suppkey") + F.lit(1_000_000)
+    )
+    v2 = updated.unionByName(inserted)
+    return lake.diff_snapshots(v1, v2, ["s_suppkey"])
+
+
 def q_range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping layout end-to-end: orders staged range-partitioned +
     in-file-sorted on o_totalprice, then a selective range predicate scans
@@ -1748,6 +1769,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sql_tpch_q22": q_sql_tpch_q22,
     "q_sql_tpch_q7": q_sql_tpch_q7,
     "q_range_sorted_scan": q_range_sorted_scan,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_sql_tpch_q19": q_sql_tpch_q19,
     "q_interval_join": q_interval_join,
     "q_streaming_sliding": q_streaming_sliding,
@@ -2508,6 +2530,16 @@ ORACLE_SQL: dict[str, str] = {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q_snapshot_diff": """
+        SELECT s_suppkey, 'delete' AS change_type
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT s_suppkey, 'update' AS change_type
+        FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 5 = 0
+        UNION ALL
+        SELECT s_suppkey + 1000000, 'insert' AS change_type
+        FROM supplier WHERE s_suppkey % 11 = 0
     """,
     "q_range_sorted_scan": """
         SELECT o_orderstatus,

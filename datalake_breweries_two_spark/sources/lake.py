@@ -134,6 +134,52 @@ def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -
     return joined.select(*out_cols)
 
 
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Change-data capture between two table snapshots (Delta CDF's
+    insert/update/delete feed, computed from plain parquet): full-outer
+    join on the key, classify each key as ``insert`` (new only),
+    ``delete`` (old only) or ``update`` (present in both, any value
+    column differing null-safely); unchanged rows are dropped. Feed it two
+    :func:`read_versioned` snapshots to diff table versions.
+
+    Scale profile: ONE key-partitioned shuffle join; the output is
+    proportional to the churn, not the table. At 100 TB partition both
+    snapshots by the same pruning key so the join runs partition-wise.
+    Column sets must match.
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    assert set(old.columns) == set(new.columns), "schemas must match"
+    value_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"_n_{c}") for c in new.columns])
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in value_cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = d if changed is None else (changed | d)
+    change_type = (
+        F.when(~in_new, F.lit("delete"))
+        .when(~in_old, F.lit("insert"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        joined.select(*out_keys, change_type.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
 def read_parquet_incremental(
     spark: SparkSession,
     path: str,

@@ -48,6 +48,10 @@ HEADLINE = [
     "q_sql_tpch_q22",
     "q_sql_tpch_q7",
     "q_sql_tpch_q19",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q17",
     "q_resample_ffill",
     "q_exists_subquery",
     "q_join_full",

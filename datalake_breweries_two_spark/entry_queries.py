@@ -1321,6 +1321,109 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the deepest dim chain in the
+    suite — lineitem joins part + supplier + orders→customer→nation→region,
+    with a SECOND nation lookup on the supplier side. Every dim broadcasts;
+    the region/part filters prune before the fact shuffle; the share is a
+    conditional-sum ratio over exact decimal sums (cast to double and
+    rounded only at the surface)."""
+    for t in ["part", "supplier", "orders", "customer", "nation", "region", "lineitem"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 4) + 0.0 AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+                   n2.n_name AS nation
+            FROM lineitem_v
+            JOIN part_v     ON p_partkey = l_partkey
+            JOIN supplier_v ON s_suppkey = l_suppkey
+            JOIN orders_v   ON l_orderkey = o_orderkey
+            JOIN customer_v ON o_custkey = c_custkey
+            JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+            JOIN region_v   ON n1.n_regionkey = r_regionkey
+            JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+              AND p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT join
+    whose extra ON-clause predicate must stay in the join (not become a
+    WHERE filter, which would turn it inner), then two stacked aggregations
+    — per-customer count, then a histogram over those counts."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer_v LEFT JOIN orders_v
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a derived revenue relation consumed
+    twice — once joined to supplier, once reduced to its max — with the
+    equality comparison done on EXACT decimal sums (no double drift); the
+    revenue aggregate computes once and broadcasts its scalar max."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem_v
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): a correlated scalar
+    subquery per part — Catalyst de-correlates it into a per-partkey
+    aggregate joined back to the filtered fact, so the "per-row subquery"
+    costs one extra aggregation, not one job per part."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+                 + 0.0 AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_v l2
+              WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1771,6 +1874,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_range_sorted_scan": q_range_sorted_scan,
     "q_snapshot_diff": q_snapshot_diff,
     "q_sql_tpch_q19": q_sql_tpch_q19,
+    "q_sql_tpch_q8": q_sql_tpch_q8,
+    "q_sql_tpch_q13": q_sql_tpch_q13,
+    "q_sql_tpch_q15": q_sql_tpch_q15,
+    "q_sql_tpch_q17": q_sql_tpch_q17,
     "q_interval_join": q_interval_join,
     "q_streaming_sliding": q_streaming_sliding,
     "q_array_higher_order": q_array_higher_order,
@@ -2559,6 +2666,63 @@ ORACLE_SQL: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_sql_tpch_q8": """
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 4) + 0.0 AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+                   n2.n_name AS nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+              AND p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    "q_sql_tpch_q13": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    "q_sql_tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "q_sql_tpch_q17": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+                 + 0.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p_partkey
+          )
     """,
     "q_array_ops": """
         SELECT vec_id,

@@ -26,7 +26,9 @@ from datalake_breweries_two_spark.operators import (
     dedup,
     joins,
     multimodal,
+    packing,
     quality,
+    sampling,
     semistructured,
     setops,
     similarity,
@@ -1424,6 +1426,43 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the label is a pure
+    function of (doc_id, seed) via lexicographic md5-bucket comparison —
+    reproducible across runs, engines, and repartitioning; zero shuffle."""
+    return sampling.hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample (keep all rare langs, thin
+    dominant ones) — hash-threshold filter, no RNG, exact oracle."""
+    return sampling.stratified_hash_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        rates={"en": 0.5, "es": 0.25, "de": 0.125, "zh": 1.0, "fr": 1.0},
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training docs (doc_id % 20 != 0)
+    whose 3-gram overlap with the held-out benchmark slice (doc_id % 20
+    == 0) is ≥ 10% — the benchmark shingle set broadcasts, so corpus
+    text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(corpus, benchmark, n=3, threshold=0.1)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 256-token context-window packing per language via
+    ``applyInPandas`` — sequential within a group, parallel across
+    groups; only (id, lang, count) crosses the Arrow boundary. Exact
+    oracle: the same greedy recurrence as a DuckDB recursive CTE."""
+    return packing.pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1920,6 +1959,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_streaming_sessionize": q_streaming_sessionize,
     "q_bucketed_join": q_bucketed_join,
     "q_merge_upsert": q_merge_upsert,
+    "q_hash_split": q_hash_split,
+    "q_stratified_sample": q_stratified_sample,
+    "q_decontaminate": q_decontaminate,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 
@@ -2723,6 +2766,76 @@ ORACLE_SQL: dict[str, str] = {
               SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
               WHERE l2.l_partkey = p_partkey
           )
+    """,
+    "q_hash_split": """
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split-v1')), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split-v1')), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "q_stratified_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'sample-v1')), 1, 8)
+              < CASE lang WHEN 'en' THEN '80000000'
+                          WHEN 'es' THEN '40000000'
+                          WHEN 'de' THEN '20000000'
+                          WHEN 'zh' THEN 'g'
+                          WHEN 'fr' THEN 'g'
+                          ELSE '00000000' END
+    """,
+    "q_decontaminate": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                   )) AS shingles
+            FROM documents
+        ),
+        corpus AS (
+            SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+            FROM sh WHERE doc_id % 20 <> 0
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0
+        ),
+        hits AS (
+            SELECT doc_id, n_shingles, count(*) AS n_overlap
+            FROM corpus JOIN bench USING (shingle)
+            GROUP BY doc_id, n_shingles
+        )
+        SELECT doc_id, n_overlap,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               round(n_overlap / n_shingles, 4) AS overlap_ratio
+        FROM hits
+        WHERE round(n_overlap / n_shingles, 4) >= 0.1
+    """,
+    "q_pack_sequences": """
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS pack_id,
+                   CAST(0 AS BIGINT) AS pack_pos,
+                   n_tokens AS running
+            FROM tok WHERE rn = 1
+            UNION ALL
+            SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+                   CASE WHEN p.running + t.n_tokens > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.running + t.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE p.pack_pos + 1 END,
+                   CASE WHEN p.running + t.n_tokens > 256 THEN t.n_tokens ELSE p.running + t.n_tokens END
+            FROM tok t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, lang, n_tokens, pack_id, pack_pos FROM packed
     """,
     "q_array_ops": """
         SELECT vec_id,

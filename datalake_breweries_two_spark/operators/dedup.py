@@ -520,3 +520,53 @@ def connected_components(
             "(iterations ~ longest path in a component)"
         )
     return nodes
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents whose word-``n``-gram overlap with a held-out
+    benchmark set exceeds ``threshold`` — the standard eval-contamination
+    sweep run before any LLM training job.
+
+    Shape: shingle both sides; the benchmark's DISTINCT shingle set (small —
+    benchmarks are KBs-to-MBs even when the corpus is 100 TB) broadcasts to
+    every executor, so the corpus-side probe is a map-side semi-join with NO
+    shuffle of corpus text. The only exchange is the per-doc overlap count on
+    ``id`` — integer pairs, not strings.
+
+    Returns (id, n_overlap, n_shingles, overlap_ratio) for docs at or above
+    ``threshold``, ratio rounded to 4dp for cross-engine hash stability.
+    """
+    corpus_sh = shingle_docs(corpus, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col),
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    bench_sh = (
+        shingle_docs(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    ratio = F.round(F.col("n_overlap") / F.col("n_shingles"), 4)
+    return (
+        hits.groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            F.col(id_col),
+            F.col("n_overlap"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            ratio.alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= threshold)
+    )

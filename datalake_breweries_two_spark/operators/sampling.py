@@ -1,0 +1,101 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training pipelines need splits and samples that are (a) reproducible
+across runs, (b) stable under repartitioning, and (c) computable by any
+engine that reads the same data — `df.sample()` satisfies none of these
+(its Bernoulli draw depends on partition layout and Spark's RNG stream).
+The operators here derive every decision from `md5(id || seed)`, so the
+same row lands in the same split in Spark, DuckDB, or a bash one-liner.
+
+Portability trick: rather than parsing hex to an integer (whose SQL
+spelling differs per engine), decisions compare the first 8 hex chars of
+the digest LEXICOGRAPHICALLY against a threshold string. Fixed-width
+lowercase hex compares identically to its numeric value, and every
+engine produces the same lowercase-hex md5 — so `substr(md5(x),1,8) <
+'cccccccc'` IS `hash(x) < 0.8 * 2^32`, everywhere.
+
+At 100 TB both operators are embarrassingly parallel: one projection,
+no shuffle, no RNG state, and the split column is a stable partition
+key for downstream `partitionBy("split")` writes.
+
+Reference parity: the reference has no sampling surface; this extends
+it for the LLM-pipeline tier (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket_hex(id_col: str, seed: str) -> Column:
+    """First 8 hex chars of md5(id || ':' || seed) — a uniform draw in
+    [0, 2^32) encoded as a lexicographically ordered string."""
+    return F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 8)
+
+
+def fraction_to_hex_threshold(frac: float) -> str:
+    """Map a fraction in [0, 1] to its 8-hex-char bucket boundary.
+
+    frac >= 1.0 returns "g" — lexicographically above every hex string,
+    so `bucket < threshold` keeps ALL rows (a 9-digit "100000000" would
+    compare char-wise against 8-digit buckets and keep almost none)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]; got {frac}")
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 0x100000000), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+
+    train/val/test fractions are (train, val, 1-train-val); the label is
+    a pure function of (id, seed) — append-only ingestion never
+    reshuffles old rows between splits, and bumping `seed` re-rolls the
+    whole assignment reproducibly.
+    """
+    bucket = _hash_bucket_hex(id_col, seed)
+    t_train = fraction_to_hex_threshold(train)
+    t_val = fraction_to_hex_threshold(train + val)
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(t_train), F.lit("train"))
+        .when(bucket < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (e.g. downsample
+    dominant languages, keep all of rare ones).
+
+    The per-stratum threshold is a CASE over broadcastable literals, so
+    the whole operator is one projection + filter — no shuffle, no
+    `sampleBy` RNG, and an exact SQL oracle exists for it.
+    """
+    bucket = _hash_bucket_hex(id_col, seed)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        thr = F.lit(fraction_to_hex_threshold(rate))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    threshold = (
+        expr.otherwise(F.lit(fraction_to_hex_threshold(default_rate)))
+        if expr is not None
+        else F.lit(fraction_to_hex_threshold(default_rate))
+    )
+    return df.filter(bucket < threshold)

@@ -22,6 +22,7 @@ ARROW_PYTHON_OK = {
     "q_media_features",
     "q_media_frame_sample",
     "q_streaming_sessionize",
+    "q_pack_sequences",
 }
 
 # Streaming queries produce no batch plan to inspect the same way.
@@ -50,9 +51,11 @@ def test_no_row_at_a_time_python(spark, name):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     if name not in ARROW_PYTHON_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name} unexpectedly leaves the JVM"
-        )
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name} unexpectedly leaves the JVM"
 
 
 def test_scan_pushes_filter_and_prunes_columns(spark):

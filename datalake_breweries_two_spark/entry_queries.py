@@ -1463,6 +1463,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (distinct-token ratio,
+    top-token and top-bigram fractions) — the quality-filter inputs for
+    degenerate/spammy document detection."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detector: fraction of each doc's distinct
+    3-grams that occur in >= 4 distinct documents corpus-wide."""
+    return text.boilerplate_fraction(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=4
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails + IPv4) with per-doc redaction counts. The corpus
+    is word-salad, so every third doc is deterministically contaminated
+    in-query first; the redactor then has real work whose output the
+    oracle reproduces exactly. Pure projections — no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".42"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.pii_redact(dirty)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (alpha=0.5): dominant langs are
+    hash-downsampled toward the rare ones; rates derive from the data and
+    membership stays engine-reproducible."""
+    return sampling.temperature_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), alpha=0.5
+    )
+
+
+def q_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shard order: 16 hash shards + rank of
+    the md5 digest within each shard — a reproducible corpus shuffle with
+    no global sort."""
+    return sampling.shard_order(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -1963,6 +2019,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_stratified_sample": q_stratified_sample,
     "q_decontaminate": q_decontaminate,
     "q_pack_sequences": q_pack_sequences,
+    "q_repetition_stats": q_repetition_stats,
+    "q_boilerplate_ngrams": q_boilerplate_ngrams,
+    "q_pii_redact": q_pii_redact,
+    "q_temperature_mix": q_temperature_mix,
+    "q_shard_order": q_shard_order,
 }
 
 
@@ -2836,6 +2897,109 @@ ORACLE_SQL: dict[str, str] = {
             FROM tok t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
         )
         SELECT doc_id, lang, n_tokens, pack_id, pack_pos FROM packed
+    """,
+    "q_repetition_stats": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        us AS (
+            SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+            FROM uni GROUP BY 1
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                   )) AS bigram
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        ),
+        bi AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+        bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi_c FROM bi GROUP BY 1)
+        SELECT us.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_distinct / n_tokens, 4) AS distinct_ratio,
+               round(top_c / n_tokens, 4) AS top_token_frac,
+               round(top_bi_c / n_bigrams, 4) AS top_bigram_frac
+        FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    """,
+    "q_boilerplate_ngrams": """
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                   ))) AS shingle
+            FROM documents
+        ),
+        dfc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+        boiler AS (SELECT shingle FROM dfc WHERE n_docs >= 4),
+        na AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        nb AS (
+            SELECT doc_id, count(*) AS n_boiler
+            FROM sh JOIN boiler USING (shingle) GROUP BY 1
+        )
+        SELECT na.doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+               round(coalesce(n_boiler, 0) / n_shingles, 4) AS boiler_frac
+        FROM na LEFT JOIN nb ON na.doc_id = nb.doc_id
+    """,
+    "q_pii_redact": """
+        WITH dirty AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                                    '@example.com from 10.0.',
+                                    CAST(doc_id % 256 AS VARCHAR), '.42')
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+        FROM dirty
+    """,
+    "q_temperature_mix": """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        m AS (SELECT min(n) AS min_n FROM c),
+        r AS (SELECT lang, round(pow(n / min_n, -0.5), 4) AS rate FROM c, m),
+        t AS (
+            SELECT lang, rate,
+                   CASE WHEN rate >= 1.0 THEN 'g'
+                        ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+                   END AS threshold
+            FROM r
+        )
+        SELECT d.doc_id, d.lang, t.rate
+        FROM documents d JOIN t ON d.lang = t.lang
+        WHERE substr(md5(concat_ws(':', CAST(d.doc_id AS VARCHAR), 'mix-v1')), 1, 8)
+              < t.threshold
+    """,
+    "q_shard_order": """
+        WITH s AS (
+            SELECT doc_id,
+                   md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'shard-v1')) AS hash
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef', substr(hash, 1, 1)) - 1 AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY strpos('0123456789abcdef', substr(hash, 1, 1))
+                   ORDER BY hash, doc_id) AS BIGINT) AS pos
+        FROM s
     """,
     "q_array_ops": """
         SELECT vec_id,

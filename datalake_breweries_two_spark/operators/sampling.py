@@ -99,3 +99,74 @@ def stratified_hash_sample(
         else F.lit(fraction_to_hex_threshold(default_rate))
     )
     return df.filter(bucket < threshold)
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: keep stratum ``l`` with
+    probability proportional to ``n_l^(alpha-1)`` (normalized so the rarest
+    stratum keeps everything) — the standard multilingual rebalancing that
+    downweights dominant languages without dropping rare ones.
+
+    Rates are derived FROM the data (one tiny count agg, broadcast back),
+    rounded to 4dp, then converted to the same lexicographic hex threshold
+    ``hash_split`` uses — so membership stays a pure function of
+    (id, seed, stratum counts) with an exact SQL oracle. Shuffle profile:
+    one partial-agg count over strata (rows = #strata) + one broadcast
+    join; the corpus itself never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        F.col(strata_col),
+        F.round(F.pow(F.col("n") / F.col("min_n"), F.lit(alpha - 1.0)), 4).alias("rate"),
+    )
+    threshold = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("rate") * F.lit(float(0x100000000))).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    bucket = _hash_bucket_hex(id_col, seed)
+    return (
+        df.join(F.broadcast(rates.withColumn("threshold", threshold)), strata_col)
+        .filter(bucket < F.col("threshold"))
+        .select(F.col(id_col), F.col(strata_col), F.col("rate"))
+    )
+
+
+def shard_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shard-v1",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic global shuffle for training shards: every row gets a
+    (shard, position) from the first hex nibble of md5(id || seed) — 16
+    shards, position = rank of the full digest within the shard.
+
+    This is how a 100 TB corpus gets a reproducible training order without
+    a global sort: the shard assignment is a projection, and the per-shard
+    ordering is 16 independent window sorts (one shuffle keyed on shard,
+    each partition sorts locally). Re-running on re-partitioned input
+    yields byte-identical shard files.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    shard = (
+        F.expr("instr('0123456789abcdef', substring(_shard_hash, 1, 1))") - 1
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("_shard_hash", id_col)
+    return (
+        df.withColumn("_shard_hash", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(F.col(id_col), *keep_cols, "shard", "pos")
+    )

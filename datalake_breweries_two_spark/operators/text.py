@@ -184,3 +184,127 @@ def word_count_top(docs: DataFrame, k: int = 20, text_col: str = "text") -> Data
     ).filter(F.length("token") > 0)
     counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return global_top_k(counts, "n", "token", k)
+
+
+# --------------------------------------------------------------------------
+# Corpus-quality filters (Gopher/C4-style)
+# --------------------------------------------------------------------------
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals used by Gopher-style quality filters:
+    distinct-token ratio, most-common-token fraction, and most-common-bigram
+    fraction (high values of the latter two flag degenerate/spammy docs).
+
+    Shape: one posexplode → two hash-aggregate cascades (token level, then
+    doc level), bigrams formed with a per-doc window ``lead`` (codegen'd, no
+    Python). Each agg combines map-side; only (doc, gram, count) pairs
+    shuffle, keyed by doc id — at 100 TB this is the same profile as the
+    shingler the dedup tier already runs. Ratios rounded to 4dp for
+    cross-engine hash stability.
+    """
+    from pyspark.sql import Window
+
+    tokens = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    uni = tokens.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    uni_stats = uni.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt = F.lead("token", 1).over(w)
+    bigrams = tokens.select(
+        F.col(id_col), F.concat_ws(" ", F.col("token"), nxt).alias("bigram"), nxt.isNotNull().alias("_full")
+    ).filter(F.col("_full"))
+    bi = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_c")
+    )
+    return (
+        uni_stats.join(bi_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_token_frac"),
+            F.round(F.col("top_bi_c") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of distinct word-``n``-grams that are corpus
+    boilerplate (shingles occurring in >= ``min_docs`` distinct documents) —
+    the C4-style repeated-template detector.
+
+    Shape: the distinct (id, shingle) relation is computed ONCE and consumed
+    twice (document-frequency agg, then the probe side); shingle DF is an
+    agg keyed on the shingle, re-joined on the same key, so the exchange is
+    reused. No text leaves the JVM; counts shuffle as (string, long) pairs.
+    """
+    from datalake_breweries_two_spark.operators.dedup import shingle_docs_exploded
+
+    sh = shingle_docs_exploded(docs, text_col=text_col, id_col=id_col, n=n)
+    sh = sh.localCheckpoint(eager=True)  # two consumers; avoid rescan + reshingle
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    flagged = sh.join(
+        df_counts.filter(F.col("n_docs") >= min_docs).select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    n_boiler = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_boiler"))
+    n_all = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        n_all.join(n_boiler, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails and IPv4 addresses from text, reporting per-doc
+    redaction counts — the pre-training PII pass.
+
+    Pure ``regexp_count`` + ``regexp_replace`` projections: JVM-side,
+    embarrassingly parallel, no shuffle at any scale. Patterns are kept to
+    the RE2-compatible subset so the same regex runs in Spark (Java regex)
+    and the DuckDB oracle (RE2) identically.
+    """
+    n_emails = F.regexp_count(F.col(text_col), F.lit(_EMAIL_RE))
+    n_ips = F.regexp_count(F.col(text_col), F.lit(_IPV4_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        redacted.alias("redacted"),
+    )

@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from datalake_breweries_two_spark.catalog import TABLES, load_table
 from datalake_breweries_two_spark.operators import (
     aggregates,
+    behavior,
     dedup,
+    graph,
     joins,
     multimodal,
     packing,
@@ -1519,6 +1521,28 @@ def q_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shard_order(_t(spark, sf_dir, "documents").select("doc_id"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored view→click→purchase funnel within 60-minute hops: per-user
+    stage timestamps + depth. Each stage is a conditional left join +
+    min-agg keyed on user_id."""
+    return behavior.funnel_stages(_t(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle: first-seen day × day-offset user
+    counts from the distinct user-day relation."""
+    return behavior.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration PageRank over the cosine 3-NN graph of a bounded
+    embedding subset (vec_id < 200). Ranks are fixed-point int64 units so
+    the trajectory is bit-identical to the unrolled-CTE oracle (double
+    sums drift with summation order); per iteration one src-keyed join +
+    one dst-keyed agg, lineage checkpoint every 3."""
+    return graph.pagerank(graph.knn_edges(_t(spark, sf_dir, "embeddings")))
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine over vec_id<50 — the oracle-checked ground
     truth the approximate ANN paths are judged against."""
@@ -2024,6 +2048,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_pii_redact": q_pii_redact,
     "q_temperature_mix": q_temperature_mix,
     "q_shard_order": q_shard_order,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_pagerank": q_pagerank,
 }
 
 
@@ -3168,3 +3195,99 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE_SQL["q_funnel"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT v.user_id, v.t_view, min(e.ts) AS t_click
+        FROM v LEFT JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 60 MINUTE
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT c.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        FROM c LEFT JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 60 MINUTE
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CAST(1 + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage_depth
+    FROM p
+"""
+
+ORACLE_SQL["q_cohort_retention"] = """
+    WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle_sql(num_iter: int = 10) -> str:
+    """Unrolled power-iteration oracle: fixed-count iterative algorithms are
+    SQL-expressible by chaining one CTE per iteration (recursive CTEs can't
+    aggregate in the recursive term). Mirrors graph.pagerank exactly —
+    same 4dp edge rounding, fixed-point int64 rank units (1e-8)."""
+    sq = (
+        "sqrt(list_aggregate(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    cos = (
+        "round(list_aggregate(list_transform(range(1, len(ea) + 1), "
+        "i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)), 'sum') "
+        f"/ ({sq.format(v='ea')} * {sq.format(v='eb')}), 4)"
+    )
+    parts = [
+        f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    pr AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, a.embedding AS ea, b.embedding AS eb
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    scored AS (SELECT src, dst, {cos} AS cos FROM pr),
+    e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    i0 AS (SELECT node, CAST(floor(100000000 / cnt) AS BIGINT) AS rank_e8 FROM nodes, nn)"""
+    ]
+    for t in range(num_iter):
+        parts.append(
+            f"""
+    i{t + 1} AS (
+        SELECT nd.node,
+               CAST(floor(15000000 / nn.cnt) + coalesce(s.contrib, 0) AS BIGINT) AS rank_e8
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum(CAST(floor(85 * i{t}.rank_e8 / (100.0 * deg.d)) AS BIGINT)) AS contrib
+            FROM e JOIN i{t} ON e.src = i{t}.node JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = nd.node
+    )"""
+        )
+    return ",".join(parts) + (
+        f"\n    SELECT node, rank_e8, round(rank_e8 / 100000000.0, 8) AS rank"
+        f" FROM i{num_iter}"
+    )
+
+
+ORACLE_SQL["q_pagerank"] = _pagerank_oracle_sql()

@@ -1,0 +1,95 @@
+"""Behavioral analytics: funnel conversion and cohort retention.
+
+The reference has no event-analytics surface (its events are Airflow task
+logs); these are the two queries every product-analytics workload runs on
+an events table, expressed as plain aggregate/join cascades so Catalyst
+keeps them whole-stage-codegen'd and every step is an exact SQL oracle.
+
+Scale notes: both operators shuffle only (user_id, timestamp) pairs —
+never event payloads — and every aggregate combines map-side first. At
+100 TB the events scan prunes to (user_id, ts, event_type) via column
+pruning; the per-user state is O(1) per funnel step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Anchored funnel: per user, the FIRST ``steps[0]`` event, then for
+    each later step the earliest matching event strictly after the previous
+    stage and within ``within_minutes`` of it.
+
+    Returns one row per user who entered the funnel: the per-stage
+    timestamps (NULL once the funnel broke) and ``stage_depth`` = number of
+    stages reached. Each stage is one conditional left join + min-aggregate;
+    the join key is the user id, so stage N's shuffle reuses stage N-1's
+    partitioning.
+    """
+    interval = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev_cols = [f"t_{steps[0]}"]
+    for step in steps[1:]:
+        # both sides descend from the same events scan — rename the probe
+        # side's columns so the join condition relates distinct attributes
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_uid"), F.col(ts_col).alias("_ts")
+        )
+        prev_t = F.col(prev_cols[-1])
+        cur = (
+            cur.join(
+                nxt,
+                (F.col(user_col) == F.col("_uid"))
+                & (F.col("_ts") > prev_t)
+                & (F.col("_ts") <= prev_t + interval),
+                "left",
+            )
+            .groupBy(user_col, *prev_cols)
+            .agg(F.min("_ts").alias(f"t_{step}"))
+        )
+        prev_cols.append(f"t_{step}")
+    depth = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in prev_cols[1:]),
+        F.lit(1),
+    )
+    return cur.select(
+        F.col(user_col), *prev_cols, depth.cast("long").alias("stage_depth")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort retention triangle: users grouped by first-seen day,
+    counted per day-offset of later activity.
+
+    (cohort_day, day_offset, n_users) — two aggregates and one join, all
+    keyed on the user id; the distinct user-day relation is the only
+    intermediate and it is far smaller than the raw events.
+    """
+    first_seen = events.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    active = events.select(
+        F.col(user_col), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    return (
+        active.join(first_seen, user_col)
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

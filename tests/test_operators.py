@@ -758,3 +758,121 @@ def test_range_sorted_layout_skips_files(spark, tmp_path):
         .count()
     )
     assert per_file <= 2, f"range layout should confine the range to ~1 file, got {per_file}"
+
+
+# ------------------------------------------------- sampling / packing / graph
+
+def test_hash_split_fractions_and_stability(spark):
+    from datalake_breweries_two_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # stable under repartitioning: same rows land in the same split
+    a = {(r["doc_id"], r["split"]) for r in sampling.hash_split(df).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in sampling.hash_split(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_fraction_to_hex_threshold_bounds():
+    from datalake_breweries_two_spark.operators.sampling import (
+        fraction_to_hex_threshold,
+    )
+
+    assert fraction_to_hex_threshold(0.0) == "00000000"
+    assert fraction_to_hex_threshold(0.5) == "80000000"
+    assert fraction_to_hex_threshold(1.0) == "g"  # above all hex: keeps all
+    with pytest.raises(ValueError):
+        fraction_to_hex_threshold(1.5)
+
+
+def test_pack_sequences_budget_invariants(spark):
+    from datalake_breweries_two_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * n)) for i, n in enumerate([10, 200, 100, 300, 5, 50])],
+        ["doc_id", "lang", "text"],
+    )
+    rows = packing.pack_sequences(docs, budget=256).collect()
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(m["n_tokens"] for m in members)
+        # a pack only exceeds the budget when a single doc does
+        assert total <= 256 or len(members) == 1
+        # positions are 0..k-1 in doc_id order
+        ordered = sorted(members, key=lambda m: m["doc_id"])
+        assert [m["pack_pos"] for m in ordered] == list(range(len(members)))
+
+
+def test_temperature_sample_upweights_rare(spark):
+    from datalake_breweries_two_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(1600)] + [(10_000 + i, "rare") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.temperature_sample(df, alpha=0.5)
+    kept = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    # rarest stratum keeps everything; dominant is thinned to ~1/4 (sqrt(100/1600))
+    assert counts["rare"] == 100
+    assert abs(counts["big"] / 1600 - 0.25) < 0.05
+
+
+def test_shard_order_is_repartition_invariant(spark):
+    from datalake_breweries_two_spark.operators import sampling
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = sorted(tuple(r) for r in sampling.shard_order(df).collect())
+    b = sorted(tuple(r) for r in sampling.shard_order(df.repartition(7)).collect())
+    assert a == b
+    shards = {r[1] for r in a}
+    assert shards <= set(range(16)) and len(shards) == 16
+
+
+def test_pagerank_conserves_mass_and_favors_hubs(spark):
+    from datalake_breweries_two_spark.operators import graph
+
+    # star: spokes point at the hub, hub fans back out (no 2-cycle
+    # oscillation: the hub's mass redistributes evenly each iteration)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)],
+        ["src", "dst"],
+    )
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(edges, num_iter=10).collect()}
+    assert ranks[0] == max(ranks.values())
+    # total mass stays ~1 (floor losses only)
+    assert 0.98 <= sum(ranks.values()) <= 1.000001
+
+
+def test_funnel_depth_requires_order_within_window(spark):
+    from datalake_breweries_two_spark.operators import behavior
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, typ, minutes):
+        return (uid, t0 + dt.timedelta(minutes=minutes), typ)
+
+    events = spark.createDataFrame(
+        # u1: full funnel in order, within 60m hops
+        [ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 30),
+         # u2: click BEFORE the first view -> depth 1
+         ev(2, "click", 0), ev(2, "view", 5),
+         # u3: click too late (>60m after view) -> depth 1
+         ev(3, "view", 0), ev(3, "click", 90),
+         # u4: purchase 50m after click (within) but >60m after view -> depth 3
+         ev(4, "view", 0), ev(4, "click", 40), ev(4, "purchase", 90)],
+        ["user_id", "ts", "event_type"],
+    )
+    depths = {
+        r["user_id"]: r["stage_depth"]
+        for r in behavior.funnel_stages(events).collect()
+    }
+    assert depths == {1: 3, 2: 1, 3: 1, 4: 3}

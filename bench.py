@@ -83,6 +83,21 @@ HEADLINE = [
     "q_tfidf",
     "q_word_count",
     "q_sessionize",
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_repetition_stats",
+    "q_boilerplate_ngrams",
+    "q_pii_redact",
+    "q_temperature_mix",
+    "q_shard_order",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_pagerank",
+    "q_moving_avg_time",
+    "q_zorder_scan",
+    "q_quantize_embeddings",
 ]
 
 

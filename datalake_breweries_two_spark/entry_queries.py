@@ -31,6 +31,7 @@ from datalake_breweries_two_spark.operators import (
     packing,
     quality,
     sampling,
+    timeseries,
     semistructured,
     setops,
     similarity,
@@ -1521,6 +1522,48 @@ def q_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shard_order(_t(spark, sf_dir, "documents").select("doc_id"))
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 quantization of the embedding table —
+    floor-based so the codes are bit-identical across engines; codes
+    surfaced as CSV + checksum. Pure projections, no shuffle."""
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily event value per event type —
+    the time-RANGE window frame (gap days widen the frame; a rows-frame
+    would miscount). Decimal sums inside the frame keep it bit-stable."""
+    return timeseries.moving_avg_time(_t(spark, sf_dir, "events"), days=7)
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout end-to-end: orders staged Morton-interleaved on
+    (o_totalprice, order day), then a 2-D box predicate scans the layout —
+    both columns' row-group min/max stats prune, unlike a 1-D sort.
+    Oracle = the same filter aggregate over the source table (the layout
+    must be value-invisible)."""
+    path = os.path.join(_SCRATCH, "orders_zorder")
+    src = _t(spark, sf_dir, "orders").withColumn(
+        "o_day",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+            "long"
+        ),
+    )
+    lake.write_zorder(src, path, "o_totalprice", "o_day", bits=12, n_files=16)
+    scanned = spark.read.parquet(path).filter(
+        (F.col("o_totalprice") >= 100_000.0)
+        & (F.col("o_totalprice") < 150_000.0)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    return scanned.groupBy("o_orderstatus").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored view→click→purchase funnel within 60-minute hops: per-user
     stage timestamps + depth. Each stage is a conditional left join +
@@ -2048,6 +2091,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_pii_redact": q_pii_redact,
     "q_temperature_mix": q_temperature_mix,
     "q_shard_order": q_shard_order,
+    "q_quantize_embeddings": q_quantize_embeddings,
+    "q_moving_avg_time": q_moving_avg_time,
+    "q_zorder_scan": q_zorder_scan,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_pagerank": q_pagerank,
@@ -3195,6 +3241,62 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE_SQL["q_quantize_embeddings"] = """
+    WITH x AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xd,
+               list_aggregate(list_transform(xd, v -> abs(v)), 'max') AS raw_scale
+        FROM x
+    ),
+    g AS (
+        SELECT vec_id, xd,
+               CASE WHEN raw_scale = 0 THEN 1.0 ELSE raw_scale END AS scale
+        FROM s
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(xd, v -> CAST(floor(v * 127.0 / scale) AS INT)) AS qv
+        FROM g
+    )
+    SELECT vec_id, scale,
+           array_to_string(qv, ',') AS q_csv,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum
+    FROM q
+"""
+
+ORACLE_SQL["q_moving_avg_time"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,4))) AS dec_total
+        FROM events GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT event_type, day,
+               date_diff('day', DATE '1970-01-01', day) AS day_num, dec_total
+        FROM daily
+    )
+    SELECT event_type, day,
+           round(CAST(dec_total AS DOUBLE), 4) + 0.0 AS daily_total,
+           round(CAST(sum(dec_total) OVER w AS DOUBLE) / count(*) OVER w, 4) + 0.0 AS avg_7d
+    FROM d2
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["q_zorder_scan"] = """
+    SELECT o_orderstatus,
+           count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY 1
+"""
 
 ORACLE_SQL["q_funnel"] = """
     WITH v AS (

@@ -327,3 +327,46 @@ def cosine_pairs_exact(
         "id_b",
         (F.round(_cosine(F.col("v_a"), F.col("v_b")), 4) + F.lit(0.0)).alias("cosine"),
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector max-abs int8 quantization — the 4x storage/bandwidth
+    compression applied to embedding tables before ANN serving.
+
+    Determinism: quantized values use FLOOR(x·127/scale), not ROUND — every
+    step (float→double cast, multiply, divide, floor) is an exact IEEE
+    operation on identical operands, so the int8 codes are bit-identical
+    across engines (ROUND would sit on .5 boundaries produced by division
+    and drift). ``scale`` is an exact element max, no arithmetic. Pure
+    per-row projections: no shuffle at any scale; codes are surfaced as a
+    CSV string + checksum so the oracle hash stays array-free.
+    """
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    with_scale = embeddings.select(F.col(id_col), xd.alias("xd")).select(
+        id_col,
+        "xd",
+        F.aggregate(
+            F.col("xd"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        ).alias("raw_scale"),
+    )
+    guarded = with_scale.select(
+        id_col,
+        "xd",
+        F.when(F.col("raw_scale") == 0.0, F.lit(1.0))
+        .otherwise(F.col("raw_scale"))
+        .alias("scale"),
+    )
+    qv = F.transform(
+        F.col("xd"),
+        lambda v: F.floor(v * F.lit(127.0) / F.col("scale")).cast("int"),
+    )
+    return guarded.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.array_join(F.transform(qv, lambda q: q.cast("string")), ",").alias("q_csv"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda acc, q: acc + q).alias("q_sum"),
+    )

@@ -76,3 +76,50 @@ def resample_ffill(
         "slot",
         F.last(F.col("slot_value"), ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+def moving_avg_time(
+    events: DataFrame,
+    days: int = 7,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing ``days``-day moving average of the daily total per group —
+    the canonical time-RANGE window frame (``rangeBetween`` over a day
+    number, NOT rowsBetween: gap days must widen the frame, and rows-frames
+    silently miscount when days are missing).
+
+    Daily totals are summed as decimal (exact, partition-order-independent)
+    and the frame average is decimal-sum / count, so the result is
+    bit-stable across engines. Shuffle profile: one partial-agg groupBy
+    (group, day) then one window exchange on the group key — the window
+    input is one row per group-day, thousands of times smaller than the
+    event stream.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = (
+        events.groupBy(
+            F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,4)")).alias("dec_total"))
+        .withColumn("day_num", F.datediff(F.col("day"), epoch).cast("long"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("day_num")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        F.col(group_col),
+        F.col("day"),
+        (F.round(F.col("dec_total").cast("double"), 4) + F.lit(0.0)).alias("daily_total"),
+        (
+            F.round(
+                F.sum("dec_total").over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias(f"avg_{days}d"),
+    )

@@ -876,3 +876,31 @@ def test_funnel_depth_requires_order_within_window(spark):
         for r in behavior.funnel_stages(events).collect()
     }
     assert depths == {1: 3, 2: 1, 3: 1, 4: 3}
+
+
+def test_zorder_layout_skips_files_on_2d_box(spark, tmp_path):
+    from datalake_breweries_two_spark.sources import lake
+
+    n = 4096
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "z")
+    lake.write_zorder(df, path, "x", "y", bits=6, n_files=16)
+    scanned = spark.read.parquet(path).filter(
+        (F.col("x") >= 0) & (F.col("x") < 16) & (F.col("y") >= 0) & (F.col("y") < 16)
+    )
+    rows = scanned.select(F.input_file_name().alias("f"), "id").collect()
+    # correctness: exactly the 16x16 box survives
+    assert sorted(r["id"] for r in rows) == sorted(
+        i for i in range(n) if i % 64 < 16 and i // 64 < 16
+    )
+    # skipping: the box is 1/16 of the space — it must not touch most files
+    touched = {r["f"] for r in rows}
+    total = {
+        r["f"]
+        for r in spark.read.parquet(path).select(F.input_file_name().alias("f")).collect()
+    }
+    assert len(touched) <= max(2, len(total) // 4), (touched, len(total))

@@ -24,6 +24,7 @@ from datalake_breweries_two_spark.catalog import TABLES, load_table
 from datalake_breweries_two_spark.operators import (
     aggregates,
     behavior,
+    clustering,
     dedup,
     graph,
     joins,
@@ -1564,6 +1565,37 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over order totals (k=4, 3 iterations): deterministic
+    mid-bin init, codegen'd argmin assignment against broadcast centroid
+    literals, one k-row agg per iteration — the MLlib training-loop shape
+    with a fully unrolled per-iteration CTE oracle."""
+    return clustering.kmeans_1d(
+        _t(spark, sf_dir, "orders"), "o_totalprice", k=4, iters=3
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — context-window prep before packing. One explode over a
+    sequence of chunk starts + slice; zero shuffles, no Python."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
+def q_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct users per event type: one Datasketches HLL
+    sketch per (type, day) unioned per type — the incremental rollup shape
+    where later aggregations merge KB-sized sketches instead of re-scanning
+    raw keys. Estimate is engine-specific → rows-only contract; ~2%
+    accuracy vs exact is unit-tested."""
+    events = _t(spark, sf_dir, "events")
+    return setops.hll_partitioned_distinct(
+        events, "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored view→click→purchase funnel within 60-minute hops: per-user
     stage timestamps + depth. Each stage is a conditional left join +
@@ -2094,6 +2126,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_quantize_embeddings": q_quantize_embeddings,
     "q_moving_avg_time": q_moving_avg_time,
     "q_zorder_scan": q_zorder_scan,
+    "q_kmeans_1d": q_kmeans_1d,
+    "q_chunk_documents": q_chunk_documents,
+    "q_hll_partitioned": q_hll_partitioned,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_pagerank": q_pagerank,
@@ -3296,6 +3331,86 @@ ORACLE_SQL["q_zorder_scan"] = """
     WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
       AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
     GROUP BY 1
+"""
+
+def _kmeans_oracle_sql(k: int, iters: int, col: str, table: str) -> str:
+    """Unrolled Lloyd's-iteration CTE oracle mirroring
+    ``clustering.kmeans_1d`` exactly: same IEEE init expression, same
+    strict-lowest-index argmin, same decimal-mean 4dp rounding — so every
+    iteration is bit-identical to the Spark loop."""
+    ks = ", ".join(f"k{j}" for j in range(k))
+    init = ", ".join(f"lo + ({j} + 0.5)*(hi - lo)/{k} AS k{j}" for j in range(k))
+    dists = ", ".join(f"(x - k{j})*(x - k{j}) AS d{j}" for j in range(k))
+    least = ", ".join(f"d{j}" for j in range(k))
+    argmin = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = bd THEN {j}" for j in range(k - 1))
+        + f" ELSE {k - 1} END"
+    )
+    parts = [
+        f"WITH b AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,"
+        f" max(CAST({col} AS DOUBLE)) AS hi FROM {table}),",
+        f"c0 AS (SELECT {init} FROM b),",
+        f"p AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table}),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT x, {argmin} AS c FROM ("
+            f"SELECT x, least({least}) AS bd, {least} FROM ("
+            f"SELECT x, {dists} FROM p, c{i - 1}))),"
+        )
+        parts.append(
+            f"m{i} AS (SELECT c, count(*) AS n,"
+            f" round(CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4)"
+            f" + 0.0 AS mu FROM a{i} GROUP BY c),"
+        )
+        if i < iters:
+            upd = ", ".join(
+                f"coalesce(max(CASE WHEN m.c = {j} THEN m.mu END), max(pr.k{j})) AS k{j}"
+                for j in range(k)
+            )
+            parts.append(f"c{i} AS (SELECT {upd} FROM m{i} m, c{i - 1} pr),")
+    spine = ", ".join(f"({j})" for j in range(k))
+    prev_case = (
+        "CASE s.cluster_id "
+        + " ".join(f"WHEN {j} THEN pr.k{j}" for j in range(k))
+        + " END"
+    )
+    parts.append(
+        f"s AS (SELECT CAST(j AS BIGINT) AS cluster_id FROM (VALUES {spine}) t(j))"
+    )
+    parts.append(
+        "SELECT s.cluster_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_points,"
+        f" coalesce(m.mu, {prev_case}) AS centroid"
+        f" FROM s CROSS JOIN c{iters - 1} pr"
+        f" LEFT JOIN m{iters} m ON m.c = s.cluster_id"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_SQL["q_kmeans_1d"] = _kmeans_oracle_sql(4, 3, "o_totalprice", "orders")
+
+ORACLE_SQL["q_chunk_documents"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 48)) AS start
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, start, toks[start + 1 : start + 64] AS chunk FROM s
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c
+    WHERE len(chunk) > 0
 """
 
 ORACLE_SQL["q_funnel"] = """

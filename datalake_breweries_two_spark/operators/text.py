@@ -308,3 +308,57 @@ def pii_redact(
         n_ips.cast("long").alias("n_ips"),
         redacted.alias("redacted"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step before tokenization/packing (RAG
+    passage extraction, long-doc training windows).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride+chunk_size)``
+    with ``stride = chunk_size - overlap``; the last chunk may be short, and
+    chunk starts are generated while ``start < n_tokens`` (empty documents
+    yield no chunks). The whole operator is explode-over-``sequence`` plus
+    ``slice`` — narrow JVM expressions, ONE cardinality-changing explode and
+    zero shuffles, so at 100 TB the cost is the scan plus the (bounded,
+    ~``1/stride``-per-token) output fan-out. No Python in the plan.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size; got chunk_size={chunk_size}, overlap={overlap}"
+        )
+    stride = chunk_size - overlap
+    trimmed = F.trim(F.col(text_col))
+    toks = F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    with_starts = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+    ).select(
+        id_col,
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return (
+        with_starts.select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -904,3 +904,69 @@ def test_zorder_layout_skips_files_on_2d_box(spark, tmp_path):
         for r in spark.read.parquet(path).select(F.input_file_name().alias("f")).collect()
     }
     assert len(touched) <= max(2, len(total) // 4), (touched, len(total))
+
+
+def test_kmeans_1d_recovers_separated_clusters(spark):
+    from datalake_breweries_two_spark.operators import clustering
+
+    vals = [float(v) for v in [0, 1, 2, 3, 100, 101, 102, 103]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {
+        r["cluster_id"]: (r["n_points"], r["centroid"])
+        for r in clustering.kmeans_1d(df, "x", k=2, iters=5).collect()
+    }
+    assert out[0] == (4, 1.5)
+    assert out[1] == (4, 101.5)
+
+
+def test_kmeans_1d_empty_cluster_keeps_centroid(spark):
+    from datalake_breweries_two_spark.operators import clustering
+
+    # all mass near 0: the high-init centroid never wins a point and must
+    # survive with n_points=0 instead of dividing by zero / vanishing
+    df = spark.createDataFrame([(0.0,), (1.0,), (2.0,)], "x double")
+    rows = clustering.kmeans_1d(df, "x", k=3, iters=3).collect()
+    assert len(rows) == 3
+    assert sum(r["n_points"] for r in rows) == 3
+    assert all(r["centroid"] is not None for r in rows)
+
+
+def test_chunk_documents_boundaries(spark):
+    from datalake_breweries_two_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"])
+        for r in text_ops.chunk_documents(docs, chunk_size=8, overlap=4).collect()
+    )
+    # doc 1: stride 4 -> starts 0,4,8 -> sizes 8,6,2; doc 2: one short
+    # chunk; empty/whitespace docs yield nothing
+    assert rows == [(1, 0, 8), (1, 1, 6), (1, 2, 2), (2, 0, 3)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from datalake_breweries_two_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text_ops.chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_hll_partitioned_estimate_near_exact(spark):
+    from datalake_breweries_two_spark.operators import setops
+
+    df = spark.createDataFrame(
+        [("g", d % 7, d % 2000) for d in range(20000)],
+        "grp string, part int, key long",
+    )
+    got = setops.hll_partitioned_distinct(df, "grp", F.col("part"), "key").collect()
+    assert len(got) == 1 and got[0]["n_parts"] == 7
+    assert abs(got[0]["distinct_est"] - 2000) / 2000 < 0.03

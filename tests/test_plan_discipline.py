@@ -111,3 +111,22 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters" in plan
     assert "c_mktsegment#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_ivf_search_partition_pruned(spark, tmp_path):
+    """The IVF probe must be a partition-PRUNED scan of the precomputed
+    centroid-partitioned index — never a per-query assignment recompute:
+    the corpus scan's PartitionFilters carries centroid_id, and the whole
+    plan contains no window/crossJoin assignment machinery."""
+    from datalake_breweries_two_spark.operators import similarity
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    index_dir = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, index_dir, n_centroids=8)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    df = similarity.ivf_search(spark, index_dir, qvec, k=5, n_probe=2)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "centroid_id#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "Window" not in plan  # no per-query nearest-centroid recompute
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -98,6 +98,9 @@ HEADLINE = [
     "q_moving_avg_time",
     "q_zorder_scan",
     "q_quantize_embeddings",
+    "q_kmeans_1d",
+    "q_chunk_documents",
+    "q_hll_partitioned",
 ]
 
 

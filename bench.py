@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datalake_breweries_two_spark import entry_queries
 from datalake_breweries_two_spark.session import build_session
 
+# Hard budget for the final stdout JSON line (driver tail buffer is 2000).
+_MAX_LINE = 1800
+
 HEADLINE = [
     "q_gold_agg",
     "q_scan_parquet",
@@ -141,17 +144,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    # Full-precision detail for the repo (BASELINE.md refreshes read this).
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # The driver records only the LAST ~2000 chars of stdout and parses the
+    # final line as JSON — a line longer than that buffer gets its head
+    # truncated and fails to parse (this lost round 2's bench). Emit a
+    # compact line and, if the headline set has grown past what fits, fold
+    # the fastest queries into a rest_total bucket (the slow ones are the
+    # ones worth diffing against BASELINE.md; full detail is in
+    # BENCH_DETAIL.json either way).
+    payload = dict(detail)
+    payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > _MAX_LINE:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        folded_n = 0
+        folded_s = 0.0
+        while len(line) > _MAX_LINE and by_cost:
+            name = by_cost.pop()
+            folded_s += timings[name]
+            folded_n += 1
+            payload["queries"] = {k: round(timings[k], 2) for k in by_cost}
+            payload["queries"]["rest_total"] = round(folded_s, 2)
+            payload["rest_n"] = folded_n
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1919,7 +1919,12 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     sessions with event-time timeout — rows-only (no SQL oracle for
     stateful streams). Closed sessions must agree with the batch
-    sessionizer (asserted in tests/test_operators.py)."""
+    sessionizer (asserted in tests/test_operators.py).
+
+    gap=2 minutes: the generated events tables span ~43 minutes, so a gap
+    of 30 minutes could never close a session in append mode (a timeout
+    fires only when the watermark passes last_event+gap — needs a span of
+    at least 2x the gap); 2 minutes produces real closures at every SF."""
     stage_dir = os.path.join(_SCRATCH, "events_stream_sess")
     # sequentially-written time slices → the file source replays an
     # in-order stream (see stage_time_ordered_stream docstring)
@@ -1927,7 +1932,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"), stage_dir
     )
     stream = stream_windows.read_events_stream(spark, stage_dir)
-    sess = stream_windows.sessionize_stream(stream, gap_minutes=30)
+    sess = stream_windows.sessionize_stream(stream, gap_minutes=2)
     return stream_windows.run_stream_to_memory(
         spark, sess, "q_streaming_sessionize_sink", output_mode="append"
     )

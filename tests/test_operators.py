@@ -378,13 +378,18 @@ def test_range_join_bands_broadcast_no_shuffle(spark):
 
 def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     """Closed sessions from the stateful streaming operator must be a subset
-    of the batch sessionizer's sessions, with identical aggregates."""
+    of the batch sessionizer's sessions, with identical aggregates.
+
+    gap=2 minutes: the generated events tables span ~43 minutes total, so a
+    30-minute gap can never close a session (timeout needs the watermark
+    past last+gap, i.e. an event span > 2x the gap) — 2 minutes yields real
+    closures from both the in-batch gap path and the timeout path."""
     stage = str(tmp_path / "ev_stream")
     stream_windows.stage_time_ordered_stream(
         spark, os.path.join(SF_SMOKE, "events.parquet"), stage
     )
     stream = stream_windows.read_events_stream(spark, stage)
-    sess = stream_windows.sessionize_stream(stream, gap_minutes=30)
+    sess = stream_windows.sessionize_stream(stream, gap_minutes=2)
     streamed = stream_windows.run_stream_to_memory(
         spark, sess, "t_sess_stream_sink", output_mode="append"
     ).collect()
@@ -398,7 +403,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
                 F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
                 "user_id", "event_type", "value", "props",
             ),
-            gap_minutes=30,
+            gap_minutes=2,
         ).collect()
     }
     for s in streamed:

@@ -104,6 +104,11 @@ HEADLINE = [
     "q_kmeans_1d",
     "q_chunk_documents",
     "q_hll_partitioned",
+    "q_bm25",
+    "q_token_entropy",
+    "q_weighted_sample",
+    "q_partition_overwrite_dynamic",
+    "q_streaming_upsert",
 ]
 
 

@@ -161,10 +161,14 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Events parquet stores ts as TIMESTAMP(NANOS), which Spark cannot read as a
-# timestamp; with spark.sql.legacy.parquet.nanosAsLong (session factory) it
-# arrives as epoch-nanos long and is floor-divided to micros here. DuckDB
-# oracles over raw event ts use date_trunc('microseconds', ts) to match.
+# Two on-disk layouts for events.ts, both seen from the driver's testdata
+# generator across regenerations: TIMESTAMP(NANOS) (unreadable as a Spark
+# timestamp — spark.sql.legacy.parquet.nanosAsLong in the session factory
+# surfaces it as an epoch-nanos long, floor-divided to micros on read) and
+# plain TIMESTAMP(MICROS) (read directly). `read_events` sniffs the parquet
+# footer and decodes either into the SAME portable schema (`_EVENTS`), so
+# every consumer sees microsecond timestamps regardless of the source
+# layout. DuckDB oracles use date_trunc('microseconds', ts) to match.
 _EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -175,6 +179,69 @@ _EVENTS_RAW = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+# decoded/portable events schema (ts = microsecond timestamp)
+_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Footer sniff: does this events parquet (file or directory of part
+    files) store ts as epoch-nanos — TIMESTAMP(NANOS) or a plain int64
+    column of nanos (synthetic test fixtures)? Either needs the long-decode
+    path; TIMESTAMP(MICROS) reads directly. One footer read — O(1), no
+    data scan; called once per query, not per partition."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        )
+        if not parts:
+            return False
+        f = parts[0]
+    # Use the parquet (not arrow) schema: pyarrow reports INT96 as
+    # timestamp[ns], but Spark reads INT96 natively as TimestampType — only
+    # true TIMESTAMP(NANOS) and bare int64 columns need the long decode.
+    sch = _pq.ParquetFile(f).schema
+    col = next(sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts")
+    if col.physical_type == "INT96":
+        return False
+    lt = str(col.logical_type).lower()
+    return "nano" in lt or lt == "none"
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch events reader: either on-disk ts layout → the `_EVENTS`
+    portable schema (microsecond timestamps)."""
+    from pyspark.sql import functions as F
+
+    if events_ts_is_nanos(path):
+        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
+        # exact integer division ns → µs (a double division would lose
+        # precision at 1e18 magnitudes)
+        return raw.select(
+            F.col("event_id"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+    return spark.read.schema(_EVENTS).parquet(path)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
@@ -188,19 +255,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or default_sf_dir()
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
-        # exact integer division ns → µs (a double division would lose
-        # precision at 1e18 magnitudes)
-        return raw.select(
-            F.col("event_id"),
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-        )
+        return read_events(spark, path)
     return spark.read.schema(TABLES[name]).parquet(path)
 
 

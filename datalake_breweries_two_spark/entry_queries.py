@@ -862,9 +862,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     file slices, then ``dropDuplicatesWithinWatermark`` repairs the stream.
     Rows-only (no SQL oracle for streams); output count == distinct ids,
     asserted in unit tests."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
-    raw = spark.read.schema(_EVENTS_RAW).parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     duplicated = raw.union(raw.filter(F.col("event_id") % 3 == 0))
     dup_parquet = os.path.join(_SCRATCH, "events_dup_src")
     duplicated.write.mode("overwrite").parquet(dup_parquet)
@@ -905,12 +905,11 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     a static user→tier dimension, then counts per tier under a watermark.
     The static side re-resolves per trigger (picks up dim updates) and
     broadcasts — the stream never shuffles for the join. Rows-only."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
     stage_dir = os.path.join(_SCRATCH, "events_enrich_stream")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(stage_dir)
@@ -942,13 +941,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user attribution counts. Rows-only (stream == batch twin is
     unit-tested; the oracle would be the batch join, which Spark streaming
     reproduces exactly once drained)."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
     from datalake_breweries_two_spark.streaming import joins as stream_joins
 
     stage_dir = os.path.join(_SCRATCH, "events_ssjoin_stream")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(stage_dir)
@@ -999,12 +997,11 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/slide overlapping buckets; watermark bounds the multiplied
     state. Rows-only (no SQL oracle for streams); the batch twin
     q_sliding_window carries the full oracle."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
     stage_dir = os.path.join(_SCRATCH, "events_sliding_stream")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(stage_dir)
@@ -1880,7 +1877,10 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stream_windows.sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+    """Batch sessionization, 2-minute inactivity gap — the events tables
+    span ~43 minutes, so a 30-minute gap would degenerate to one session
+    per user; 2 minutes exercises real session breaks at every SF."""
+    return stream_windows.sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=2)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,12 +1898,11 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-stream source needs a DIRECTORY; stage the raw events as 4 files
     # so maxFilesPerTrigger=1 yields multiple batches (watermark advances
     # between batches, exercising state cleanup like a real stream)
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
     stage_dir = os.path.join(_SCRATCH, "events_stream")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(stage_dir)
@@ -3263,7 +3262,7 @@ ORACLE_SQL: dict[str, str] = {
         gaps AS (
             SELECT user_id, event_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+                             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 2 * 60 * 1000
                         THEN 1 ELSE 0 END AS is_new
             FROM norm
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -3513,3 +3512,177 @@ def _pagerank_oracle_sql(num_iter: int = 10) -> str:
 
 
 ORACLE_SQL["q_pagerank"] = _pagerank_oracle_sql()
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring against a fixed query-term set — the
+    retrieval-quality twin of q_tfidf (text.py:bm25_scores has the plan
+    shape). Full oracle: same Lucene-idf formula in SQL with identical
+    rounding discipline."""
+    return text.bm25_scores(
+        _t(spark, sf_dir, "documents"), query_terms=["spark", "join", "data"]
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) — the
+    repetition/diversity quality signal; H = ln(n) - sum(c*ln c)/n over
+    (doc, token) counts, decimal-summed components."""
+    return text.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis keys from md5 draws, weight = document length) — top-50
+    importance-weighted corpus selection, reproducible on any engine or
+    partitioning."""
+    return sampling.weighted_hash_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=50
+    )
+
+
+def q_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite end-to-end: orders staged hive-
+    partitioned by status, then ONLY the 'F' partition rewritten (prices
+    doubled) via partitionOverwriteMode=dynamic — other partitions' files
+    untouched (the incremental-refresh write the reference's daily full
+    overwrite lacks). Oracle = declarative recompute of the expected final
+    table state."""
+    path = os.path.join(_SCRATCH, "orders_dynpart")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lake.write_parquet(base, path, partition_by=["o_orderstatus"])
+    delta = base.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    lake.write_partitioned_dynamic(delta, path, ["o_orderstatus"])
+    final = spark.read.parquet(path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate → foreachBatch MERGE into a versioned lake table
+    (the Delta `foreachBatch + MERGE` pattern on this repo's versioned-
+    parquet layer, streaming/sinks.py). Update-mode per-user running
+    totals; after the stream drains, the published table state must equal
+    a batch recompute — which is exactly what the oracle checks, making
+    this the rare STREAMING query with a full SQL oracle."""
+    import shutil
+
+    from datalake_breweries_two_spark.catalog import read_events
+    from datalake_breweries_two_spark.streaming.sinks import stream_upsert_versioned
+
+    stage_dir = os.path.join(_SCRATCH, "events_stream_upsert")
+    root = os.path.join(_SCRATCH, "stream_upsert_table")
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        read_events(spark, os.path.join(sf_dir, "events.parquet"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.col("event_id")).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_total"),
+    )
+    stream_upsert_versioned(spark, agg, root, ["user_id"], "q_streaming_upsert")
+    final = lake.read_versioned(spark, root)
+    return final.select(
+        "user_id",
+        "n_events",
+        F.col("dec_total").cast("double").alias("total_value"),
+    )
+
+
+QUERIES["q_bm25"] = q_bm25
+QUERIES["q_token_entropy"] = q_token_entropy
+QUERIES["q_weighted_sample"] = q_weighted_sample
+QUERIES["q_partition_overwrite_dynamic"] = q_partition_overwrite_dynamic
+QUERIES["q_streaming_upsert"] = q_streaming_upsert
+
+ORACLE_SQL["q_bm25"] = """
+    WITH tokens AS (
+        SELECT doc_id, t.token AS term
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE length(t.token) > 0
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+    avgdl AS (
+        SELECT round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl FROM doclen
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tokens
+        WHERE term IN ('spark', 'join', 'data') GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               round(ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+        FROM tf, n GROUP BY term, n_docs
+    )
+    SELECT tf.doc_id,
+           CAST(round(sum(CAST(round(
+               idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / avgdl.avgdl)), 6)
+           AS DECIMAL(18,6))), 4) AS DOUBLE) AS bm25
+    FROM tf
+    JOIN doclen ON tf.doc_id = doclen.doc_id
+    JOIN idf ON tf.term = idf.term
+    CROSS JOIN avgdl
+    GROUP BY tf.doc_id
+"""
+
+ORACLE_SQL["q_token_entropy"] = """
+    WITH tokens AS (
+        SELECT doc_id, t.token AS token
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE length(t.token) > 0
+    ),
+    counts AS (SELECT doc_id, token, count(*) AS c FROM tokens GROUP BY doc_id, token)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(ln(sum(c)) - CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6)))
+                                   AS DOUBLE) / sum(c), 4) AS entropy_nats
+    FROM counts GROUP BY doc_id
+"""
+
+ORACLE_SQL["q_weighted_sample"] = """
+    SELECT doc_id, n_chars AS weight,
+           round(ln((CAST(('0x' || substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                                        'wsample-v1')), 1, 13))
+                          AS BIGINT) + 1.0) / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE), 8) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 50
+"""
+
+ORACLE_SQL["q_partition_overwrite_dynamic"] = """
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM final GROUP BY o_orderstatus
+"""
+
+ORACLE_SQL["q_streaming_upsert"] = """
+    SELECT user_id,
+           count(event_id) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+"""

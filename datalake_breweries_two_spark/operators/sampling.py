@@ -170,3 +170,42 @@ def shard_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(F.col(id_col), *keep_cols, "shard", "pos")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ~ U(0,1] from md5(id || seed) and is
+    ranked by key = ln(u) / w — the k largest keys are a weighted sample
+    (inclusion probability proportional to weight, exactly the reservoir
+    algorithm's distribution) — but with the RNG replaced by the portable
+    digest, so the same k rows are chosen by any engine, any partitioning,
+    any run.
+
+    This is the importance-weighted corpus selection step (sample documents
+    proportional to a quality score) done scale-right: one projection, one
+    TakeOrderedAndProject (top-k, no global sort, P*k rows to the driver
+    stage). u is the first 13 hex digits (52 bits — exactly representable
+    in a double) of the digest, shifted to (0,1]; the key is rounded to
+    8dp before ranking with (key desc, id asc) tie-break so the selected
+    set is stable across libm implementations.
+
+    Rows with weight <= 0 are excluded (they have zero inclusion
+    probability in the A-ES scheme; ln(u)/w would flip sign).
+    """
+    digest = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    # 52-bit integer from 13 hex chars; +1 shifts the draw to (0, 2^52]
+    u_int = F.conv(F.substring(digest, 1, 13), 16, 10).cast("double") + 1.0
+    u = u_int / float(1 << 52)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 8)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col).alias("weight"), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -362,3 +362,116 @@ def chunk_documents(
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval-scoring twin of :func:`tfidf_top_terms` (reference has no
+    text surface; LLM-pipeline tier, SURVEY.md §2.2).
+
+    Uses the Lucene idf variant ln(1 + (N - df + 0.5)/(df + 0.5)), which is
+    always positive. Plan shape: the text is exploded and aggregated to the
+    (doc, term) count relation ONCE (map-side partial combine absorbs the
+    token blowup before the single wide shuffle); an eager localCheckpoint
+    materializes that relation so the doc-length, avgdl, tf, and df sides
+    all derive from it WITHOUT re-scanning the corpus text (the same
+    shared-stage discipline as dedup.py's signature table — at 100 TB,
+    stage it to parquet instead). df and N are |query|-row / 1-row
+    broadcasts. The final per-doc sum runs over at most |query_terms| rows
+    per doc as exact decimals, so the score is partition-order
+    independent; idf and the saturation term are rounded before combining
+    so libm 1-ulp differences cannot flip the hash (same discipline as
+    tfidf).
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    counts = (
+        tokens.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    doclen = counts.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    # avgdl: exact integer sum / count, rounded — both engines agree exactly
+    avgdl = doclen.agg(
+        F.round(
+            F.sum("dl").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avgdl")
+    )
+    tf = counts.filter(F.col("term").isin(query_terms)).select(
+        "doc_id", "term", F.col("c").alias("tf")
+    )
+    # N counts ALL documents (even token-less ones) — matches the oracle's
+    # count(*); this scan is column-pruned to nothing (count-only)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    component = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    return (
+        tf.join(doclen, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .join(F.broadcast(idf), "term")
+        .select(F.col("doc_id"), component.cast("decimal(18,6)").alias("c"))
+        .groupBy("doc_id")
+        # round the EXACT decimal sum (half-up in both engines), THEN cast:
+        # rounding after a double cast diverges when the sum lands on a
+        # .xxxx5 boundary (Spark rounds the decimal string, DuckDB the
+        # binary double)
+        .agg(F.round(F.sum("c"), 4).cast("double").alias("bm25"))
+    )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution — the
+    repetition/diversity quality signal that length ratios miss (a doc
+    repeating one token 500 times scores ~0; uniformly diverse text scores
+    ln(n_distinct)).
+
+    Identity used: H = ln(n) - (sum_t c_t*ln(c_t)) / n, which needs only
+    per-(doc,token) counts — one explode, one (doc,token) agg with map-side
+    combine, one doc agg. The c*ln(c) terms are rounded then decimal-summed
+    so H is partition-order independent and engine-portable; empty docs
+    (no tokens) are dropped (entropy undefined).
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), 6).cast("decimal(18,6)")
+        ).alias("sum_clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(F.col("n")) - F.col("sum_clnc").cast("double") / F.col("n"), 4
+        ).alias("entropy_nats"),
+    )

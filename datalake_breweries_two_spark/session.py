@@ -59,6 +59,12 @@ def build_session(
         # of epoch-nanos; catalog.load_table converts to TimestampType via
         # exact integer division (Spark has no native ns timestamp).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as TIMESTAMP(MICROS), not the legacy INT96:
+        # readable by every engine (DuckDB, pyarrow) AND keeps
+        # catalog.events_ts_is_nanos' footer sniff unambiguous (pyarrow
+        # reports INT96 as timestamp[ns], which would misroute staged
+        # event files into the nanos-long decode path).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -53,6 +53,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_partitioned_dynamic(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions present
+    in ``df``, leaving every other partition's files untouched — the
+    incremental-refresh write the reference lacks (its daily job rewrites
+    the whole table with ``mode("overwrite")``, ``plugins/
+    brewery_operators.py:196,328``; SURVEY.md §4 flags this as the
+    partial "incremental/dynamic overwrite" row).
+
+    At 100 TB this is the difference between rewriting a day's partition
+    (~0.1% of the table) and rewriting everything: the writer stages new
+    files per touched partition and swaps them in, so a daily pipeline is
+    O(delta), not O(table). The option is set per-write (not on the
+    session) so concurrent full-overwrite writes keep their static
+    semantics.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Raw JSON-lines sink (reference K1 bronze shape, distributed instead
     of a driver-side ``put_object``)."""

@@ -1,0 +1,68 @@
+"""Streaming → lake sinks: foreachBatch upsert into a versioned table.
+
+The reference's sink story is a daily full overwrite (silver/gold
+``mode("overwrite")``, ``plugins/brewery_operators.py:196,328``) plus a
+JDBC copy. The streaming-native equivalent of its gold refresh is this
+module: a continuously-updating aggregate MERGEd into the versioned lake
+table every micro-batch — the Delta `foreachBatch + MERGE` pattern built
+on this repo's own versioned-parquet transaction layer (`sources/lake.py`).
+
+Scale profile: per trigger, only the CHANGED aggregate rows cross the
+merge (update-mode streaming aggregation emits exactly the keys whose
+state changed this batch), and the merge itself is a key-partitioned
+full-outer join between a bounded-cardinality aggregate table and a
+same-sized delta — at 100 TB the stream's raw volume never touches the
+sink path. Exactly-once: the versioned writer publishes each batch's
+result as an immutable snapshot behind an atomic pointer swap, so a
+crashed batch leaves the previous version readable (re-running the batch
+is idempotent because MERGE on the key set converges to the same state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_breweries_two_spark.sources.lake import (
+    latest_table_version,
+    merge_upsert,
+    read_versioned,
+    write_versioned,
+)
+
+
+def stream_upsert_versioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    key_cols: list[str],
+    query_name: str = "stream_upsert",
+) -> None:
+    """Drive an update-mode streaming aggregate to completion, MERGEing
+    each micro-batch's emitted rows into the versioned table at ``root``.
+
+    ``updates`` must be a streaming aggregate keyed by ``key_cols`` (update
+    output mode: each trigger emits the full current value for every key
+    whose aggregate changed — so merge-by-key converges to the same final
+    state a batch recompute would produce, which is what the oracle
+    checks).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df
+        if latest_table_version(root) is not None:
+            base = read_versioned(spark, root)
+            merged = merge_upsert(base, delta, key_cols)
+        else:
+            merged = delta
+        write_versioned(merged, root)
+
+    q = (
+        updates.writeStream.outputMode("update")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -27,22 +27,34 @@ from datalake_breweries_two_spark.catalog import TABLES
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events layout (one file per trigger batch
-    in tests; kafka in production — same downstream plan). The ns→µs
-    conversion mirrors ``catalog.load_table`` (Spark has no ns timestamps)."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    in tests; kafka in production — same downstream plan). Sniffs the staged
+    files' ts layout once at stream definition (a stream needs ONE fixed
+    schema) and decodes either layout to microsecond timestamps, mirroring
+    ``catalog.read_events``."""
+    from datalake_breweries_two_spark.catalog import (
+        _EVENTS,
+        _EVENTS_RAW,
+        events_ts_is_nanos,
+    )
 
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+    if events_ts_is_nanos(path):
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.select(
+            F.col("event_id"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+    return (
+        spark.readStream.schema(_EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
-    )
-    return raw.select(
-        F.col("event_id"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        F.col("user_id"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("props"),
     )
 
 
@@ -118,18 +130,21 @@ def stage_time_ordered_stream(
     ntile buckets: an unpartitioned ``ntile`` window would funnel the whole
     table through one partition; range predicates instead push down to the
     parquet scan and each slice write stays fully parallel."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
-    ev = spark.read.schema(_EVENTS_RAW).parquet(src_parquet)
-    # raw ts is epoch-nanos LONG (see catalog._EVENTS_RAW / nanosAsLong)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    ev = read_events(spark, src_parquet)
+    # decoded µs timestamps (catalog.read_events); slice arithmetic in
+    # integer epoch-micros, boundaries pushed down as timestamp literals
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts"))), F.max(F.unix_micros(F.col("ts")))
+    ).first()
     span = max(hi - lo, 1)
     for i in range(n_slices):
-        lo_ns = lo + span * i // n_slices
-        hi_ns = lo + span * (i + 1) // n_slices
-        pred = F.col("ts") >= F.lit(lo_ns)
+        lo_us = lo + span * i // n_slices
+        hi_us = lo + span * (i + 1) // n_slices
+        pred = F.col("ts") >= F.timestamp_micros(F.lit(lo_us))
         if i < n_slices - 1:
-            pred = pred & (F.col("ts") < F.lit(hi_ns))
+            pred = pred & (F.col("ts") < F.timestamp_micros(F.lit(hi_us)))
         (
             ev.filter(pred)
             .coalesce(1)

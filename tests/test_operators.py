@@ -153,12 +153,11 @@ def test_decode_stub_rejects_unknown_type():
 def test_streaming_matches_batch_tumbling(spark, tmp_path):
     """The streaming tumbling window must produce exactly the batch twin's
     per-(window, event_type) counts once the stream is drained."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
     stage = str(tmp_path / "stream_in")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
         .repartition(3)
         .write.mode("overwrite")
         .parquet(stage)
@@ -197,7 +196,7 @@ def test_streaming_matches_batch_tumbling(spark, tmp_path):
 def test_streaming_watermark_drops_late(spark, tmp_path):
     """A row older than (max event time − watermark delay) arriving in a
     LATER trigger must be dropped from the windowed aggregate."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW  # synthetic ns-long rows
 
     stage = str(tmp_path / "stream_late")
     ns = 1_000_000_000
@@ -384,6 +383,8 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     30-minute gap can never close a session (timeout needs the watermark
     past last+gap, i.e. an event span > 2x the gap) — 2 minutes yields real
     closures from both the in-batch gap path and the timeout path."""
+    from datalake_breweries_two_spark.catalog import read_events
+
     stage = str(tmp_path / "ev_stream")
     stream_windows.stage_time_ordered_stream(
         spark, os.path.join(SF_SMOKE, "events.parquet"), stage
@@ -398,11 +399,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     batch = {
         (r["user_id"], r["session_start"], r["session_end"]): r
         for r in stream_windows.sessionize_batch(
-            spark.read.parquet(stage).select(
-                "event_id",
-                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-                "user_id", "event_type", "value", "props",
-            ),
+            read_events(spark, stage),
             gap_minutes=2,
         ).collect()
     }
@@ -494,11 +491,9 @@ def test_approx_percentile_within_tolerance(spark):
 def test_streaming_dedup_restores_distinct_set(spark, tmp_path):
     """Replaying 30% of events as exact duplicates through the watermarked
     streaming dedup must restore exactly the original distinct id set."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
 
-    raw = spark.read.schema(_EVENTS_RAW).parquet(
-        os.path.join(SF_SMOKE, "events.parquet")
-    )
+    raw = read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
     duplicated = raw.union(raw.filter(F.col("event_id") % 3 == 0))
     dup_src = str(tmp_path / "dup_src")
     duplicated.write.mode("overwrite").parquet(dup_src)
@@ -625,14 +620,13 @@ def test_versioned_table_atomic_swap(spark, tmp_path):
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """The watermarked stream-stream interval join must produce exactly the
     batch twin's (view_id, click_id) attribution pairs once drained."""
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW, load_table
+    from datalake_breweries_two_spark.catalog import load_table, read_events
     from datalake_breweries_two_spark.streaming import joins as stream_joins
     from datalake_breweries_two_spark.streaming import windows as sw
 
     stage = str(tmp_path / "ssjoin_in")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
         .repartition(3)
         .write.mode("overwrite")
         .parquet(stage)
@@ -702,7 +696,7 @@ def test_running_totals_stream_e2e(spark, tmp_path):
     """Drained TWS stream's final per-user totals == batch groupBy agg.
     Skips where the TWS protobuf runtime is unavailable."""
     pytest.importorskip("google.protobuf.descriptor")
-    from datalake_breweries_two_spark.catalog import _EVENTS_RAW
+    from datalake_breweries_two_spark.catalog import read_events
     from datalake_breweries_two_spark.streaming import state as st
     from datalake_breweries_two_spark.streaming import windows as sw
 
@@ -712,8 +706,7 @@ def test_running_totals_stream_e2e(spark, tmp_path):
     )
     stage = str(tmp_path / "tws_in")
     (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
         .repartition(3)
         .write.mode("overwrite")
         .parquet(stage)
@@ -726,8 +719,7 @@ def test_running_totals_stream_e2e(spark, tmp_path):
         F.max("n_events").alias("n"), F.max("total_value").alias("tv")
     )
     batch = (
-        spark.read.schema(_EVENTS_RAW)
-        .parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
     )
@@ -975,3 +967,69 @@ def test_hll_partitioned_estimate_near_exact(spark):
     got = setops.hll_partitioned_distinct(df, "grp", F.col("part"), "key").collect()
     assert len(got) == 1 and got[0]["n_parts"] == 7
     assert abs(got[0]["distinct_est"] - 2000) / 2000 < 0.03
+
+
+# ---------------------------------------------------------------- dynamic partition overwrite
+
+def test_dynamic_overwrite_preserves_other_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the written frame — other partitions' files stay
+    byte-identical on disk (same file names, untouched)."""
+    import glob
+
+    path = str(tmp_path / "dyn")
+    base = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lake.write_parquet(base, path, partition_by=["o_orderstatus"])
+    statuses = sorted(
+        os.path.basename(d).split("=")[1]
+        for d in glob.glob(os.path.join(path, "o_orderstatus=*"))
+    )
+    assert len(statuses) >= 2
+    target, untouched = statuses[0], statuses[1]
+    before = sorted(
+        glob.glob(os.path.join(path, f"o_orderstatus={untouched}", "*.parquet"))
+    )
+    delta = base.filter(F.col("o_orderstatus") == target).limit(5)
+    lake.write_partitioned_dynamic(delta, path, ["o_orderstatus"])
+    after = sorted(
+        glob.glob(os.path.join(path, f"o_orderstatus={untouched}", "*.parquet"))
+    )
+    assert before == after  # untouched partition's files unchanged
+    replaced = spark.read.parquet(path).filter(
+        F.col("o_orderstatus") == target
+    )
+    assert replaced.count() == 5  # target partition fully replaced
+
+
+# ---------------------------------------------------------------- weighted sampling
+
+def test_weighted_sample_stable_under_repartition(spark):
+    """The Efraimidis-Spirakis hash sample must select the identical id set
+    regardless of input partitioning (no RNG, no partition dependence)."""
+    from datalake_breweries_two_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    a = {r["doc_id"] for r in weighted_hash_sample(docs, "n_chars", 40).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_hash_sample(docs.repartition(7), "n_chars", 40).collect()
+    }
+    assert a == b
+    assert len(a) == 40
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Sampling k of n with weights ~n_chars must overselect heavy docs:
+    the sampled mean weight exceeds the corpus mean."""
+    from datalake_breweries_two_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    sampled_mean = (
+        weighted_hash_sample(docs, "n_chars", 100)
+        .agg(F.avg("weight"))
+        .first()[0]
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sampled_mean > corpus_mean

@@ -3686,3 +3686,28 @@ ORACLE_SQL["q_streaming_upsert"] = """
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
 """
+
+
+def q_media_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload fixity checksums (sha2 over the hex encoding —
+    portable across engines whose hash functions are VARCHAR-only) for the
+    deterministic synthetic media table. The ONE multimodal query with a
+    full oracle: DuckDB reconstructs the same payload bytes
+    (repeat(unhex(sha256(i)), 32)) and verifies every checksum."""
+    return multimodal.media_checksums(multimodal.synthetic_media(spark, n=48))
+
+
+QUERIES["q_media_checksum"] = q_media_checksum
+
+ORACLE_SQL["q_media_checksum"] = """
+    WITH m AS (
+        SELECT i AS media_id,
+               ['image', 'audio', 'video'][(i % 3) + 1] AS media_type,
+               repeat(unhex(sha256(CAST(i AS VARCHAR))), 32) AS payload
+        FROM generate_series(0, 47) t(i)
+    )
+    SELECT media_id, media_type,
+           CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+           sha256(hex(payload)) AS payload_hex_sha256
+    FROM m
+"""

@@ -169,3 +169,23 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def media_checksums(media: DataFrame) -> DataFrame:
+    """Engine-portable fixity checksums over the opaque binary payloads —
+    the integrity-audit pass every media lake runs after ingest/copy.
+
+    Hashes the HEX encoding of the payload (``sha2(hex(payload))``) rather
+    than the raw bytes: every SQL engine hashes strings identically, while
+    blob-hash support varies (DuckDB's sha256 is VARCHAR-only) — so the
+    checksum column is verifiable by any engine reading the same parquet.
+    Pure JVM expression tree (no Python on this path, unlike the decode
+    stubs); payload bytes stream through the hash without ever reaching
+    the driver, and metadata-only readers still prune the blob column.
+    """
+    return media.select(
+        F.col("media_id"),
+        F.col("media_type"),
+        F.length(F.col("payload")).cast("long").alias("payload_bytes"),
+        F.sha2(F.hex(F.col("payload")), 256).alias("payload_hex_sha256"),
+    )

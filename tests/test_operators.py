@@ -1033,3 +1033,48 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     )
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sampled_mean > corpus_mean
+
+
+# ---------------------------------------------------------------- events ts layouts
+
+def test_read_events_decodes_all_ts_layouts(spark, tmp_path):
+    """catalog.read_events must produce identical rows for every on-disk ts
+    layout the driver/staging sessions can produce: TIMESTAMP(MICROS)
+    (regenerated testdata), bare int64 epoch-nanos (legacy layout /
+    synthetic fixtures), and INT96 (Spark's default timestamp write when a
+    session doesn't set outputTimestampType)."""
+    from datalake_breweries_two_spark.catalog import _EVENTS_RAW, read_events
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    base = read_events(spark, src)
+    expect = {
+        (r["event_id"], r["ts"], r["user_id"]) for r in base.limit(50).collect()
+    }
+    ids = [r[0] for r in base.limit(50).select("event_id").collect()]
+    sub = base.filter(F.col("event_id").isin(ids))
+
+    # int64 epoch-nanos layout
+    ns_path = str(tmp_path / "ev_ns")
+    sub.select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(ns_path)
+    got_ns = {
+        (r["event_id"], r["ts"], r["user_id"])
+        for r in read_events(spark, ns_path).collect()
+    }
+    assert got_ns == expect
+
+    # INT96 layout (a session that never set outputTimestampType)
+    int96_path = str(tmp_path / "ev_int96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        sub.write.mode("overwrite").parquet(int96_path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    got_96 = {
+        (r["event_id"], r["ts"], r["user_id"])
+        for r in read_events(spark, int96_path).collect()
+    }
+    assert got_96 == expect

@@ -130,3 +130,22 @@ def test_ivf_search_partition_pruned(spark, tmp_path):
     assert "centroid_id#" in plan.split("PartitionFilters")[1].split("]")[0]
     assert "Window" not in plan  # no per-query nearest-centroid recompute
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    """Top-k by ES key must be TakeOrderedAndProject (bounded P*k driver
+    transfer), never a global Sort."""
+    df = entry_queries.QUERIES["q_weighted_sample"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_bm25_scans_text_once(spark):
+    """bm25's (doc,term) count relation is checkpoint-shared: the final plan
+    must NOT re-scan the documents text for each consumer — only the
+    count-only N scan and the checkpointed counts remain."""
+    df = entry_queries.QUERIES["q_bm25"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 1, "documents text re-scanned"
+    assert "Scan ExistingRDD" in plan  # the checkpointed counts relation

@@ -109,6 +109,11 @@ HEADLINE = [
     "q_weighted_sample",
     "q_partition_overwrite_dynamic",
     "q_streaming_upsert",
+    "q_media_checksum",
+    "q_equi_depth_bins",
+    "q_winsorize",
+    "q_impute_group_mean",
+    "q_fuzzy_pairs",
 ]
 
 

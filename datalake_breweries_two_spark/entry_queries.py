@@ -24,6 +24,7 @@ from datalake_breweries_two_spark.catalog import TABLES, load_table
 from datalake_breweries_two_spark.operators import (
     aggregates,
     behavior,
+    cleaning,
     clustering,
     dedup,
     graph,
@@ -3710,4 +3711,110 @@ ORACLE_SQL["q_media_checksum"] = """
            CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
            sha256(hex(payload)) AS payload_hex_sha256
     FROM m
+"""
+
+
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order totals into 8 bins — exact
+    percentile edges as ONE distributed aggregate, broadcast back, bin
+    assignment a pure projection (no global-sort ntile window)."""
+    return cleaning.equi_depth_bins(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", n_bins=8
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at the exact [p05, p95] quantiles —
+    outlier damping that preserves row count."""
+    return cleaning.winsorize(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+def q_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation over a deterministically nulled value column
+    (event_id % 7 == 0 → NULL): decimal-exact group means broadcast back,
+    coalesce projection fills the gaps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return cleaning.impute_group_mean(ev, "event_type", "value", "event_id")
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution pairs over part names: blocked on the head noun
+    (last token), Levenshtein ≤ 4 within blocks only — candidate scoring
+    without a quadratic self-join; JVM-side edit distance."""
+    return dedup.fuzzy_blocked_pairs(
+        _t(spark, sf_dir, "part"), "p_name", "p_partkey", max_distance=4
+    )
+
+
+QUERIES["q_equi_depth_bins"] = q_equi_depth_bins
+QUERIES["q_winsorize"] = q_winsorize
+QUERIES["q_impute_group_mean"] = q_impute_group_mean
+QUERIES["q_fuzzy_pairs"] = q_fuzzy_pairs
+
+ORACLE_SQL["q_equi_depth_bins"] = """
+    WITH e AS (
+        SELECT """ + ", ".join(
+    f"round(quantile_cont(o_totalprice, {i}/8.0), 6) AS e{i}" for i in range(1, 8)
+) + """
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(""" + " + ".join(
+    f"CAST(o_totalprice > e{i} AS INT)" for i in range(1, 8)
+) + """ AS BIGINT) AS bin
+    FROM orders, e
+"""
+
+ORACLE_SQL["q_winsorize"] = """
+    WITH b AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 6) AS lo,
+               round(quantile_cont(value, 0.95), 6) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, events.event_type,
+           round(least(greatest(value, lo), hi), 4) AS value_winsorized,
+           (value < lo OR value > hi) AS was_clamped
+    FROM events JOIN b USING (event_type)
+"""
+
+ORACLE_SQL["q_impute_group_mean"] = """
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(value), 4) AS mu
+        FROM ev GROUP BY event_type
+    )
+    SELECT event_id, ev.event_type,
+           round(coalesce(ev.value, m.mu), 4) AS value_imputed,
+           ev.value IS NULL AS was_imputed
+    FROM ev JOIN m USING (event_type)
+"""
+
+ORACLE_SQL["q_fuzzy_pairs"] = """
+    WITH k AS (
+        SELECT p_partkey, p_name,
+               string_split_regex(p_name, '\\s+')[-1] AS blk
+        FROM part
+    ),
+    ok AS (SELECT blk FROM k GROUP BY blk HAVING count(*) <= 256),
+    b AS (SELECT k.* FROM k JOIN ok USING (blk))
+    SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+           levenshtein(a.p_name, c.p_name) AS edit_dist
+    FROM b a JOIN b c USING (blk)
+    WHERE a.p_partkey < c.p_partkey
+      AND levenshtein(a.p_name, c.p_name) <= 4
 """

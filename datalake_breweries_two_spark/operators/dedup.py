@@ -576,3 +576,57 @@ def decontaminate(
         )
         .filter(F.col("overlap_ratio") >= threshold)
     )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_expr: Column | None = None,
+    max_distance: int = 4,
+    block_cap: int = 256,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: names within ``max_distance``
+    Levenshtein edits, found WITHOUT a quadratic corpus self-join.
+
+    Rows are blocked (default: last whitespace token of the name — the
+    head noun for product-style names); only within-block pairs are
+    scored, so the join is a plain equi-join on the block key and the
+    pairwise Levenshtein runs on candidate pairs only. Blocks larger than
+    ``block_cap`` are dropped (degenerate-key guard, same policy as
+    lsh_candidate_pairs). Recall is bounded by the blocking choice —
+    matches whose block keys differ are missed BY DESIGN; widen with
+    multi-pass blocking (e.g. first token + soundex) when the match rules
+    require it. Levenshtein is evaluated JVM-side (Catalyst expression,
+    codegen) — no Python.
+    """
+    block = block_expr if block_expr is not None else F.element_at(
+        F.split(F.col(name_col), r"\s+"), -1
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(name_col), block.alias("_blk")
+    )
+    sizes = keyed.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = keyed.join(
+        F.broadcast(sizes.filter(F.col("_n") <= block_cap).select("_blk")), "_blk"
+    )
+    a = bounded.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = bounded.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_distance)
+    )

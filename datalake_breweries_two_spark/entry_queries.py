@@ -3818,3 +3818,80 @@ ORACLE_SQL["q_fuzzy_pairs"] = """
     WHERE a.p_partkey < c.p_partkey
       AND levenshtein(a.p_name, c.p_name) <= 4
 """
+
+
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone LLM training-data pipeline, end-to-end in ONE declarative
+    plan: quality gate → exact dedup (md5 content key, min-id canonical) →
+    deterministic train/val/test split → 16-way shard assignment →
+    per-(split, shard) rollup. The whole chain is projections + one
+    dedup aggregate — every decision a pure function of content/id, so
+    the pipeline is reproducible on any engine at any parallelism (full
+    oracle recomputes it declaratively).
+
+    This is the LLM-data sibling of q_medallion_e2e (which mirrors the
+    reference's DAG shape, plans/medallion.py): at 100 TB each stage is
+    shuffle-free except the dedup groupBy on the md5 key — uniformly
+    distributed by construction, AQE-splittable, and the only wide
+    exchange before the final bounded-cardinality rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.filter(
+        (F.col("n_chars") >= 100) & (text.whitespace_token_count("text") >= 10)
+    )
+    canonical = (
+        quality.groupBy(F.md5(F.col("text")).alias("content_key"))
+        .agg(F.min(F.col("doc_id")).alias("doc_id"), F.min("n_chars").alias("n_chars"))
+    )
+    split = sampling.hash_split(canonical, id_col="doc_id")
+    shard = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("shard-v1"))),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        split.withColumn("shard", shard)
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.col("doc_id")).alias("n_docs"),
+            F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+QUERIES["q_training_pipeline_e2e"] = q_training_pipeline_e2e
+
+ORACLE_SQL["q_training_pipeline_e2e"] = """
+    WITH quality AS (
+        SELECT * FROM documents
+        WHERE n_chars >= 100
+          AND CASE WHEN trim(text) = '' THEN 0
+                   ELSE length(regexp_split_to_array(trim(text), '\\s+')) END >= 10
+    ),
+    canonical AS (
+        SELECT md5(text) AS content_key,
+               min(doc_id) AS doc_id,
+               min(n_chars) AS n_chars
+        FROM quality GROUP BY md5(text)
+    ),
+    labeled AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split-v1')), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split-v1')), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'shard-v1')), 1, 1))
+                    - 1 AS BIGINT) AS shard
+        FROM canonical
+    )
+    SELECT split, shard,
+           count(doc_id) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split, shard
+"""

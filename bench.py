@@ -114,6 +114,7 @@ HEADLINE = [
     "q_winsorize",
     "q_impute_group_mean",
     "q_fuzzy_pairs",
+    "q_training_pipeline_e2e",
 ]
 
 

@@ -149,3 +149,42 @@ def test_bm25_scans_text_once(spark):
     plan = _plan(df)
     assert plan.count("Scan parquet") <= 1, "documents text re-scanned"
     assert "Scan ExistingRDD" in plan  # the checkpointed counts relation
+
+
+# Wide-shuffle budgets: max SHUFFLE exchanges (Exchange minus
+# BroadcastExchange) each flagship plan is allowed. These freeze the
+# shuffle profile the operator docstrings promise — a regression that
+# adds a wide exchange (lost broadcast, lost partial-agg, accidental
+# repartition) fails here before it costs anything at scale.
+SHUFFLE_BUDGET = {
+    "q_gold_agg": 1,            # one partial→final agg
+    "q_silver_projection": 0,   # pure projection
+    "q_join_inner": 0,          # dim side broadcasts
+    "q_star_join": 1,           # all four dims broadcast; one fact agg
+    "q_topk": 0,                # TakeOrderedAndProject
+    "q_sql_tpch_q1": 1,
+    "q_sql_tpch_q6": 1,
+    "q_hash_split": 0,          # md5-threshold projection
+    "q_stratified_sample": 0,
+    "q_pii_redact": 0,
+    "q_weighted_sample": 0,     # projection + TakeOrdered
+    "q_equi_depth_bins": 1,     # the percentile aggregate only
+    "q_winsorize": 1,           # the per-group bounds aggregate only
+    "q_impute_group_mean": 1,   # the means aggregate only
+    "q_token_entropy": 2,       # (doc,token) agg then doc agg
+    "q_word_count": 1,
+    "q_dedup_exact": 1,
+    "q_training_pipeline_e2e": 2,  # md5 dedup + final rollup
+    "q_shard_order": 1,         # the shard-keyed window
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_wide_shuffle_budget(spark, name):
+    df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+    plan = _plan(df)
+    wide = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert wide <= SHUFFLE_BUDGET[name], (
+        f"{name}: {wide} wide exchanges (budget {SHUFFLE_BUDGET[name]}) — "
+        "a broadcast or partial-agg was lost"
+    )

@@ -3895,3 +3895,33 @@ ORACLE_SQL["q_training_pipeline_e2e"] = """
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM labeled GROUP BY split, shard
 """
+
+
+def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Efraimidis-Spirakis sample (10 docs per lang, weight =
+    doc length) — balanced-corpus construction; one group-keyed window
+    shuffle, reproducible on any engine/partitioning."""
+    return sampling.weighted_hash_sample_per_group(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", 10
+    )
+
+
+QUERIES["q_weighted_sample_per_group"] = q_weighted_sample_per_group
+
+ORACLE_SQL["q_weighted_sample_per_group"] = """
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars AS weight,
+               round(ln((CAST(('0x' || substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                                            'wsample-v1')), 1, 13))
+                              AS BIGINT) + 1.0) / 4503599627370496.0)
+                     / CAST(n_chars AS DOUBLE), 8) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY es_key DESC, doc_id ASC) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, weight, es_key FROM ranked WHERE rn <= 10
+"""

@@ -209,3 +209,44 @@ def weighted_hash_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def weighted_hash_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k_per_group: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis sampling: the k heaviest-keyed rows
+    within EACH group (e.g. k docs per language, weighted by quality
+    score) — the balanced-corpus construction step.
+
+    Same portable md5 draw as :func:`weighted_hash_sample`, but ranked by
+    a group-partitioned window instead of a global top-k: one shuffle on
+    the group key, each partition keeps k rows — the result is independent
+    of both partitioning and the other groups' contents, so strata can be
+    sampled incrementally and unioned.
+    """
+    from pyspark.sql import Window
+
+    digest = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    u_int = F.conv(F.substring(digest, 1, 13), 16, 10).cast("double") + 1.0
+    u = u_int / float(1 << 52)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 8)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("es_key"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_per_group)
+        .select(id_col, group_col, "weight", "es_key")
+    )

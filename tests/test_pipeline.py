@@ -110,3 +110,29 @@ def test_readme_counts_match_registry():
     assert claims and all(int(c) == n_q for c in claims), (claims, n_q)
     m = re.search(r"(\d+) with a\s+DuckDB oracle", readme)
     assert m and int(m.group(1)) == n_o, (m, n_o)
+
+
+def test_spark_entry_adapter_contract(spark):
+    """The driver-facing adapter must (a) smoke-run entry(), (b) expose
+    every registry query exactly once through the rotation (no drops, no
+    dups), and (c) only declare oracles for registered queries."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_contract", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
+
+    q = mod.queries()
+    assert set(q) == set(QUERIES), "rotation dropped or invented queries"
+    assert list(q) != [], "empty registry"
+    o = mod.oracle_sql()
+    assert set(o) == set(ORACLE_SQL)
+    assert set(o) <= set(q), "oracle declared for unregistered query"
+
+    flagship = mod.entry(spark)
+    assert flagship.count() >= 0
+    assert len(flagship.columns) >= 2

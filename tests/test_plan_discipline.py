@@ -188,3 +188,19 @@ def test_wide_shuffle_budget(spark, name):
         f"{name}: {wide} wide exchanges (budget {SHUFFLE_BUDGET[name]}) — "
         "a broadcast or partial-agg was lost"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_sql_tpch_q6", "q_sql_tpch_q14", "q_sql_tpch_q19", "q_sql_tpch_q3"],
+)
+def test_selective_scans_push_filters(spark, name):
+    """Every selective query's scan must carry non-empty PushedFilters —
+    a filter evaluated post-scan reads 100% of the bytes at 100 TB."""
+    plan = _plan(entry_queries.QUERIES[name](spark, SF_SMOKE))
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert pushed, f"{name}: no PushedFilters section in any scan"
+    assert any(p.strip() for p in pushed), f"{name}: all PushedFilters empty"

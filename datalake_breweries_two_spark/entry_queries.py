@@ -861,8 +861,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup of an at-least-once replay: 30% of events are
     re-delivered (exact duplicate rows), the union staged as time-ordered
     file slices, then ``dropDuplicatesWithinWatermark`` repairs the stream.
-    Rows-only (no SQL oracle for streams); output count == distinct ids,
-    asserted in unit tests."""
+    FULL ORACLE: duplicates are byte-identical rows (same event time), so
+    the time-ordered replay never late-drops an original and the drained
+    sink must equal SELECT DISTINCT — i.e. the events table itself."""
     from datalake_breweries_two_spark.catalog import read_events
 
     raw = read_events(spark, os.path.join(sf_dir, "events.parquet"))
@@ -905,7 +906,8 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join: each micro-batch enriches events with
     a static user→tier dimension, then counts per tier under a watermark.
     The static side re-resolves per trigger (picks up dim updates) and
-    broadcasts — the stream never shuffles for the join. Rows-only."""
+    broadcasts — the stream never shuffles for the join. FULL ORACLE: the
+    final per-tier snapshot equals the batch join+count recompute."""
     from datalake_breweries_two_spark.catalog import read_events
 
     stage_dir = os.path.join(_SCRATCH, "events_enrich_stream")
@@ -939,9 +941,9 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (view→click attribution within 30 min):
     BOTH sides are watermarked streams over the same staged event files;
     the event-time range bound keeps join state O(lag window). Returns the
-    per-user attribution counts. Rows-only (stream == batch twin is
-    unit-tested; the oracle would be the batch join, which Spark streaming
-    reproduces exactly once drained)."""
+    per-user attribution counts. FULL ORACLE: the watermark is wider than
+    the data span, so the drained join must equal the batch non-equi join
+    — hash-checked against exactly that SQL."""
     from datalake_breweries_two_spark.catalog import read_events
     from datalake_breweries_two_spark.streaming import joins as stream_joins
 
@@ -996,8 +998,9 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming SLIDING (hopping) windows — each event lands in
     window/slide overlapping buckets; watermark bounds the multiplied
-    state. Rows-only (no SQL oracle for streams); the batch twin
-    q_sliding_window carries the full oracle."""
+    state. FULL ORACLE: the watermark is wider than the data span (no
+    late drops), so the final per-key snapshot of the update-mode sink
+    must equal the batch generate_series expansion exactly."""
     from datalake_breweries_two_spark.catalog import read_events
 
     stage_dir = os.path.join(_SCRATCH, "events_sliding_stream")
@@ -1011,8 +1014,12 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream_windows.windowed_event_counts(
         stream, "1 hour", "3650 days", slide="30 minutes"
     )
-    return stream_windows.run_stream_to_memory(
+    out = stream_windows.run_stream_to_memory(
         spark, agg, "q_streaming_sliding_sink", output_mode="update"
+    )
+    return out.groupBy("window_start", "event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("max_by(sum_value, n)").alias("sum_value"),
     )
 
 
@@ -1895,23 +1902,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window counts driven to completion via
-    the memory sink (update mode) — rows-only (no SQL oracle for streams)."""
-    # file-stream source needs a DIRECTORY; stage the raw events as 4 files
-    # so maxFilesPerTrigger=1 yields multiple batches (watermark advances
-    # between batches, exercising state cleanup like a real stream)
-    from datalake_breweries_two_spark.catalog import read_events
-
+    the memory sink (update mode) — FULL ORACLE: the staged slices are
+    time-ordered, so the 10-minute watermark never drops a row, and the
+    final per-key snapshot (arg-max by the monotone count) must equal the
+    batch recompute exactly — streaming correctness is hash-checked, not
+    just rows-counted."""
+    # file-stream source needs a DIRECTORY; stage as 4 sequential time
+    # slices so maxFilesPerTrigger=1 yields multiple in-order batches
+    # (watermark advances between batches, exercising state cleanup,
+    # without late-dropping anything)
     stage_dir = os.path.join(_SCRATCH, "events_stream")
-    (
-        read_events(spark, os.path.join(sf_dir, "events.parquet"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(stage_dir)
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), stage_dir
     )
     stream = stream_windows.read_events_stream(spark, stage_dir)
     agg = stream_windows.windowed_event_counts(stream, "1 hour", "10 minutes")
-    return stream_windows.run_stream_to_memory(
+    out = stream_windows.run_stream_to_memory(
         spark, agg, "q_streaming_tumbling_sink", output_mode="update"
+    )
+    # update-mode sink holds every intermediate emission; the final state
+    # per key is the row with the largest (strictly increasing) count
+    return out.groupBy("window_start", "event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("max_by(sum_value, n)").alias("sum_value"),
     )
 
 
@@ -3924,4 +3937,49 @@ ORACLE_SQL["q_weighted_sample_per_group"] = """
         FROM keyed
     )
     SELECT doc_id, lang, weight, es_key FROM ranked WHERE rn <= 10
+"""
+
+
+# Streaming full oracles: drained stream state == batch recompute (the
+# staging/watermark choices in each query guarantee no late drops — see
+# the query docstrings).
+ORACLE_SQL["q_streaming_tumbling"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(event_id) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+ORACLE_SQL["q_streaming_sliding"] = """
+    WITH expanded AS (
+        SELECT event_id, event_type, value, to_timestamp(s) AS ws
+        FROM events,
+             UNNEST(generate_series(
+                 CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800,
+                 CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+                 1800)) AS t(s)
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+           count(event_id) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY ws, event_type
+"""
+
+ORACLE_SQL["q_streaming_dedup"] = """
+    SELECT event_id, user_id, event_type FROM events
+"""
+
+ORACLE_SQL["q_streaming_enrich"] = """
+    SELECT CAST(user_id % 4 AS INT) AS tier, count(event_id) AS n
+    FROM events GROUP BY CAST(user_id % 4 AS INT)
+"""
+
+ORACLE_SQL["q_streaming_interval_join"] = """
+    SELECT v.user_id AS user_id, count(*) AS n_attributed
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.cu
+     AND c.cts >= v.ts
+     AND c.cts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
 """

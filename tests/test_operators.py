@@ -1078,3 +1078,92 @@ def test_read_events_decodes_all_ts_layouts(spark, tmp_path):
         for r in read_events(spark, int96_path).collect()
     }
     assert got_96 == expect
+
+
+# ---------------------------------------------------------------- streaming checkpoint restart
+
+def test_streaming_restart_from_checkpoint_no_reprocess(spark, tmp_path):
+    """Durability: a windowed streaming aggregate stopped and restarted
+    from its checkpoint must resume from the recorded file offsets (never
+    re-reading drained files) and end with the same final state a single
+    uninterrupted run produces. Memory sinks cannot recover, so the sink
+    is foreachBatch → parquet (the recoverable production shape)."""
+    import glob
+    import shutil
+
+    from datalake_breweries_two_spark.catalog import read_events
+
+    staged = str(tmp_path / "all_slices")
+    stage = str(tmp_path / "ckpt_in")
+    ckpt = str(tmp_path / "ckpt_state")
+    outdir = str(tmp_path / "ckpt_out")
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(SF_SMOKE, "events.parquet"), staged, n_slices=4
+    )
+    parts = sorted(
+        glob.glob(os.path.join(staged, "*.parquet")), key=os.path.getmtime
+    )
+    assert len(parts) == 4
+    os.makedirs(stage)
+
+    def start():
+        stream = stream_windows.read_events_stream(spark, stage)
+        agg = stream_windows.windowed_event_counts(stream, "1 hour", "3650 days")
+        return (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(outdir)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: only the first two slices exist; drain and stop
+    for p in parts[:2]:
+        shutil.copy(p, stage)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    phase1_rows = spark.read.parquet(outdir).count()
+    assert phase1_rows > 0
+
+    # phase 2: the remaining slices arrive; restart from the checkpoint
+    for p in parts[2:]:
+        shutil.copy(p, stage)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        progress = list(q2.recentProgress)
+    finally:
+        q2.stop()
+
+    # restart resumed from offsets: phase 2 read only the two NEW slices
+    new_rows = sum(p["numInputRows"] for p in progress)
+    expected_new = read_events(spark, stage).count() - read_events(
+        spark, parts[0]
+    ).count() - read_events(spark, parts[1]).count()
+    assert new_rows == expected_new, (
+        f"phase 2 read {new_rows} rows, expected only the new slices "
+        f"({expected_new}) - checkpoint offsets were ignored"
+    )
+
+    # final state (last update per key across both phases) == batch recompute
+    final = (
+        spark.read.parquet(outdir)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+    batch = (
+        read_events(spark, stage)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count("event_id").alias("n"))
+    )
+    assert (
+        final.join(batch, ["window_start", "event_type", "n"]).count()
+        == batch.count()
+    )

@@ -3983,3 +3983,78 @@ ORACLE_SQL["q_streaming_interval_join"] = """
      AND c.cts <= v.ts + INTERVAL 30 MINUTE
     GROUP BY v.user_id
 """
+
+
+def q_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 surface, Spark 3.2+): per
+    order, its top-2 line items by price — the SQL spelling of
+    top-k-per-group. Catalyst decorrelates this into the same
+    window/rank plan as q_topk_per_group; deterministic (price, line
+    number) tie-break. Oracle: identical SQL in DuckDB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders_v, LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM lineitem_v
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2
+        ) l
+        """
+    )
+
+
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type count map built with
+    map_from_entries(sorted entries), then map higher-order functions —
+    map_filter (frequent types) and transform_values (doubling) — flattened
+    to sorted CSV columns so the result hashes identically on engines
+    without Spark's map type. One (user, type) agg, one user agg: two
+    bounded-key shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("event_id").alias("cnt"))
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.array_join(
+            F.map_keys(F.map_filter("m", lambda k, v: v >= 5)), ","
+        ).alias("frequent_csv"),
+        F.array_join(
+            F.transform(
+                F.map_values(F.transform_values("m", lambda k, v: v * 2)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doubled_csv"),
+    )
+
+
+QUERIES["q_lateral_topk_join"] = q_lateral_topk_join
+QUERIES["q_map_ops"] = q_map_ops
+
+ORACLE_SQL["q_lateral_topk_join"] = """
+    SELECT o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_orderkey = o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2
+    ) l
+"""
+
+ORACLE_SQL["q_map_ops"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(event_id) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           coalesce(string_agg(CASE WHEN cnt >= 5 THEN event_type END, ','
+                               ORDER BY event_type), '') AS frequent_csv,
+           string_agg(CAST(cnt * 2 AS VARCHAR), ','
+                      ORDER BY event_type) AS doubled_csv
+    FROM c GROUP BY user_id
+"""

@@ -115,6 +115,9 @@ HEADLINE = [
     "q_impute_group_mean",
     "q_fuzzy_pairs",
     "q_training_pipeline_e2e",
+    "q_lateral_topk_join",
+    "q_map_ops",
+    "q_weighted_sample_per_group",
 ]
 
 

@@ -118,6 +118,7 @@ HEADLINE = [
     "q_lateral_topk_join",
     "q_map_ops",
     "q_weighted_sample_per_group",
+    "q_gdpr_delete",
 ]
 
 

@@ -4058,3 +4058,44 @@ ORACLE_SQL["q_map_ops"] = """
                       ORDER BY event_type) AS doubled_csv
     FROM c GROUP BY user_id
 """
+
+
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten end-to-end: stage a versioned per-user
+    aggregate table, erase users with user_id % 10 == 0 via the anti-join
+    delete pass (new atomic version; prior version intact for audit),
+    then aggregate the published table. Full oracle = declarative
+    recompute over the surviving users."""
+    import shutil
+
+    root = os.path.join(_SCRATCH, "gdpr_table")
+    shutil.rmtree(root, ignore_errors=True)
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.col("event_id")).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_total"),
+        )
+    )
+    lake.write_versioned(per_user, root)
+    forget = per_user.select("user_id").filter(F.col("user_id") % 10 == 0)
+    lake.delete_keys_versioned(spark, root, "user_id", forget)
+    final = lake.read_versioned(spark, root)
+    return final.select(
+        "user_id",
+        "n_events",
+        F.col("dec_total").cast("double").alias("total_value"),
+    )
+
+
+QUERIES["q_gdpr_delete"] = q_gdpr_delete
+
+ORACLE_SQL["q_gdpr_delete"] = """
+    SELECT user_id,
+           count(event_id) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id % 10 != 0
+    GROUP BY user_id
+"""

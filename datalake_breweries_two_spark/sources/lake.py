@@ -472,3 +472,30 @@ def vacuum_versions(root: str, keep: int = 2) -> list[str]:
     for v in doomed:
         shutil.rmtree(os.path.join(root, v))
     return doomed
+
+
+def delete_keys_versioned(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> str:
+    """Right-to-be-forgotten pass: publish a new table version with every
+    row whose ``key_col`` appears in ``keys_df`` removed — the GDPR/CCPA
+    erasure primitive a lakehouse needs (the reference's only delete story
+    is the daily full overwrite).
+
+    Implementation is a LEFT ANTI join (the deletion set broadcasts — it
+    is always tiny relative to the table) followed by an atomic versioned
+    publish: readers of the previous version are undisturbed, the swap is
+    crash-safe, and the old version remains for audit until
+    ``vacuum_versions`` retires it. At 100 TB, partition-prune first when
+    deletions cluster (e.g. by user-partitioned layouts); the anti join
+    itself never shuffles the table — only the broadcast probe."""
+    from pyspark.sql import functions as F
+
+    base = read_versioned(spark, root)
+    remaining = base.join(
+        F.broadcast(keys_df.select(F.col(key_col)).distinct()), key_col, "left_anti"
+    )
+    return write_versioned(remaining, root)

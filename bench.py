@@ -119,6 +119,7 @@ HEADLINE = [
     "q_map_ops",
     "q_weighted_sample_per_group",
     "q_gdpr_delete",
+    "q_cdc_apply",
 ]
 
 

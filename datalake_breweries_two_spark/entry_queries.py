@@ -4099,3 +4099,51 @@ ORACLE_SQL["q_gdpr_delete"] = """
     WHERE user_id % 10 != 0
     GROUP BY user_id
 """
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip: build v2 from orders by a deterministic transform
+    (keys %97==0 deleted; %100==0 updated to status 'U', price doubled;
+    %1000==0 re-inserted as new keys), capture the insert/update/delete
+    feed with diff_snapshots(include_new_values=True), then APPLY the feed
+    back onto v1 — the reconstruction must equal v2 exactly, which is what
+    the oracle checks (replica maintenance from a change feed, no full
+    rescan)."""
+    v1 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    surviving = v1.filter(F.col("o_orderkey") % 97 != 0)
+    v2 = surviving.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        v1.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    feed = lake.diff_snapshots(v1, v2, ["o_orderkey"], include_new_values=True)
+    return lake.apply_changes(v1, feed, ["o_orderkey"])
+
+
+QUERIES["q_cdc_apply"] = q_cdc_apply
+
+ORACLE_SQL["q_cdc_apply"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'N' AS o_orderstatus,
+           1.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 1000 = 0
+"""

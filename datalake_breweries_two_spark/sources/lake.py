@@ -222,7 +222,10 @@ def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -
 
 
 def diff_snapshots(
-    old: DataFrame, new: DataFrame, key_cols: list[str]
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    include_new_values: bool = False,
 ) -> DataFrame:
     """Change-data capture between two table snapshots (Delta CDF's
     insert/update/delete feed, computed from plain parquet): full-outer
@@ -261,8 +264,13 @@ def diff_snapshots(
     out_keys = [
         F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in key_cols
     ]
+    out_cols = [*out_keys, change_type.alias("change_type")]
+    if include_new_values:
+        # carry the NEW value columns so the feed is applyable downstream
+        # (NULL for deletes — apply_changes never reads them there)
+        out_cols += [F.col(f"_n_{c}").alias(c) for c in value_cols]
     return (
-        joined.select(*out_keys, change_type.alias("change_type"))
+        joined.select(*out_cols)
         .filter(F.col("change_type").isNotNull())
     )
 
@@ -499,3 +507,27 @@ def delete_keys_versioned(
         F.broadcast(keys_df.select(F.col(key_col)).distinct()), key_col, "left_anti"
     )
     return write_versioned(remaining, root)
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Apply a CDC feed (``diff_snapshots(..., include_new_values=True)``
+    output: keys + change_type + new values) to a snapshot — the replica-
+    maintenance half of the CDF story: ``apply_changes(v1, diff(v1, v2))``
+    reconstructs v2 exactly (the oracle checks precisely that).
+
+    Deletes drop via an anti join on the delete keys; inserts/updates
+    MERGE via :func:`merge_upsert`. Shuffles are keyed on ``key_cols``
+    throughout and sized by the churn, not the table — at 100 TB this is
+    how a downstream replica follows an upstream table without full
+    rescans.
+    """
+    from pyspark.sql import functions as F
+
+    deletes = changes.filter(F.col("change_type") == "delete").select(
+        *[F.col(k) for k in key_cols]
+    )
+    upserts = changes.filter(F.col("change_type") != "delete").drop("change_type")
+    kept = base.join(deletes, key_cols, "left_anti")
+    return merge_upsert(kept, upserts, key_cols)

@@ -120,6 +120,7 @@ HEADLINE = [
     "q_weighted_sample_per_group",
     "q_gdpr_delete",
     "q_cdc_apply",
+    "q_shuffle_hash_join",
 ]
 
 

@@ -4147,3 +4147,38 @@ ORACLE_SQL["q_cdc_apply"] = """
            1.0 AS o_totalprice
     FROM orders WHERE o_orderkey % 1000 = 0
 """
+
+
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SHUFFLE_HASH join-strategy hint: orders ⋈ lineitem with the
+    build side hash-tabled per partition instead of sort-merge — the right
+    call when one side is much smaller per key but too big to broadcast
+    (skips both sides' sorts). Result is strategy-invariant (the oracle is
+    the plain join); tests/test_plan_discipline.py asserts the plan
+    actually uses ShuffledHashJoin."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    items = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    joined = items.join(
+        orders.hint("shuffle_hash"),
+        items["l_orderkey"] == orders["o_orderkey"],
+    )
+    return joined.groupBy("o_orderdate").agg(
+        F.count(F.col("l_orderkey")).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+QUERIES["q_shuffle_hash_join"] = q_shuffle_hash_join
+
+ORACLE_SQL["q_shuffle_hash_join"] = """
+    SELECT o_orderdate,
+           count(l_orderkey) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderdate
+"""

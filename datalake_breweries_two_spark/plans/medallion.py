@@ -76,11 +76,20 @@ def run_medallion(
     if not report.passed:
         raise QualityGateError("; ".join(report.failures))
 
-    # Silver → Gold: aggregate once, persist, fan out to sinks.
-    gold = cfg.aggregate(silver_back).persist()
+    # Silver → Gold: aggregate once, persist, fan out to sinks. The row
+    # count rides the write action itself via observe() — no second pass
+    # over gold for metrics (the reference pays a separate job for every
+    # count it reports; at 100 TB observability must be free).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("gold_metrics")
+    gold = cfg.aggregate(silver_back).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).persist()
     try:
         lake.write_parquet(gold, gold_path)
-        gold_rows = gold.count()
+        gold_rows = int(obs.get["rows"])
         # JDBC serving sink would fan out here from the SAME persisted df
         # (sources.jdbc.write_jdbc) — optional, external system.
     finally:

@@ -204,3 +204,10 @@ def test_selective_scans_push_filters(spark, name):
     ]
     assert pushed, f"{name}: no PushedFilters section in any scan"
     assert any(p.strip() for p in pushed), f"{name}: all PushedFilters empty"
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort on
+    either side), not silently fall back to sort-merge."""
+    plan = _plan(entry_queries.QUERIES["q_shuffle_hash_join"](spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

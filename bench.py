@@ -121,6 +121,9 @@ HEADLINE = [
     "q_gdpr_delete",
     "q_cdc_apply",
     "q_shuffle_hash_join",
+    "q_time_travel",
+    "q_exchange_reuse",
+    "q_python_datasource",
 ]
 
 

@@ -4182,3 +4182,111 @@ ORACLE_SQL["q_shuffle_hash_join"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderdate
 """
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the versioned-parquet layer: publish v1 (per-status
+    counts), publish v2 (filtered to 'F' only), then read v1 BY VERSION
+    PIN while v2 is current — the audit/reproducibility read Delta calls
+    time travel, on plain parquet + atomic pointer. Full oracle = v1's
+    declarative recompute (proving v2's publish never mutated v1)."""
+    import shutil
+
+    root = os.path.join(_SCRATCH, "time_travel_table")
+    shutil.rmtree(root, ignore_errors=True)
+    per_status = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("dec_total"),
+        )
+    )
+    v1 = lake.write_versioned(per_status, root)
+    lake.write_versioned(per_status.filter(F.col("o_orderstatus") == "F"), root)
+    pinned = lake.read_versioned(spark, root, version=v1)
+    return pinned.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("dec_total").cast("double").alias("total_price"),
+    )
+
+
+def q_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric fan-out off ONE shuffle: both per-status metrics computed in
+    a single grouped aggregate, then unpivoted (Expand — shuffle-free)
+    into (status, metric, value) rows. A naive UNION of two per-metric
+    aggregates scans and shuffles the fact table twice; this plan has
+    exactly one wide exchange (asserted in plan tests) — the 100 TB
+    dashboard-fan-out pattern."""
+    orders = _t(spark, sf_dir, "orders")
+    grouped = orders.groupBy("o_orderstatus").agg(
+        F.count(F.col("o_orderkey")).cast("double").alias("count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+    return grouped.unpivot(
+        ["o_orderstatus"], ["count", "total"], "metric", "value"
+    )
+
+
+QUERIES["q_time_travel"] = q_time_travel
+QUERIES["q_exchange_reuse"] = q_exchange_reuse
+
+ORACLE_SQL["q_time_travel"] = """
+    SELECT o_orderstatus,
+           count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLE_SQL["q_exchange_reuse"] = """
+    WITH g AS (
+        SELECT o_orderstatus,
+               count(o_orderkey) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_total
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'count' AS metric, CAST(n AS DOUBLE) AS value FROM g
+    UNION ALL
+    SELECT o_orderstatus, 'total' AS metric, CAST(dec_total AS DOUBLE) AS value FROM g
+"""
+
+
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark-4 extension point): the reference's
+    paginated-API extract re-planned as a real SCAN — one input partition
+    PER PAGE, executor-side fetches (deterministic offline stand-in), no
+    driver-side accumulation (sources/paged_api.py). Full oracle: the
+    synthetic page payload is a pure function of the row id, reconstructed
+    with generate_series."""
+    from datalake_breweries_two_spark.sources.paged_api import (
+        HAVE_PYTHON_DATASOURCE,
+        PagedApiDataSource,
+    )
+
+    if not HAVE_PYTHON_DATASOURCE:  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API requires pyspark >= 4.0")
+    try:
+        spark.dataSource.register(PagedApiDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("paged_api")
+        .option("n_pages", "8")
+        .option("per_page", "25")
+        .load()
+    )
+
+
+QUERIES["q_python_datasource"] = q_python_datasource
+
+ORACLE_SQL["q_python_datasource"] = """
+    SELECT i AS item_id,
+           CAST(i // 25 AS INT) AS page,
+           'item-' || lpad(CAST(i AS VARCHAR), 6, '0') AS name,
+           round((i % 97) / 97.0, 6) AS score
+    FROM generate_series(0, 199) t(i)
+"""

@@ -211,3 +211,13 @@ def test_shuffle_hash_hint_respected(spark):
     either side), not silently fall back to sort-merge."""
     plan = _plan(entry_queries.QUERIES["q_shuffle_hash_join"](spark, SF_SMOKE))
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exchange_reuse_single_shuffle(spark):
+    """Both metrics must fan out from ONE shuffled aggregate (unpivot is
+    a shuffle-free Expand) — the fact table never shuffles twice."""
+    df = entry_queries.QUERIES["q_exchange_reuse"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan at execution
+    plan = _plan(df).split("== Initial Plan ==")[0]  # final plan only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1  # one fact scan, not per-metric

@@ -4290,3 +4290,36 @@ ORACLE_SQL["q_python_datasource"] = """
            round((i % 97) / 97.0, 6) AS score
     FROM generate_series(0, 199) t(i)
 """
+
+
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (SimpleDataSourceStreamReader):
+    the paginated API as a micro-batch stream — each trigger ingests one
+    page, the stream offset IS the page number (checkpointable: a crashed
+    ingest resumes at the recorded page). Drained stream == batch scan,
+    so this streaming extension point carries a FULL oracle."""
+    from datalake_breweries_two_spark.sources.paged_api import (
+        HAVE_PYTHON_DATASOURCE,
+        PagedApiStreamDataSource,
+    )
+
+    if not HAVE_PYTHON_DATASOURCE:  # pragma: no cover - pyspark < 4
+        raise RuntimeError("Python DataSource API requires pyspark >= 4.0")
+    try:
+        spark.dataSource.register(PagedApiStreamDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("paged_api_stream")
+        .option("n_pages", "8")
+        .option("per_page", "25")
+        .load()
+    )
+    return stream_windows.run_stream_to_memory(
+        spark, stream, "q_pyds_stream_sink", output_mode="append"
+    )
+
+
+QUERIES["q_python_datasource_stream"] = q_python_datasource_stream
+
+ORACLE_SQL["q_python_datasource_stream"] = ORACLE_SQL["q_python_datasource"]

@@ -81,3 +81,53 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(self.options)
+
+
+if HAVE_PYTHON_DATASOURCE:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class PagedApiStreamReader(SimpleDataSourceStreamReader):
+        """Streaming flavor of the paged source: each micro-batch ingests
+        ONE page; the stream offset IS the page number, checkpointable
+        like any other source offset (a crashed query resumes at the
+        recorded page — the at-least-once API-ingest pattern). When all
+        ``n_pages`` are consumed, read() reports no progress and the
+        drained stream equals the batch scan — which is what the oracle
+        checks."""
+
+        def __init__(self, options: dict) -> None:
+            self.n_pages = int(options.get("n_pages", 8))
+            self.per_page = int(options.get("per_page", 25))
+
+        def initialOffset(self) -> dict:
+            return {"page": 0}
+
+        def read(self, start: dict):
+            page = int(start["page"])
+            if page >= self.n_pages:
+                # exhausted: same offset + an ITERATOR (the runner probes
+                # it with next() to validate no-progress batches are empty)
+                return iter([]), start
+            # a LIST, not a generator: the simple-reader protocol pickles
+            # the batch into its prefetch cache before serving it
+            rows = [
+                (r["item_id"], r["page"], r["name"], r["score"])
+                for r in _fetch_page(page, self.per_page)
+            ]
+            return rows, {"page": page + 1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            for page in range(int(start["page"]), int(end["page"])):
+                for r in _fetch_page(page, self.per_page):
+                    yield (r["item_id"], r["page"], r["name"], r["score"])
+
+    class PagedApiStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "paged_api_stream"
+
+        def schema(self) -> str:
+            return "item_id bigint, page int, name string, score double"
+
+        def simpleStreamReader(self, schema) -> "PagedApiStreamReader":
+            return PagedApiStreamReader(self.options)

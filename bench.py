@@ -124,6 +124,8 @@ HEADLINE = [
     "q_time_travel",
     "q_exchange_reuse",
     "q_python_datasource",
+    "q_python_datasource_stream",
+    "q_nested_rollup",
 ]
 
 

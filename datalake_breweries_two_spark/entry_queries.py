@@ -4323,3 +4323,45 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_python_datasource_stream"] = q_python_datasource_stream
 
 ORACLE_SQL["q_python_datasource_stream"] = ORACLE_SQL["q_python_datasource"]
+
+
+def q_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested columnar round-trip: lineitems collected into a sorted
+    array<struct> per order (the denormalized at-rest layout that replaces
+    the join at 100 TB), then the order total computed INSIDE the array
+    domain with F.aggregate (a higher-order fold over the struct array —
+    exact decimal accumulator, surfaced double). Oracle = the flat
+    groupBy equivalent, proving the nested path loses nothing."""
+    items = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    nested = items.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_extendedprice"))
+        ).alias("items")
+    )
+    # the fold result re-casts to the accumulator type each step (decimal
+    # addition widens 18,4 + 18,4 → 19,4, which F.aggregate rejects)
+    total = F.aggregate(
+        "items",
+        F.lit(0).cast("decimal(18,4)"),
+        lambda acc, x: (acc + x["l_extendedprice"].cast("decimal(18,4)")).cast(
+            "decimal(18,4)"
+        ),
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        total.cast("double").alias("order_total"),
+    )
+
+
+QUERIES["q_nested_rollup"] = q_nested_rollup
+
+ORACLE_SQL["q_nested_rollup"] = """
+    SELECT l_orderkey,
+           CAST(count(*) AS INT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS order_total
+    FROM lineitem GROUP BY l_orderkey
+"""

@@ -4365,3 +4365,27 @@ ORACLE_SQL["q_nested_rollup"] = """
                AS order_total
     FROM lineitem GROUP BY l_orderkey
 """
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches per event type (p50/p90/p99) — the
+    KB-sized, associatively-mergeable replacement for exact percentile
+    buffering at 100 TB (operators/setops.py:kll_quantile_rollup).
+    Rows-only (sampling-randomized sketch); accuracy unit-tested."""
+    return setops.kll_quantile_rollup(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct-set algebra: |view users|, |click users|,
+    union and inclusion-exclusion intersection — audience overlap without
+    shuffling raw keys. Rows-only (sketch estimates); tolerance
+    unit-tested."""
+    return setops.theta_distinct_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "view", "click", "user_id"
+    )
+
+
+QUERIES["q_kll_quantiles"] = q_kll_quantiles
+QUERIES["q_theta_overlap"] = q_theta_overlap

@@ -71,3 +71,63 @@ def hll_partitioned_distinct(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est"),
     )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL): one sketch
+    per group built with partition-local updates + merges, quantiles
+    extracted from the merged sketch.
+
+    This is how percentiles work at 100 TB: the exact `percentile`
+    aggregate buffers every value per group; a KLL sketch is KB-sized with
+    a proven error bound, partials merge associatively (map-side combine,
+    AND across days/partitions of a gold table — store the sketch column,
+    merge on read with kll_sketch_merge). Estimates are
+    sampling-randomized → rows-only contract; accuracy vs the exact
+    percentile is unit-tested."""
+    sk = df.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(F.col(value_col)).alias("sk")
+    )
+    return sk.select(
+        F.col(group_col),
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(
+                f"p{str(p).replace('0.', '')}"
+            )
+            for p in probs
+        ],
+    )
+
+
+def theta_distinct_overlap(
+    df: DataFrame, type_col: str, type_a: str, type_b: str, key_col: str
+) -> DataFrame:
+    """Distinct-set algebra on Theta sketches: |A|, |B|, |A∪B| estimated
+    from three sketches, |A∩B| by inclusion-exclusion — the audience-
+    overlap question ("users who did A and B") answered WITHOUT shuffling
+    raw keys. At 100 TB the three sketches are KB-sized aggregates over
+    one scan each (or stored per-segment and merged); the exact
+    alternative is two distinct-shuffles plus a join. Rows-only contract
+    (sketch estimates); tolerance vs exact is unit-tested."""
+    est_a = F.theta_sketch_estimate(
+        F.theta_sketch_agg(F.when(F.col(type_col) == type_a, F.col(key_col)))
+    )
+    est_b = F.theta_sketch_estimate(
+        F.theta_sketch_agg(F.when(F.col(type_col) == type_b, F.col(key_col)))
+    )
+    est_union = F.theta_sketch_estimate(
+        F.theta_sketch_agg(
+            F.when(F.col(type_col).isin(type_a, type_b), F.col(key_col))
+        )
+    )
+    return df.agg(
+        est_a.cast("long").alias("n_a"),
+        est_b.cast("long").alias("n_b"),
+        est_union.cast("long").alias("n_union"),
+        (est_a + est_b - est_union).cast("long").alias("n_intersect"),
+    )

@@ -1167,3 +1167,41 @@ def test_streaming_restart_from_checkpoint_no_reprocess(spark, tmp_path):
         final.join(batch, ["window_start", "event_type", "n"]).count()
         == batch.count()
     )
+
+
+# ---------------------------------------------------------------- sketches
+
+def test_kll_quantiles_near_exact(spark):
+    """KLL sketch quantiles must land within 5% rank tolerance of the
+    exact interpolated percentiles."""
+    from datalake_breweries_two_spark.operators.setops import kll_quantile_rollup
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    sk = {r["event_type"]: r for r in kll_quantile_rollup(ev, "event_type", "value").collect()}
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        assert abs(sk[et]["p5"] - e["p50"]) / max(e["p50"], 1e-9) < 0.15
+        assert abs(sk[et]["p9"] - e["p90"]) / max(e["p90"], 1e-9) < 0.15
+
+
+def test_theta_overlap_near_exact(spark):
+    """Theta estimates of |A|, |B|, |A∪B|, |A∩B| must match the exact
+    distinct counts within 2% (small cardinalities are exact in theta)."""
+    from datalake_breweries_two_spark.operators.setops import theta_distinct_overlap
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    got = theta_distinct_overlap(ev, "event_type", "view", "click", "user_id").first()
+    va = {r[0] for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    cb = {r[0] for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    assert abs(got["n_a"] - len(va)) <= max(1, 0.02 * len(va))
+    assert abs(got["n_b"] - len(cb)) <= max(1, 0.02 * len(cb))
+    assert abs(got["n_union"] - len(va | cb)) <= max(1, 0.02 * len(va | cb))
+    assert abs(got["n_intersect"] - len(va & cb)) <= max(2, 0.05 * max(len(va & cb), 1))

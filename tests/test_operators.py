@@ -1205,3 +1205,63 @@ def test_theta_overlap_near_exact(spark):
     assert abs(got["n_b"] - len(cb)) <= max(1, 0.02 * len(cb))
     assert abs(got["n_union"] - len(va | cb)) <= max(1, 0.02 * len(va | cb))
     assert abs(got["n_intersect"] - len(va & cb)) <= max(2, 0.05 * max(len(va & cb), 1))
+
+
+def test_paged_api_stream_resumes_at_page_offset(spark, tmp_path):
+    """The streaming paged source's offset is the page number: a query
+    stopped after draining all pages and restarted from its checkpoint
+    must NOT re-ingest any page (offset persisted), and the drained rows
+    must equal the batch scan exactly."""
+    from datalake_breweries_two_spark.sources.paged_api import (
+        PagedApiDataSource,
+        PagedApiStreamDataSource,
+    )
+
+    for ds in (PagedApiDataSource, PagedApiStreamDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+    ckpt = str(tmp_path / "pyds_ckpt")
+    outdir = str(tmp_path / "pyds_out")
+
+    def start():
+        stream = (
+            spark.readStream.format("paged_api_stream")
+            .option("n_pages", "4")
+            .option("per_page", "10")
+            .load()
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("append").parquet(outdir))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(outdir).count()
+    assert n_first == 40
+
+    # restart: offset {page: 4} is checkpointed; nothing re-ingests
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(outdir).count() == 40  # no duplicates
+
+    batch = (
+        spark.read.format("paged_api")
+        .option("n_pages", "4")
+        .option("per_page", "10")
+        .load()
+    )
+    drained = spark.read.parquet(outdir)
+    assert (
+        drained.join(batch, ["item_id", "page", "name", "score"]).count() == 40
+    )

@@ -471,15 +471,15 @@ def connected_components(
 
     Pregel-style min-label propagation: every node adopts the minimum
     component label among itself and its neighbors, iterated to fixpoint.
-    Each iteration is one shuffle join + partial/final min-agg; the label
-    travels one hop per iteration so iterations ≈ longest path in a
-    component (near-dup clusters are shallow — a handful). Lineage is
-    truncated with eager ``localCheckpoint`` every iteration, otherwise the
-    loop builds an exponentially deep plan. The only driver round-trip is
-    the scalar convergence count — node/edge data never leaves executors,
-    so the operator scales to billion-edge graphs exactly like GraphX's
-    equivalent.
+    Each iteration is ONE job: shuffle join + partial/final min-agg +
+    eager ``localCheckpoint`` (truncating lineage, otherwise the loop
+    builds an exponentially deep plan), with the convergence count riding
+    that same job as an ``observe()`` metric — no separate count action
+    per iteration. The only driver round-trip is the observed scalar —
+    node/edge data never leaves executors, so the operator scales to
+    billion-edge graphs exactly like GraphX's equivalent.
     """
+    from pyspark.sql import Observation
     # materialize the edge list BEFORE symmetrizing: the union reads it
     # twice, and edges usually carry an expensive lineage (the LSH/Jaccard
     # pair join) that must not run twice
@@ -506,8 +506,11 @@ def connected_components(
             ),
             (F.col("nbr_comp") < nodes["comp"]).alias("_changed"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
+        ).localCheckpoint(eager=True)
+        n_changed = int(obs.get["n_changed"] or 0)
         nodes = updated.drop("_changed")
         if n_changed == 0:
             break

@@ -176,6 +176,30 @@ SHUFFLE_BUDGET = {
     "q_dedup_exact": 1,
     "q_training_pipeline_e2e": 2,  # md5 dedup + final rollup
     "q_shard_order": 1,         # the shard-keyed window
+    "q_join_semi": 0,           # broadcast semi
+    "q_join_anti": 0,           # broadcast anti
+    "q_topk_per_group": 1,      # one group-keyed window
+    "q_rollup": 1,              # Expand + one agg exchange
+    "q_cube": 1,
+    "q_pivot": 2,               # distinct-values pass + pivot agg
+    "q_distinct": 1,
+    "q_union": 0,               # unions are shuffle-free
+    "q_lang_id": 0,             # pure regex projections
+    "q_fingerprint": 0,
+    "q_text_quality": 0,
+    "q_histogram": 1,
+    "q_minmax_by": 1,
+    "q_funnel": 1,              # user-keyed shuffle reused across stages
+    "q_sessionize": 1,          # one user-keyed window
+    "q_cohort_retention": 3,    # first-seen agg + user-day distinct + rollup
+    "q_moving_avg_time": 2,     # daily agg + group-keyed window
+    "q_snapshot_diff": 2,       # the key-partitioned full-outer join
+    "q_cdc_apply": 8,           # diff (full-outer) + anti + merge composite
+    "q_nested_rollup": 1,       # one order-keyed collect
+    "q_lateral_topk_join": 1,   # decorrelated to one windowed rank
+    "q_map_ops": 2,             # (user,type) agg then user agg
+    "q_exchange_reuse": 1,      # one grouped agg, unpivot is Expand
+    "q_gdpr_delete": 2,         # staged agg + broadcast-anti read-back
 }
 
 

@@ -193,55 +193,132 @@ _EVENTS = T.StructType(
 )
 
 
-def events_ts_is_nanos(path: str) -> bool:
-    """Footer sniff: does this events parquet (file or directory of part
-    files) store ts as epoch-nanos — TIMESTAMP(NANOS) or a plain int64
-    column of nanos (synthetic test fixtures)? Either needs the long-decode
-    path; TIMESTAMP(MICROS) reads directly. One footer read — O(1), no
-    data scan; called once per query, not per partition."""
-    import glob as _glob
+# Plausible epoch magnitudes (years ~1998-2220) per int64 unit — disjoint
+# decades apart, so a footer min stat lands in exactly one (or none → raise).
+_INT64_TS_UNITS = (
+    ("seconds", 9 * 10**8, 8 * 10**9),
+    ("millis", 9 * 10**11, 8 * 10**12),
+    ("micros", 9 * 10**14, 8 * 10**15),
+    ("nanos", 9 * 10**17, 8 * 10**18),
+)
 
+
+def _ts_layout_of_file(f: str) -> str:
+    """Layout tag for ONE part file's ts column: ``native`` (Spark reads it
+    as TimestampType directly — INT96, TIMESTAMP(MILLIS), TIMESTAMP(MICROS)),
+    ``nanos`` (TIMESTAMP(NANOS), surfaced as an epoch-nanos long via the
+    session's nanosAsLong conf), or ``int64-<unit>`` (bare int64 with no
+    parquet logical type; the epoch unit is inferred from footer min/max
+    stats by magnitude — a wrong unit guess would silently decode every
+    timestamp 1000x off, so an un-inferable column raises instead)."""
     import pyarrow.parquet as _pq
 
-    f = path
+    pf = _pq.ParquetFile(f)
+    sch = pf.schema
+    # Use the parquet (not arrow) schema: pyarrow reports INT96 as
+    # timestamp[ns], but Spark reads INT96 natively as TimestampType — only
+    # true TIMESTAMP(NANOS) and bare int64 columns need the long decode.
+    idx = next(i for i in range(len(sch)) if sch.column(i).name == "ts")
+    col = sch.column(idx)
+    if col.physical_type == "INT96":
+        return "native"
+    lt = str(col.logical_type).lower()
+    if "nano" in lt:
+        return "nanos"
+    if lt != "none":
+        return "native"
+    stat_min = None
+    for rg in range(pf.metadata.num_row_groups):
+        s = pf.metadata.row_group(rg).column(idx).statistics
+        if s is not None and s.has_min_max:
+            stat_min = int(s.min)
+            break
+    if stat_min is None:
+        raise ValueError(
+            f"{f}: events.ts is a bare int64 with no parquet logical type and "
+            "no footer min/max statistics — cannot infer its epoch unit; "
+            "re-write the data with an annotated TIMESTAMP logical type"
+        )
+    for unit, lo, hi in _INT64_TS_UNITS:
+        if lo <= abs(stat_min) < hi:
+            return f"int64-{unit}"
+    raise ValueError(
+        f"{f}: events.ts bare-int64 footer min {stat_min} matches no plausible "
+        "epoch unit (seconds/millis/micros/nanos, years ~1998-2220); refusing "
+        "to guess a decode factor"
+    )
+
+
+def events_ts_layout(path: str, sample: int = 8) -> str:
+    """Footer sniff over an events parquet file or directory: returns the
+    shared ts layout tag (see ``_ts_layout_of_file``). Samples up to
+    ``sample`` part files (first, last, evenly spaced between — a directory
+    can mix parts staged by different sessions) and raises on disagreement
+    rather than silently misdecoding the minority layout. O(sample) footer
+    reads, no data scan; called once per query definition, not per
+    partition."""
+    import glob as _glob
+
+    files = [path]
     if os.path.isdir(path):
-        parts = sorted(
+        files = sorted(
             p
             for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
             if os.path.isfile(p)
         )
-        if not parts:
-            return False
-        f = parts[0]
-    # Use the parquet (not arrow) schema: pyarrow reports INT96 as
-    # timestamp[ns], but Spark reads INT96 natively as TimestampType — only
-    # true TIMESTAMP(NANOS) and bare int64 columns need the long decode.
-    sch = _pq.ParquetFile(f).schema
-    col = next(sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts")
-    if col.physical_type == "INT96":
-        return False
-    lt = str(col.logical_type).lower()
-    return "nano" in lt or lt == "none"
+        if not files:
+            return "native"
+    if len(files) > sample:
+        step = (len(files) - 1) / (sample - 1)
+        files = [files[i] for i in sorted({round(k * step) for k in range(sample)})]
+    layouts = {f: _ts_layout_of_file(f) for f in files}
+    distinct = set(layouts.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            f"{path}: part files disagree on the events.ts layout — {layouts}; "
+            "a mixed directory cannot be decoded with one fixed schema"
+        )
+    return distinct.pop()
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Back-compat wrapper: does this path need the epoch-nanos long-decode
+    path? (Kept for callers that only distinguish nanos vs native.)"""
+    return events_ts_layout(path) in ("nanos", "int64-nanos")
+
+
+def _decode_raw_events_ts(raw: DataFrame, layout: str) -> DataFrame:
+    """Project an ``_EVENTS_RAW`` (ts = int64) frame to the portable
+    ``_EVENTS`` schema, converting the sniffed unit to microseconds with
+    exact integer arithmetic (a double division would lose precision at
+    1e18 magnitudes)."""
+    from pyspark.sql import functions as F
+
+    to_micros = {
+        "nanos": "ts DIV 1000",
+        "int64-nanos": "ts DIV 1000",
+        "int64-micros": "ts",
+        "int64-millis": "ts * 1000",
+        "int64-seconds": "ts * 1000000",
+    }[layout]
+    return raw.select(
+        F.col("event_id"),
+        F.timestamp_micros(F.expr(to_micros)).alias("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Batch events reader: either on-disk ts layout → the `_EVENTS`
+    """Batch events reader: any sniffed on-disk ts layout → the `_EVENTS`
     portable schema (microsecond timestamps)."""
-    from pyspark.sql import functions as F
-
-    if events_ts_is_nanos(path):
-        raw = spark.read.schema(_EVENTS_RAW).parquet(path)
-        # exact integer division ns → µs (a double division would lose
-        # precision at 1e18 magnitudes)
-        return raw.select(
-            F.col("event_id"),
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-        )
-    return spark.read.schema(_EVENTS).parquet(path)
+    layout = events_ts_layout(path)
+    if layout == "native":
+        return spark.read.schema(_EVENTS).parquet(path)
+    raw = spark.read.schema(_EVENTS_RAW).parquet(path)
+    return _decode_raw_events_ts(raw, layout)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -3775,7 +3775,7 @@ QUERIES["q_fuzzy_pairs"] = q_fuzzy_pairs
 ORACLE_SQL["q_equi_depth_bins"] = """
     WITH e AS (
         SELECT """ + ", ".join(
-    f"round(quantile_cont(o_totalprice, {i}/8.0), 6) AS e{i}" for i in range(1, 8)
+    f"quantile_disc(o_totalprice, {i}/8.0) AS e{i}" for i in range(1, 8)
 ) + """
         FROM orders
     )
@@ -3789,8 +3789,8 @@ ORACLE_SQL["q_equi_depth_bins"] = """
 ORACLE_SQL["q_winsorize"] = """
     WITH b AS (
         SELECT event_type,
-               round(quantile_cont(value, 0.05), 6) AS lo,
-               round(quantile_cont(value, 0.95), 6) AS hi
+               quantile_disc(value, 0.05) AS lo,
+               quantile_disc(value, 0.95) AS hi
         FROM events GROUP BY event_type
     )
     SELECT event_id, events.event_type,

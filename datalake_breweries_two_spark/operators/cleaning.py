@@ -10,9 +10,14 @@ the fact scan — the fact side never shuffles, so at 100 TB the cost is
 one pass for stats plus one map-side pass to apply them.
 
 Cross-engine determinism discipline (same as entry_queries): quantile
-edges and means are rounded BEFORE being compared against / combined
-with row values, so libm/interpolation 1-ulp differences cannot move a
-row across a bin edge or change an imputed value hash.
+edges use DISCRETE quantiles (``percentile_disc`` / DuckDB
+``quantile_disc`` — verified index-convention-identical across engines),
+so every edge is an actual data element, bit-identical on both sides
+with NO interpolation arithmetic at all; a 1-ulp libm difference can
+therefore never move a row across a bin/clamp edge (ADVICE r3: the
+previous round-to-6dp-after-interpolation scheme could flip an edge by
+1e-6 when the two engines' interpolations straddled a rounding
+boundary). Group means are decimal-exact sums, rounded before reuse.
 """
 
 from __future__ import annotations
@@ -33,15 +38,15 @@ def equi_depth_bins(
     GLOBAL sort — one partition swallowing the table (the unpartitioned-
     window smell). Instead the n_bins-1 interior quantile edges are
     computed as ONE exact-percentile aggregate (distributed, no window),
-    rounded, broadcast, and each row's bin = count of edges strictly below
-    its value — a pure projection over the fact scan. Ties at an edge land
-    in the lower bin on every engine because the comparison happens
-    against the same rounded edge.
+    broadcast, and each row's bin = count of edges strictly below its
+    value — a pure projection over the fact scan. Discrete quantiles: each
+    edge IS a data element, so both engines compare rows against the
+    bit-identical edge; ties at an edge land in the lower bin everywhere.
     """
     edges = df.agg(
         *[
-            F.round(
-                F.expr(f"percentile({value_col}, {i / n_bins})"), 6
+            F.expr(
+                f"percentile_disc({i / n_bins!r}) WITHIN GROUP (ORDER BY {value_col})"
             ).alias(f"_e{i}")
             for i in range(1, n_bins)
         ]
@@ -71,13 +76,19 @@ def winsorize(
     [p_lo, p_hi] exact quantiles — outlier damping that preserves row
     count (unlike the z-score FILTER in aggregates.zscore_outliers).
 
-    One groupBy aggregate produces (lo, hi) per group (rounded), broadcast
-    back onto the facts; the clamped value is least(greatest(v, lo), hi)
-    — a projection, no second shuffle.
+    One groupBy aggregate produces (lo, hi) per group — discrete
+    quantiles, so each bound is an actual group element (bit-identical
+    cross-engine, no interpolation) — broadcast back onto the facts; the
+    clamped value is least(greatest(v, lo), hi) — a projection, no second
+    shuffle.
     """
     bounds = df.groupBy(group_col).agg(
-        F.round(F.expr(f"percentile({value_col}, {p_lo})"), 6).alias("_lo"),
-        F.round(F.expr(f"percentile({value_col}, {p_hi})"), 6).alias("_hi"),
+        F.expr(
+            f"percentile_disc({p_lo!r}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_lo"),
+        F.expr(
+            f"percentile_disc({p_hi!r}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_hi"),
     )
     clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
     return (

@@ -26,6 +26,7 @@ from datalake_breweries_two_spark.sources.lake import (
     latest_table_version,
     merge_upsert,
     read_versioned,
+    vacuum_versions,
     write_versioned,
 )
 
@@ -36,6 +37,7 @@ def stream_upsert_versioned(
     root: str,
     key_cols: list[str],
     query_name: str = "stream_upsert",
+    keep_versions: int = 2,
 ) -> None:
     """Drive an update-mode streaming aggregate to completion, MERGEing
     each micro-batch's emitted rows into the versioned table at ``root``.
@@ -45,6 +47,13 @@ def stream_upsert_versioned(
     whose aggregate changed — so merge-by-key converges to the same final
     state a batch recompute would produce, which is what the oracle
     checks).
+
+    Retention: every micro-batch publishes a full new table version, so an
+    unbounded run would accumulate O(n_batches) snapshots; each batch
+    therefore vacuums down to ``keep_versions`` (ADVICE r3) — the current
+    version plus enough history for readers mid-swap. Pass
+    ``keep_versions=0`` to disable (e.g. when a time-travel consumer owns
+    retention).
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -55,6 +64,8 @@ def stream_upsert_versioned(
         else:
             merged = delta
         write_versioned(merged, root)
+        if keep_versions > 0:
+            vacuum_versions(root, keep=keep_versions)
 
     q = (
         updates.writeStream.outputMode("update")

@@ -34,28 +34,23 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     from datalake_breweries_two_spark.catalog import (
         _EVENTS,
         _EVENTS_RAW,
-        events_ts_is_nanos,
+        _decode_raw_events_ts,
+        events_ts_layout,
     )
 
-    if events_ts_is_nanos(path):
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW)
+    layout = events_ts_layout(path)
+    if layout == "native":
+        return (
+            spark.readStream.schema(_EVENTS)
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
         )
-        return raw.select(
-            F.col("event_id"),
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-        )
-    return (
-        spark.readStream.schema(_EVENTS)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+    return _decode_raw_events_ts(raw, layout)
 
 
 def windowed_event_counts(

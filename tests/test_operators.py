@@ -617,6 +617,49 @@ def test_versioned_table_atomic_swap(spark, tmp_path):
     assert read_versioned(spark, root).count() == 200
 
 
+def test_stream_upsert_vacuums_versions(spark, tmp_path):
+    """ADVICE r3: stream_upsert_versioned publishes a full table version
+    per micro-batch — the per-batch vacuum must bound on-disk snapshots at
+    keep_versions regardless of batch count, while the final published
+    state still equals a batch recompute."""
+    import re
+
+    from datalake_breweries_two_spark.catalog import read_events
+    from datalake_breweries_two_spark.sources.lake import read_versioned
+    from datalake_breweries_two_spark.streaming import windows as sw
+    from datalake_breweries_two_spark.streaming.sinks import stream_upsert_versioned
+
+    staged = str(tmp_path / "upsert_in")
+    root = str(tmp_path / "upsert_tbl")
+    sw.stage_time_ordered_stream(
+        spark, os.path.join(SF_SMOKE, "events.parquet"), staged, n_slices=4
+    )
+    stream = sw.read_events_stream(spark, staged)
+    agg = stream.groupBy("user_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_total"),
+    )
+    stream_upsert_versioned(spark, agg, root, ["user_id"], "vacuum_test")
+
+    versions = [d for d in os.listdir(root) if re.fullmatch(r"v\d{5}", d)]
+    assert len(versions) <= 2, versions  # keep_versions default, ≥4 batches ran
+
+    batch = (
+        read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
+        .groupBy("user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dec_total"),
+        )
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["dec_total"])
+        for r in read_versioned(spark, root).collect()
+    }
+    want = {(r["user_id"], r["n_events"], r["dec_total"]) for r in batch.collect()}
+    assert got == want
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """The watermarked stream-stream interval join must produce exactly the
     batch twin's (view_id, click_id) attribution pairs once drained."""
@@ -1078,6 +1121,55 @@ def test_read_events_decodes_all_ts_layouts(spark, tmp_path):
         for r in read_events(spark, int96_path).collect()
     }
     assert got_96 == expect
+
+
+def test_read_events_bare_int64_unit_inference(spark, tmp_path):
+    """ADVICE r3: a bare int64 ts with no parquet logical type must have its
+    epoch unit inferred from footer min/max stats (micros/millis/seconds —
+    not blindly assumed nanos), and a mixed-layout directory must raise
+    rather than silently misdecode the minority part files."""
+    import pytest as _pytest
+
+    from datalake_breweries_two_spark.catalog import (
+        events_ts_layout,
+        read_events,
+    )
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    base = read_events(spark, src)
+    ids = [r[0] for r in base.limit(50).select("event_id").collect()]
+    sub = base.filter(F.col("event_id").isin(ids))
+    expect = {(r["event_id"], r["ts"], r["user_id"]) for r in sub.collect()}
+
+    for unit, expr in (
+        ("micros", F.unix_micros(F.col("ts"))),
+        ("millis", F.unix_millis(F.col("ts"))),
+        ("seconds", F.unix_seconds(F.col("ts"))),
+    ):
+        path = str(tmp_path / f"ev_{unit}")
+        sub.select(
+            "event_id", expr.alias("ts"), "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(path)
+        assert events_ts_layout(path) == f"int64-{unit}"
+        got = {
+            (r["event_id"], r["ts"], r["user_id"])
+            for r in read_events(spark, path).collect()
+        }
+        if unit == "micros":
+            assert got == expect
+        else:  # coarser units truncate sub-unit precision; ids must survive
+            assert {g[0] for g in got} == {e[0] for e in expect}
+
+    # mixed directory: micros-annotated part + bare-nanos part → loud error
+    mixed = str(tmp_path / "ev_mixed")
+    sub.limit(10).coalesce(1).write.mode("overwrite").parquet(mixed)
+    sub.limit(10).select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.mode("append").parquet(mixed)
+    with _pytest.raises(ValueError, match="disagree"):
+        events_ts_layout(mixed)
 
 
 # ---------------------------------------------------------------- streaming checkpoint restart

@@ -154,16 +154,25 @@ def main() -> None:
     # version, never per query.
     entry_queries.q_ivf_search(spark, sf_dir).count()
 
+    # Iterative/multi-job queries have the widest single-run variance
+    # (BASELINE.md measured ±30% run-to-run); median-of-3 turns their
+    # round-over-round deltas into signal. Everything else stays
+    # single-run — the full-suite wall time already averages their noise.
+    MEDIAN_OF_3 = {"q_dedup_clusters", "q_pagerank", "q_streaming_upsert"}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = entry_queries.QUERIES[name]
-        # isolation: no cached plan from an earlier query may substitute
-        # into this one (CacheManager matches canonicalized subplans, which
-        # makes timings order-dependent)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3 if name in MEDIAN_OF_3 else 1):
+            # isolation: no cached plan from an earlier query may substitute
+            # into this one (CacheManager matches canonicalized subplans,
+            # which makes timings order-dependent)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     # Full-precision detail for the repo (BASELINE.md refreshes read this).

@@ -68,6 +68,15 @@ def pagerank(
     contributes floor(d·100 · rank / (100·deg)) units. ``N`` is a
     driver-side scalar count of the (bounded) node set — the same
     bounded-collect policy as the IVF centroid seed.
+
+    Dangling nodes (no out-edges — possible on general edge lists, never
+    on the k-NN graph where every node has out-degree k) do NOT leak rank
+    mass: their damped mass is redistributed uniformly each iteration, the
+    standard power-method correction. The per-iteration dangling sum stays
+    distributed — a 1-row aggregate broadcast back via crossJoin, no
+    driver-side action inside the loop; graphs with no dangling nodes
+    (detected by one up-front anti-join probe) skip the correction
+    entirely, so the common k-NN path pays nothing.
     """
     d_pct = int(round(damping * 100))
     # materialize the edge relation ONCE: it is consumed in every iteration,
@@ -80,6 +89,10 @@ def pagerank(
     ).distinct()
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_nodes = deg.select(F.col("src").alias("node"))
+    has_dangling = (
+        nodes.join(out_nodes, "node", "left_anti").limit(1).count() > 0
+    )
     teleport = (100 - d_pct) * UNIT // (100 * n)
     ranks = nodes.withColumn("rank_e8", F.lit(UNIT // n).cast("long"))
     for i in range(num_iter):
@@ -95,12 +108,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
-            .cast("long")
-            .alias("rank_e8"),
-        )
+        new_ranks = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            dmass = (
+                ranks.join(out_nodes, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_e8"), F.lit(0)).alias("_dmass"))
+            )
+            ranks = new_ranks.crossJoin(F.broadcast(dmass)).select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                    + F.floor(
+                        (F.lit(d_pct) * F.col("_dmass")) / (F.lit(100.0) * F.lit(n))
+                    )
+                )
+                .cast("long")
+                .alias("rank_e8"),
+            )
+        else:
+            ranks = new_ranks.select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("rank_e8"),
+            )
         if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(

@@ -891,6 +891,45 @@ def test_pagerank_conserves_mass_and_favors_hubs(spark):
     assert 0.98 <= sum(ranks.values()) <= 1.000001
 
 
+def test_pagerank_redistributes_dangling_mass(spark):
+    """On a general edge list with a sink node, the damped mass of
+    dangling nodes must be redistributed uniformly each iteration (the
+    standard power-method correction), not dropped — total rank stays ~1
+    and the trajectory matches a pure-Python replica of the same
+    fixed-point recurrence."""
+    from datalake_breweries_two_spark.operators import graph
+
+    # chain into a sink: 1→2, 2→3, 3→4 (node 4 dangles), plus 1→3
+    edge_list = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_e8"]
+        for r in graph.pagerank(edges, num_iter=10).collect()
+    }
+
+    # pure-Python replica of the exact fixed-point recurrence
+    import math
+
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    n, d_pct, unit = len(nodes), 85, graph.UNIT
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    teleport = (100 - d_pct) * unit // (100 * n)
+    rank = {v: unit // n for v in nodes}
+    for _ in range(10):
+        contrib = {v: 0 for v in nodes}
+        for s, dsts in out.items():
+            for d in dsts:
+                contrib[d] += math.floor(d_pct * rank[s] / (100.0 * len(dsts)))
+        dmass = sum(rank[v] for v in nodes if v not in out)
+        share = math.floor(d_pct * dmass / (100.0 * n))
+        rank = {v: teleport + contrib[v] + share for v in nodes}
+    assert got == rank
+    # mass conservation: only floor truncation (< n units/iter) leaks
+    assert sum(got.values()) >= unit - 10 * (n + 2)
+
+
 def test_funnel_depth_requires_order_within_window(spark):
     from datalake_breweries_two_spark.operators import behavior
     import datetime as dt

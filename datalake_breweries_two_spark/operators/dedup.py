@@ -22,7 +22,7 @@ executors (no Python ``hash()``, which is salted per process).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -139,19 +139,47 @@ def minhash_signatures(
     )
 
 
+def observed_metrics(obs: Observation, *names: str) -> dict:
+    """Fetch an ``Observation``'s metrics robustly.
+
+    ``Observation.get`` deserializes the metrics row via ``toPyRow``, which
+    asserts a schema-carrying row — but when AQE re-plans an aggregate
+    DOWNSTREAM of the CollectMetrics node (e.g. the ``distinct()`` tail of
+    ``lsh_candidate_pairs``), Spark 4.1 hands back a schema-less
+    GenericRow and the assert trips. Fall back to positional access in
+    observe-expression order (CollectMetrics preserves it).
+    """
+    try:
+        return dict(obs.get)
+    except Exception:
+        jrow = obs._jo.getRow()
+        return {n: jrow.get(i) for i, n in enumerate(names)}
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
+    max_bucket: int = 64,
+    dropped_obs: "Observation | None" = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
     Shuffle profile: explode to (band_id, band_hash, id) — bands× row
     amplification but tiny rows — then groupBy bucket and expand pairs
-    within buckets only. A bucket-size cap (via count filter) bounds the
-    quadratic blowup from degenerate buckets (e.g. empty docs) — at 100 TB
-    a single hot bucket would otherwise dominate the job.
+    within buckets only. A bucket-size cap (``max_bucket``, via count
+    filter) bounds the quadratic blowup from degenerate buckets (e.g.
+    empty docs) — at 100 TB a single hot bucket would otherwise dominate
+    the job.
+
+    Recall accounting (ADVICE r3): dropped buckets silently erode recall.
+    Pass a ``pyspark.sql.Observation`` as ``dropped_obs`` and, after the
+    query's action runs, read ``dropped_buckets`` (over-cap bucket count)
+    and ``dropped_ids`` (their total member rows) via
+    :func:`observed_metrics` — the metrics ride the same job (the bucket
+    aggregate's exchange is reused for the sentinel branch), so a
+    production run can alert on recall erosion at zero extra passes.
     """
     banded = signatures.select(
         F.col(id_col),
@@ -181,7 +209,7 @@ def lsh_candidate_pairs(
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
     )
-    capped = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= 64))
+    capped = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     pairs = capped.select(
         F.explode(
             F.filter(
@@ -196,8 +224,33 @@ def lsh_candidate_pairs(
                 lambda p: p["id_a"] < p["id_b"],
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    ).select("p.id_a", "p.id_b").distinct()
+    if dropped_obs is None:
+        return pairs
+    # AQE drops CollectMetrics values from intermediate query stages: an
+    # aggregate DOWNSTREAM of the observe node (the pair-dedup distinct)
+    # starts a new stage and the observed row comes back empty (Spark
+    # 4.1). Keep the metrics node at the TOP of the plan instead: each
+    # over-cap bucket emits one sentinel row past the distinct, the
+    # top-level observe counts them, and they are filtered out before
+    # returning — same single job, metrics survive AQE re-planning.
+    id_type = pairs.schema["id_a"].dataType
+    sentinels = grouped.filter(F.size("ids") > max_bucket).select(
+        F.lit(None).cast(id_type).alias("id_a"),
+        F.lit(None).cast(id_type).alias("id_b"),
+        F.size("ids").cast("long").alias("_dropped_sz"),
+    )
+    merged = pairs.withColumn(
+        "_dropped_sz", F.lit(None).cast("long")
+    ).unionByName(sentinels)
+    observed = merged.observe(
+        dropped_obs,
+        F.sum(F.col("_dropped_sz").isNotNull().cast("long")).alias(
+            "dropped_buckets"
+        ),
+        F.sum(F.coalesce(F.col("_dropped_sz"), F.lit(0))).alias("dropped_ids"),
+    )
+    return observed.filter(F.col("_dropped_sz").isNull()).select("id_a", "id_b")
 
 
 def minhash_near_duplicates(
@@ -588,6 +641,7 @@ def fuzzy_blocked_pairs(
     block_expr: Column | None = None,
     max_distance: int = 4,
     block_cap: int = 256,
+    dropped_obs: "Observation | None" = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: names within ``max_distance``
     Levenshtein edits, found WITHOUT a quadratic corpus self-join.
@@ -597,11 +651,13 @@ def fuzzy_blocked_pairs(
     scored, so the join is a plain equi-join on the block key and the
     pairwise Levenshtein runs on candidate pairs only. Blocks larger than
     ``block_cap`` are dropped (degenerate-key guard, same policy as
-    lsh_candidate_pairs). Recall is bounded by the blocking choice —
-    matches whose block keys differ are missed BY DESIGN; widen with
-    multi-pass blocking (e.g. first token + soundex) when the match rules
-    require it. Levenshtein is evaluated JVM-side (Catalyst expression,
-    codegen) — no Python.
+    lsh_candidate_pairs); pass an ``Observation`` as ``dropped_obs`` to
+    get ``dropped_blocks`` / ``dropped_rows`` counts after the action —
+    the recall-erosion alarm for production runs (ADVICE r3). Recall is
+    bounded by the blocking choice — matches whose block keys differ are
+    missed BY DESIGN; widen with multi-pass blocking (e.g. first token +
+    soundex) when the match rules require it. Levenshtein is evaluated
+    JVM-side (Catalyst expression, codegen) — no Python.
     """
     block = block_expr if block_expr is not None else F.element_at(
         F.split(F.col(name_col), r"\s+"), -1
@@ -623,7 +679,7 @@ def fuzzy_blocked_pairs(
         F.col(id_col).alias("id_b"),
         F.col(name_col).alias("name_b"),
     )
-    return (
+    result = (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -632,4 +688,30 @@ def fuzzy_blocked_pairs(
             F.levenshtein(F.col("name_a"), F.col("name_b")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_distance)
+    )
+    if dropped_obs is None:
+        return result
+    # Same AQE caveat as lsh_candidate_pairs: a CollectMetrics node inside
+    # the broadcast subtree loses its values when AQE stages the plan, so
+    # the metrics node goes at the TOP — over-cap blocks emit one sentinel
+    # row each, counted by the top-level observe and filtered back out.
+    id_type = keyed.schema[id_col].dataType
+    sentinels = sizes.filter(F.col("_n") > block_cap).select(
+        F.lit(None).cast(id_type).alias("id_a"),
+        F.lit(None).cast(id_type).alias("id_b"),
+        F.lit(None).cast("int").alias("edit_dist"),
+        F.col("_n").cast("long").alias("_dropped_n"),
+    )
+    merged = result.withColumn(
+        "_dropped_n", F.lit(None).cast("long")
+    ).unionByName(sentinels)
+    observed = merged.observe(
+        dropped_obs,
+        F.sum(F.col("_dropped_n").isNotNull().cast("long")).alias(
+            "dropped_blocks"
+        ),
+        F.sum(F.coalesce(F.col("_dropped_n"), F.lit(0))).alias("dropped_rows"),
+    )
+    return observed.filter(F.col("_dropped_n").isNull()).select(
+        "id_a", "id_b", "edit_dist"
     )

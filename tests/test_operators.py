@@ -475,6 +475,61 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
 
 
+def test_lsh_and_fuzzy_report_dropped_buckets(spark):
+    """ADVICE r3: the LSH bucket cap and fuzzy block cap drop degenerate
+    groups for scale safety — the drop must be OBSERVABLE. On a degenerate
+    corpus (every row in one bucket/block) the Observation metrics must
+    report the dropped counts while the capped result stays empty; on a
+    well-behaved corpus they must report zero."""
+    from pyspark.sql import Observation
+
+    from datalake_breweries_two_spark.operators import dedup
+
+    # every doc has the identical signature → both band buckets hold all
+    # 10 ids, over the max_bucket=4 cap → all candidates dropped
+    sig = list(range(4))
+    sigs = spark.createDataFrame(
+        [(i, sig) for i in range(10)], "doc_id long, signature array<long>"
+    )
+    obs = Observation("lsh_drops")
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=2, rows_per_band=2, max_bucket=4, dropped_obs=obs
+    )
+    assert pairs.count() == 0
+    # observed_metrics, not obs.get: the distinct() tail makes AQE re-emit
+    # the metrics row schema-less (see the helper's docstring)
+    got_m = dedup.observed_metrics(obs, "dropped_buckets", "dropped_ids")
+    assert got_m == {"dropped_buckets": 2, "dropped_ids": 20}
+
+    # degenerate block: one shared head noun over the cap
+    rows = [(i, f"variant {i} widget") for i in range(6)]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    obs2 = Observation("fuzzy_drops")
+    fpairs = dedup.fuzzy_blocked_pairs(
+        df, "name", "pid", block_cap=3, dropped_obs=obs2
+    )
+    assert fpairs.count() == 0
+    assert dedup.observed_metrics(obs2, "dropped_blocks", "dropped_rows") == {
+        "dropped_blocks": 1,
+        "dropped_rows": 6,
+    }
+
+    # well-behaved corpus: metrics present and zero
+    ok = spark.createDataFrame(
+        [(1, "acme widget"), (2, "acne widget"), (3, "beta gadget")],
+        "pid long, name string",
+    )
+    obs3 = Observation("fuzzy_ok")
+    got = dedup.fuzzy_blocked_pairs(
+        ok, "name", "pid", block_cap=3, dropped_obs=obs3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert dedup.observed_metrics(obs3, "dropped_blocks", "dropped_rows") == {
+        "dropped_blocks": 0,
+        "dropped_rows": 0,
+    }
+
+
 # ---------------------------------------------------------------- approx sketches
 
 def test_approx_percentile_within_tolerance(spark):

@@ -200,6 +200,77 @@ SHUFFLE_BUDGET = {
     "q_map_ops": 2,             # (user,type) agg then user agg
     "q_exchange_reuse": 1,      # one grouped agg, unpivot is Expand
     "q_gdpr_delete": 2,         # staged agg + broadcast-anti read-back
+    # ---- r4: budgets frozen for every remaining bench headline query,
+    # at each plan's audited round-3 shuffle count (VERDICT r3 found no
+    # scale-killer among them) — the table now covers the full headline set.
+    "q_scan_parquet": 0,
+    "q_quality_summary": 1,
+    "q_window_rank": 1,
+    "q_window_running_sum": 1,
+    "q_date_trunc_agg": 1,
+    "q_tumbling_window": 1,
+    "q_json_extract": 1,
+    "q_array_ops": 0,
+    "q_sql_tpch_q3": 1,
+    "q_sql_tpch_q5": 1,
+    "q_sql_tpch_q14": 1,
+    "q_sql_tpch_q18": 1,
+    "q_sql_tpch_q10": 1,
+    "q_sql_tpch_q22": 3,        # cust agg + avg-balance scalar + final agg
+    "q_sql_tpch_q7": 1,
+    "q_sql_tpch_q19": 1,
+    "q_sql_tpch_q8": 1,
+    "q_sql_tpch_q13": 2,        # orders-per-cust agg + histogram agg
+    "q_sql_tpch_q15": 3,        # revenue view + max scalar + join-back
+    "q_sql_tpch_q17": 2,        # per-part avg + final agg
+    "q_resample_ffill": 3,      # slot agg + grid join + ffill window
+    "q_exists_subquery": 1,
+    "q_join_full": 2,           # both sides key-partitioned (no broadcast in full outer)
+    "q_window_lead_ntile": 1,
+    "q_asof_join": 1,
+    "q_range_join": 1,
+    "q_interval_join": 1,
+    "q_skew_join_salted": 1,
+    "q_grouping_sets": 1,
+    "q_sliding_window": 1,
+    "q_stats_agg": 1,
+    "q_percentiles": 1,
+    "q_merge_upsert": 2,        # key-partitioned full-outer merge
+    "q_versioned_compact_e2e": 1,
+    "q_dedup_clusters": 0,      # converged labels read from checkpoint
+    "q_scd2": 1,
+    "q_dedup_near_verified": 5, # band agg + pair distinct + verify joins
+    "q_dedup_near": 2,
+    "q_ngram_jaccard": 1,
+    "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
+    "q_cosine_pairs": 0,        # bounded broadcast self-join
+    "q_ivf_search": 0,          # partition-pruned index probe
+    "q_data_profile": 2,
+    "q_outliers_zscore": 1,
+    "q_incremental_agg": 2,     # delta agg + merge with snapshot
+    "q_text_stats": 1,
+    "q_tfidf": 5,               # (doc,term) agg + df agg + norm joins
+    "q_decontaminate": 4,       # shingle aggs + broadcast anti cascade
+    "q_pack_sequences": 1,      # only (id,group,count) crosses Arrow
+    "q_repetition_stats": 3,
+    "q_boilerplate_ngrams": 4,  # shingle agg + freq agg + semi-join
+    "q_temperature_mix": 3,     # per-source counts + threshold + union
+    "q_pagerank": 5,            # last checkpoint-window of iterations
+    "q_zorder_scan": 1,
+    "q_quantize_embeddings": 0, # pure projections
+    "q_kmeans_1d": 1,
+    "q_chunk_documents": 0,
+    "q_hll_partitioned": 2,     # partial sketches + merge
+    "q_bm25": 6,                # tf/df/len aggs over ONE text scan (plan-tested)
+    "q_partition_overwrite_dynamic": 1,
+    "q_streaming_upsert": 0,    # read-back of the published table
+    "q_media_checksum": 0,
+    "q_fuzzy_pairs": 2,         # block sizes agg + within-block join
+    "q_weighted_sample_per_group": 1,
+    "q_shuffle_hash_join": 3,   # both sides hash-partitioned + agg (by design)
+    "q_time_travel": 0,
+    "q_python_datasource": 0,
+    "q_python_datasource_stream": 0,
 }
 
 

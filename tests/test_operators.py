@@ -117,6 +117,52 @@ def test_ensure_schema_issues_ddl_and_closes(spark):
         ensure_schema("gold;DROP TABLE x", connect=FakeConn)
 
 
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """Integration-level K4+K5 (reference plugins/brewery_operators.py:
+    335-356,381-389): schema DDL over a real JDBC connection, then the
+    partition-parallel JDBC write of the gold aggregate, then a read-back
+    that must equal the source — embedded Derby (shipped in Spark's jars)
+    standing in for the reference's Postgres."""
+    from datalake_breweries_two_spark.sources.jdbc import (
+        JdbcConfig,
+        ensure_schema,
+        jvm_jdbc_connect,
+        write_jdbc,
+    )
+
+    from datalake_breweries_two_spark import entry_queries
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    # twice: second call exercises the already-exists tolerance
+    ensure_schema("gold_layer", connect=jvm_jdbc_connect(spark, url))
+    ensure_schema("gold_layer", connect=jvm_jdbc_connect(spark, url))
+
+    gold = entry_queries.q_gold_agg(spark, SF_SMOKE)
+    cfg = JdbcConfig(
+        url=url,
+        table="gold_layer.brewery_summary",
+        user="",
+        password="",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_partitions=4,
+        batch_size=1000,
+    )
+    write_jdbc(gold, cfg)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", cfg.table)
+        .option("driver", cfg.driver)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, gold.collect()))
+
+    # overwrite mode is idempotent: a second write must not duplicate rows
+    write_jdbc(gold, cfg)
+    assert back.count() == gold.count()
+
+
 # ---------------------------------------------------------------- multimodal
 
 def test_media_feature_extraction(spark):

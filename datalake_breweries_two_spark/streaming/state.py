@@ -87,3 +87,41 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def running_totals_stream_gs(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` twin of :func:`running_totals_stream` —
+    the SAME per-user running-totals semantics on the older GroupState API,
+    which has no protobuf dependency. Kept so the arbitrary-stateful
+    capability is e2e-testable in environments where the TWS runtime can't
+    start (``google.protobuf`` absent), and as the migration reference
+    between the two state APIs. State shape is identical: one (n, total)
+    tuple per user, O(distinct users)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

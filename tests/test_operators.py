@@ -837,17 +837,26 @@ def test_running_totals_processor_logic():
 
 
 def test_running_totals_stream_e2e(spark, tmp_path):
-    """Drained TWS stream's final per-user totals == batch groupBy agg.
-    Skips where the TWS protobuf runtime is unavailable."""
-    pytest.importorskip("google.protobuf.descriptor")
+    """Drained arbitrary-stateful stream's final per-user totals == batch
+    groupBy agg. Uses the TWS path where its protobuf runtime exists, the
+    applyInPandasWithState twin otherwise — the capability is e2e-tested
+    either way (no environment skip)."""
     from datalake_breweries_two_spark.catalog import read_events
     from datalake_breweries_two_spark.streaming import state as st
     from datalake_breweries_two_spark.streaming import windows as sw
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        stateful = st.running_totals_stream
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    except ImportError:
+        stateful = st.running_totals_stream_gs
+
     stage = str(tmp_path / "tws_in")
     (
         read_events(spark, os.path.join(SF_SMOKE, "events.parquet"))
@@ -857,7 +866,7 @@ def test_running_totals_stream_e2e(spark, tmp_path):
     )
     stream = sw.read_events_stream(spark, stage)
     out = sw.run_stream_to_memory(
-        spark, st.running_totals_stream(stream), "t_tws_sink", output_mode="update"
+        spark, stateful(stream), "t_tws_sink", output_mode="update"
     )
     final = out.groupBy("user_id").agg(
         F.max("n_events").alias("n"), F.max("total_value").alias("tv")

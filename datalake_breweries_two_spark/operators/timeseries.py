@@ -32,8 +32,13 @@ def resample_ffill(
 
     Per slot, "the" value is the latest event by (epoch second, tie id) —
     an exact int64 composite key (seconds × 1e9 + id), portable across
-    engines where struct-ordered ``max_by`` is not. Slots with no prior
-    observation at all stay NULL (nothing to carry forward).
+    engines where struct-ordered ``max_by`` is not. Known granularity
+    limit: the time half is SECOND-resolution (``unix_timestamp``), so two
+    events inside the same second resolve by ``tie_col`` alone, not
+    sub-second order — deterministic, oracle-mirrored, but use
+    ``unix_micros`` scaled into the id range if sub-second ordering ever
+    matters. Slots with no prior observation at all stay NULL (nothing to
+    carry forward).
 
     ``step`` must be a single calendar unit ("1 day", "1 hour", ...): the
     grid bounds and the event→slot truncation are BOTH derived from it, so

@@ -25,6 +25,56 @@ from pyspark.sql import SparkSession
 _DEFAULT_APP = "datalake_breweries_two_spark"
 
 
+def object_store_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """s3a profile for object-store (MinIO/S3) lakes — the deployment shape
+    the reference hard-wires into every session it builds
+    (``plugins/brewery_operators.py:241-242``: endpoint + static keys).
+
+    Config-only (no bucket exists in the sandbox); ``build_session`` merges
+    it automatically when ``SPARK_GRAFT_S3_ENDPOINT`` is set, so the same
+    code that reads ``/local/path`` in tests reads ``s3a://bucket/path`` in
+    production. Scale choices baked in:
+
+      * **magic committer** — the default directory-rename commit is an
+        O(files) server-side COPY on object stores (rename is not atomic
+        or free there); the magic committer completes multipart uploads at
+        commit time, zero renames;
+      * path-style access for MinIO (virtual-host style breaks on
+        non-DNS endpoints);
+      * static keys only when provided — otherwise the hadoop-aws default
+        provider chain (instance profiles, env vars) applies.
+    """
+    endpoint = endpoint or os.environ.get("SPARK_GRAFT_S3_ENDPOINT", "")
+    if not endpoint:
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
+    access_key = access_key or os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY", "")
+    secret_key = secret_key or os.environ.get("SPARK_GRAFT_S3_SECRET_KEY", "")
+    if access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
 def build_session(
     app_name: str = _DEFAULT_APP,
     master: str | None = None,
@@ -66,7 +116,8 @@ def build_session(
         # event files into the nanos-long decode path).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
-    for k, v in (extra_conf or {}).items():
+    merged_conf = {**object_store_conf(), **(extra_conf or {})}
+    for k, v in merged_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -117,6 +117,29 @@ def test_ensure_schema_issues_ddl_and_closes(spark):
         ensure_schema("gold;DROP TABLE x", connect=FakeConn)
 
 
+def test_object_store_conf_profile():
+    """The s3a profile must activate only when an endpoint is configured,
+    carry the zero-rename magic committer (directory-rename commit is an
+    O(files) COPY on object stores), and add static keys only when both
+    halves are present (otherwise the hadoop-aws provider chain applies)."""
+    from datalake_breweries_two_spark.session import object_store_conf
+
+    assert object_store_conf(endpoint=None) == {} or "SPARK_GRAFT_S3_ENDPOINT" in os.environ
+
+    conf = object_store_conf(endpoint="http://minio:9000")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "spark.sql.sources.commitProtocolClass" in conf
+    assert "spark.hadoop.fs.s3a.access.key" not in conf  # provider chain
+
+    keyed = object_store_conf(
+        endpoint="http://minio:9000", access_key="ak", secret_key="sk"
+    )
+    assert keyed["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert keyed["spark.hadoop.fs.s3a.secret.key"] == "sk"
+
+
 def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     """Integration-level K4+K5 (reference plugins/brewery_operators.py:
     335-356,381-389): schema DDL over a real JDBC connection, then the

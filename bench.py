@@ -126,6 +126,8 @@ HEADLINE = [
     "q_python_datasource",
     "q_python_datasource_stream",
     "q_nested_rollup",
+    "q_interval_coalesce",
+    "q_mode_agg",
 ]
 
 

@@ -4389,3 +4389,88 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_kll_quantiles"] = q_kll_quantiles
 QUERIES["q_theta_overlap"] = q_theta_overlap
+
+
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: each event opens a deterministic
+    [ts, ts + 20+(event_id%90) sec] activity window; overlapping-or-touching
+    windows per user merge into maximal islands (operators/timeseries.py:
+    coalesce_intervals — single wide exchange, window + island groupBy share
+    one user-keyed partitioning). The interval twin of q_sessionize's
+    point-gap split; full oracle."""
+    from datalake_breweries_two_spark.operators import timeseries
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, 20 + event_id % 90)"
+        ).alias("e"),
+    )
+    return timeseries.coalesce_intervals(iv, "user_id", "s", "e", "event_id")
+
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent order priority per
+    status, ties to the smallest value) — count→rank formulation because
+    engine-native mode() leaves ties unspecified
+    (operators/aggregates.py:group_mode). Full oracle."""
+    from datalake_breweries_two_spark.operators.aggregates import group_mode
+
+    return group_mode(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+QUERIES["q_interval_coalesce"] = q_interval_coalesce
+QUERIES["q_mode_agg"] = q_mode_agg
+
+ORACLE_SQL["q_interval_coalesce"] = """
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s,
+               ts + (20 + event_id % 90) * INTERVAL 1 SECOND AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                    THEN 1 ELSE 0 END AS opens
+        FROM iv
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(opens) OVER (
+                   PARTITION BY user_id ORDER BY s ASC, e ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    )
+    SELECT user_id,
+           min(s) AS ivl_start,
+           max(e) AS ivl_end,
+           count(*) AS n_events,
+           epoch_us(max(e)) - epoch_us(min(s)) AS covered_us
+    FROM islands GROUP BY user_id, island
+"""
+
+ORACLE_SQL["q_mode_agg"] = """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority ASC
+               ) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value, n AS mode_count
+    FROM ranked WHERE rn = 1
+"""

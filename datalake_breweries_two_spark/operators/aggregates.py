@@ -16,7 +16,7 @@ factory; `two_level_agg` below shows the explicit salting pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,6 +137,36 @@ def two_level_agg(df: DataFrame, key: str, value_col: str, salt_buckets: int = 3
     return partial.groupBy(key).agg(
         F.sum("_cnt").cast("long").alias("n"),
         F.sum("_sum").cast("double").alias("sum_value"),
+    )
+
+
+def group_mode(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col`` in
+    each group, ties broken by the SMALLEST value (Spark's ``mode()``
+    leaves ties unspecified, which can never hash-match another engine —
+    this count→rank formulation pins one winner everywhere).
+
+    Shuffle profile: a (group, value)-keyed partial agg, then a window on
+    the group key over the collapsed counts — the window input is one row
+    per distinct (group, value), orders of magnitude smaller than the
+    fact table, so the second exchange moves near-nothing at 100 TB.
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(group_col),
+            F.col(value_col).alias("mode_value"),
+            F.col("n").alias("mode_count"),
+        )
     )
 
 

@@ -83,6 +83,71 @@ def resample_ffill(
     )
 
 
+def coalesce_intervals(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per key
+    into maximal islands (the gaps-and-islands union: availability windows,
+    media segments, lease ranges — the interval twin of sessionization's
+    point-gap split).
+
+    Algorithm: order each key's intervals by (start, end, tie); a row opens
+    a NEW island iff its start exceeds the running max of all PRIOR ends
+    (touching endpoints merge — ``start == prev_end`` stays in the island);
+    the running sum of those open-flags is the island id; one group-by
+    collapses each island to its span. Island numbering depends on the tie
+    order, but the MERGED OUTPUT is invariant to it — ``tie_col`` only
+    pins deterministic execution.
+
+    Scale profile: ONE wide exchange total. Both window expressions share
+    a single (key)-partitioned sort, and the follow-up groupBy on
+    (key, island) is a superset of that partitioning, so Catalyst adds no
+    second shuffle. Per-key interval counts bound the window state; no
+    driver participation, no quadratic pair expansion (vs the naive
+    self-join overlap test).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc(), F.col(tie_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = (
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("__opens")
+    )
+    islands = intervals.select(
+        key_col, start_col, end_col, tie_col, opens
+    ).withColumn(
+        "__island",
+        F.sum("__opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("ivl_start"),
+            F.max(end_col).alias("ivl_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            "ivl_start",
+            "ivl_end",
+            "n_events",
+            (
+                F.unix_micros(F.col("ivl_end")) - F.unix_micros(F.col("ivl_start"))
+            ).alias("covered_us"),
+        )
+    )
+
+
 def moving_avg_time(
     events: DataFrame,
     days: int = 7,

@@ -1529,3 +1529,44 @@ def test_paged_api_stream_resumes_at_page_offset(spark, tmp_path):
     assert (
         drained.join(batch, ["item_id", "page", "name", "score"]).count() == 40
     )
+
+
+def test_coalesce_intervals_merges_touching_and_overlapping(spark):
+    from datetime import datetime
+
+    from datalake_breweries_two_spark.operators.timeseries import coalesce_intervals
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key "a": [0,10] + [5,20] overlap; [20,25] touches (merges);
+        # [40,50] is a separate island
+        ("a", t(0), t(10), 1),
+        ("a", t(5), t(20), 2),
+        ("a", t(20), t(25), 3),
+        ("a", t(40), t(50), 4),
+        # key "b": contained interval [2,4] inside [0,30] must not split
+        ("b", t(0), t(30), 5),
+        ("b", t(2), t(4), 6),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e", "id"])
+    out = {
+        (r["k"], r["ivl_start"], r["ivl_end"]): (r["n_events"], r["covered_us"])
+        for r in coalesce_intervals(df, "k", "s", "e", "id").collect()
+    }
+    assert out == {
+        ("a", t(0), t(25)): (3, 25_000_000),
+        ("a", t(40), t(50)): (1, 10_000_000),
+        ("b", t(0), t(30)): (2, 30_000_000),
+    }
+
+
+def test_group_mode_tie_breaks_to_smallest_value(spark):
+    from datalake_breweries_two_spark.operators.aggregates import group_mode
+
+    rows = [
+        ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"),  # tie: a wins
+        ("g2", "z"), ("g2", "z"), ("g2", "y"),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: (r["mode_value"], r["mode_count"]) for r in group_mode(df, "g", "v").collect()}
+    assert out == {"g1": ("a", 2), "g2": ("z", 2)}

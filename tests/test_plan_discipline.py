@@ -200,6 +200,8 @@ SHUFFLE_BUDGET = {
     "q_map_ops": 2,             # (user,type) agg then user agg
     "q_exchange_reuse": 1,      # one grouped agg, unpivot is Expand
     "q_gdpr_delete": 2,         # staged agg + broadcast-anti read-back
+    "q_interval_coalesce": 1,   # window + island groupBy share one user-keyed exchange
+    "q_mode_agg": 2,            # (group,value) agg + tiny group-keyed window
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.
@@ -272,6 +274,16 @@ SHUFFLE_BUDGET = {
     "q_python_datasource": 0,
     "q_python_datasource_stream": 0,
 }
+
+
+def test_budget_covers_every_headline_query():
+    """Every bench headline query must carry a frozen shuffle budget —
+    a new headline entry without one would silently escape regression
+    protection."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in SHUFFLE_BUDGET]
+    assert not missing, f"headline queries without a shuffle budget: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))

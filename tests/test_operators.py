@@ -1570,3 +1570,49 @@ def test_group_mode_tie_breaks_to_smallest_value(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     out = {r["g"]: (r["mode_value"], r["mode_count"]) for r in group_mode(df, "g", "v").collect()}
     assert out == {"g1": ("a", 2), "g2": ("z", 2)}
+
+
+def test_coalesce_intervals_matches_bruteforce_sweep(spark):
+    """Property check: on randomized interval sets the distributed
+    gaps-and-islands merge must equal the obvious single-threaded sweep."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datalake_breweries_two_spark.operators.timeseries import coalesce_intervals
+
+    base = datetime(2024, 1, 1)
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.choice(["a", "b", "c"]),
+                base + timedelta(seconds=rng.randrange(0, 300)),
+                rng.randrange(0, 40),
+                i,
+            )
+            for i in range(200)
+        ]
+        rows = [(k, s, s + timedelta(seconds=d), i) for k, s, d, i in rows]
+
+        expected = {}
+        by_key: dict = {}
+        for k, s, e, _ in rows:
+            by_key.setdefault(k, []).append((s, e))
+        for k, ivs in by_key.items():
+            ivs.sort()
+            merged = []
+            for s, e in ivs:
+                if merged and s <= merged[-1][1]:
+                    prev_s, prev_e, n = merged[-1]
+                    merged[-1] = (prev_s, max(prev_e, e), n + 1)
+                else:
+                    merged.append((s, e, 1))
+            for s, e, n in merged:
+                expected[(k, s, e)] = n
+
+        df = spark.createDataFrame(rows, ["k", "s", "e", "id"])
+        got = {
+            (r["k"], r["ivl_start"], r["ivl_end"]): r["n_events"]
+            for r in coalesce_intervals(df, "k", "s", "e", "id").collect()
+        }
+        assert got == expected, f"seed {seed}: {len(got)} vs {len(expected)} islands"

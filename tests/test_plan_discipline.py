@@ -328,3 +328,40 @@ def test_exchange_reuse_single_shuffle(spark):
     plan = _plan(df).split("== Initial Plan ==")[0]  # final plan only
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Scan parquet") == 1  # one fact scan, not per-metric
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark):
+    """Spark's runtime bloom-filter injection (the scan-level runtime
+    pruning that matters when a 100 TB probe side meets a selectively
+    filtered build side and broadcast is off the table): with the
+    application-side size threshold lifted, a selective orders filter must
+    inject a bloom_filter_agg on the build side and a might_contain guard
+    on the lineitem probe scan. Conf-scoped — the shared session is
+    restored either way. In production the only knob to revisit is
+    applicationSideScanSizeThreshold (default 10 GB, i.e. injection is
+    automatic exactly when the probe side is big enough to care)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom built on the filtered side"
+        assert "might_contain" in plan, "probe scan not guarded by the bloom"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

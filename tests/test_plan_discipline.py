@@ -365,3 +365,35 @@ def test_runtime_bloom_filter_prunes_probe_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, tmp_path):
+    """A filter on the bucket column must prune to ONE bucket's files
+    (SelectedBucketsCount: 1 out of N) — the hash layout answers point
+    lookups with 1/N of the scan at any scale. Needs
+    autoBucketedScan.enabled=false: the planner otherwise downgrades a
+    plain filter scan to non-bucketed reading and loses the pruning."""
+    import io
+    from contextlib import redirect_stdout
+
+    from datalake_breweries_two_spark.sources import lake
+
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        lake.write_bucketed(
+            orders, "bp_orders_prune", "o_orderkey", 8, str(tmp_path / "bp")
+        )
+        df = spark.table("bp_orders_prune").filter(F.col("o_orderkey") == 1234)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.set(conf, old)

@@ -128,6 +128,8 @@ HEADLINE = [
     "q_nested_rollup",
     "q_interval_coalesce",
     "q_mode_agg",
+    "q_variant_extract",
+    "q_udtf_chunk",
 ]
 
 

@@ -4474,3 +4474,47 @@ ORACLE_SQL["q_mode_agg"] = """
     SELECT o_orderstatus, o_orderpriority AS mode_value, n AS mode_count
     FROM ranked WHERE rn = 1
 """
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT semi-structured path: parse_json → binary variant →
+    typed variant_get + canonical to_json round-trip, aggregated per event
+    type (operators/semistructured.py:variant_props_rollup) — the
+    open-schema twin of q_from_json_struct. Full oracle (DuckDB json()
+    produces the same canonical compact form)."""
+    return semistructured.variant_props_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Arrow-batched LATERAL table function, Spark-4 extension
+    point): overlapping 32-token windows with 8-token overlap per document
+    (operators/udtfs.py). Full oracle via range-stepped list slicing."""
+    from datalake_breweries_two_spark.operators.udtfs import chunk_documents_udtf
+
+    return chunk_documents_udtf(
+        spark, _t(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+QUERIES["q_variant_extract"] = q_variant_extract
+QUERIES["q_udtf_chunk"] = q_udtf_chunk
+
+ORACLE_SQL["q_variant_extract"] = """
+    SELECT event_type,
+           count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json(props) AS VARCHAR)) AS n_distinct_payloads
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["q_udtf_chunk"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(least(start + 32, n) - start AS INT) AS n_tokens,
+           array_to_string(t[start + 1 : least(start + 32, n)], ' ') AS chunk_text
+    FROM toks, LATERAL (SELECT unnest(range(0, n, 24)) AS start) g
+"""

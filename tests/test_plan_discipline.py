@@ -23,6 +23,7 @@ ARROW_PYTHON_OK = {
     "q_media_frame_sample",
     "q_streaming_sessionize",
     "q_pack_sequences",
+    "q_udtf_chunk",  # ArrowEvalPythonUDTF — the lateral table-function API
 }
 
 # Streaming queries produce no batch plan to inspect the same way.
@@ -202,6 +203,8 @@ SHUFFLE_BUDGET = {
     "q_gdpr_delete": 2,         # staged agg + broadcast-anti read-back
     "q_interval_coalesce": 1,   # window + island groupBy share one user-keyed exchange
     "q_mode_agg": 2,            # (group,value) agg + tiny group-keyed window
+    "q_variant_extract": 2,     # distinct-agg double exchange (count distinct canon)
+    "q_udtf_chunk": 0,          # narrow lateral expansion, no shuffle
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

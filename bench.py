@@ -130,6 +130,7 @@ HEADLINE = [
     "q_mode_agg",
     "q_variant_extract",
     "q_udtf_chunk",
+    "q_mergeschema_scan",
 ]
 
 

@@ -4518,3 +4518,43 @@ ORACLE_SQL["q_udtf_chunk"] = """
            array_to_string(t[start + 1 : least(start + 32, n)], ' ') AS chunk_text
     FROM toks, LATERAL (SELECT unnest(range(0, n, 24)) AS start) g
 """
+
+
+def q_mergeschema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution READ path: two parquet generations (v1 without
+    o_orderpriority, v2 with it) unified by ``mergeSchema=true`` at scan —
+    missing columns null-pad, so the silver layer absorbs additive schema
+    drift without a rewrite (the lake twin of q_union_by_name's in-memory
+    evolution). One partial→final agg exchange; the generation writes are
+    staged actions, not part of the returned plan. Full oracle: the v1/v2
+    split is a pure function of o_orderkey parity."""
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(_SCRATCH, "evolved_orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+QUERIES["q_mergeschema_scan"] = q_mergeschema_scan
+
+ORACLE_SQL["q_mergeschema_scan"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+           count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+"""

@@ -1616,3 +1616,43 @@ def test_coalesce_intervals_matches_bruteforce_sweep(spark):
             for r in coalesce_intervals(df, "k", "s", "e", "id").collect()
         }
         assert got == expected, f"seed {seed}: {len(got)} vs {len(expected)} islands"
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The RocksDB state-store provider (the off-heap answer when streaming
+    state outgrows executor heap at production scale — spilling key-space
+    to local SSD instead of OOMing) must produce byte-identical windowed
+    aggregates to the default HDFS-backed in-memory provider. Conf-scoped;
+    provider is captured per-query at start()."""
+    from datalake_breweries_two_spark.streaming import windows as sw
+
+    stage_dir = str(tmp_path / "stream_src")
+    sw.stage_time_ordered_stream(
+        spark, "/root/testdata/sf0.001/events.parquet", stage_dir, n_slices=3
+    )
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def drain(name):
+        stream = sw.read_events_stream(spark, stage_dir)
+        counts = sw.windowed_event_counts(stream)
+        out = sw.run_stream_to_memory(spark, counts, name, output_mode="update")
+        # update-mode emits one row per (key, window) per batch it changed
+        # in; the final snapshot is the row with the highest (monotone)
+        # count per key-window
+        snap = out.groupBy("window_start", "event_type").agg(
+            F.max("n").alias("n"),
+            F.expr("max_by(sum_value, n)").alias("sum_value"),
+        )
+        return sorted(tuple(str(x) for x in r) for r in snap.collect())
+
+    baseline = drain("rocks_default_sink")
+    try:
+        spark.conf.set(conf, rocks)
+        with_rocks = drain("rocks_rocksdb_sink")
+    finally:
+        spark.conf.set(conf, default_provider)
+    assert with_rocks == baseline and len(baseline) > 0

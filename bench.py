@@ -131,6 +131,7 @@ HEADLINE = [
     "q_variant_extract",
     "q_udtf_chunk",
     "q_mergeschema_scan",
+    "q_session_window",
 ]
 
 

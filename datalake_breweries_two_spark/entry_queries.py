@@ -4558,3 +4558,61 @@ ORACLE_SQL["q_mergeschema_scan"] = """
     FROM orders
     GROUP BY CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
 """
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows (F.session_window — Spark's dedicated
+    session-aggregation operator, merging events while each arrives within
+    the gap of the session's last event): per-user 2-minute-gap sessions
+    with exact decimal value sums. The engine-native twin of
+    q_sessionize's portable gap-split formulation; session end =
+    last event + gap (exclusive), mirrored in the oracle via pairwise-gap
+    islands. One session-keyed exchange."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "2 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+QUERIES["q_session_window"] = q_session_window
+
+ORACLE_SQL["q_session_window"] = """
+    WITH ordered AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 MINUTE
+                    THEN 1 ELSE 0 END AS opens
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               sum(opens) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 2 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM islands GROUP BY user_id, island
+"""

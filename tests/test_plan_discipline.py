@@ -402,3 +402,30 @@ def test_bucketed_point_lookup_prunes_buckets(spark, tmp_path):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.set(conf, old)
+
+
+def test_analyzed_table_stats_reach_the_optimizer(spark):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface an exact rowCount to
+    the optimizer (queryExecution().optimizedPlan().stats) — the input the
+    cost-based optimizer needs for stats-driven join reordering and
+    broadcast decisions at scale, where size guesswork is what breaks
+    plans. CBO conf-scoped; table dropped after."""
+    conf = "spark.sql.cbo.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "true")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        n = orders.count()
+        orders.write.mode("overwrite").saveAsTable("stats_orders")
+        spark.sql("ANALYZE TABLE stats_orders COMPUTE STATISTICS")
+        stats = (
+            spark.table("stats_orders")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined(), "no rowCount after ANALYZE"
+        assert int(str(stats.rowCount().get())) == n
+    finally:
+        spark.conf.set(conf, old)
+        spark.sql("DROP TABLE IF EXISTS stats_orders")

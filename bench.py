@@ -132,6 +132,8 @@ HEADLINE = [
     "q_udtf_chunk",
     "q_mergeschema_scan",
     "q_session_window",
+    "q_recursive_cte",
+    "q_collated_distinct",
 ]
 
 

@@ -4616,3 +4616,74 @@ ORACLE_SQL["q_session_window"] = """
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM islands GROUP BY user_id, island
 """
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a deterministic doubling
+    chain walked from every 30th customer key up to the table's max key —
+    iteration expressed IN SQL with no driver loop (vs the hand-rolled
+    fixed-point joins in operators/graph.py). The recursion bound rides
+    along as a carried column so the recursive member stays subquery-free.
+    Full oracle: DuckDB runs the identical statement."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(_RECURSIVE_CTE_SQL.format(table="customer_v"))
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS root, c_custkey AS cur, 0 AS depth, m.bound AS bound
+        FROM {table} CROSS JOIN (SELECT max(c_custkey) AS bound FROM {table}) m
+        WHERE c_custkey % 30 = 0 AND c_custkey > 0
+        UNION ALL
+        SELECT root, cur * 2, depth + 1, bound FROM chain WHERE cur * 2 <= bound
+    )
+    SELECT root,
+           max(depth) AS max_depth,
+           count(*) AS n_nodes,
+           max(cur) AS last_node
+    FROM chain GROUP BY root
+"""
+
+
+def q_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): a case-insensitive UTF8_LCASE DISTINCT
+    folds synthesized case variants of the order priority that a binary
+    (case-sensitive) DISTINCT keeps apart — collation-aware semantics
+    inside codegen'd aggregation, no lower() rewrite in the query. Oracle
+    mirrors UTF8_LCASE with lower() (exact for this ASCII domain)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH v AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN lower(o_orderpriority)
+                        ELSE o_orderpriority END AS prio
+            FROM orders_v
+        )
+        SELECT o_orderstatus,
+               count(DISTINCT prio COLLATE UTF8_LCASE) AS n_ci,
+               count(DISTINCT prio) AS n_cs
+        FROM v GROUP BY o_orderstatus
+        """
+    )
+
+
+QUERIES["q_recursive_cte"] = q_recursive_cte
+QUERIES["q_collated_distinct"] = q_collated_distinct
+
+ORACLE_SQL["q_recursive_cte"] = _RECURSIVE_CTE_SQL.format(table="customer")
+
+ORACLE_SQL["q_collated_distinct"] = """
+    WITH v AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN lower(o_orderpriority)
+                    ELSE o_orderpriority END AS prio
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           count(DISTINCT lower(prio)) AS n_ci,
+           count(DISTINCT prio) AS n_cs
+    FROM v GROUP BY o_orderstatus
+"""

@@ -134,6 +134,7 @@ HEADLINE = [
     "q_session_window",
     "q_recursive_cte",
     "q_collated_distinct",
+    "q_scan_xml",
 ]
 
 

@@ -4687,3 +4687,46 @@ ORACLE_SQL["q_collated_distinct"] = """
            count(DISTINCT prio) AS n_cs
     FROM v GROUP BY o_orderstatus
 """
+
+
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4 NATIVE xml data source — no external package):
+    a filtered orders projection staged as XML, read back with an EXPLICIT
+    schema (no inference pass, same discipline as the CSV/ORC scans), then
+    aggregated. Completes the format surface alongside
+    parquet/JSON/CSV/ORC. Full oracle: the staged subset is a pure
+    key-parity function of orders."""
+    xml_dir = os.path.join(_SCRATCH, "xml_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(xml_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("rowTag", "order")
+        .load(xml_dir)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+QUERIES["q_scan_xml"] = q_scan_xml
+
+ORACLE_SQL["q_scan_xml"] = """
+    SELECT o_orderstatus,
+           count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+"""

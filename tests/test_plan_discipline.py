@@ -209,6 +209,7 @@ SHUFFLE_BUDGET = {
     "q_session_window": 2,      # session-merge partial/final aggregation pair
     "q_recursive_cte": 2,       # union-loop step + final per-root agg
     "q_collated_distinct": 4,   # two distinct aggregates (ci + cs) expand pairs
+    "q_scan_xml": 1,            # one agg over the staged-XML scan
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

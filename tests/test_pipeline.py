@@ -133,6 +133,26 @@ def test_spark_entry_adapter_contract(spark):
     assert set(o) == set(ORACLE_SQL)
     assert set(o) <= set(q), "oracle declared for unregistered query"
 
+    # rotation ORDER: the driver snapshots a bounded prefix, so every
+    # not-yet-driver-checked oracle-backed query must sort before the
+    # rows-only ones, which sort before anything already checked
+    import glob
+    import json
+
+    checked: set = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        checked.update(json.load(open(path)))
+
+    def bucket(name: str) -> int:
+        if name not in checked:
+            return 0 if name in o else 1
+        return 2
+
+    buckets = [bucket(n) for n in q]
+    assert buckets == sorted(buckets), (
+        "rotation must front-load unchecked oracle-backed queries"
+    )
+
     flagship = mod.entry(spark)
     assert flagship.count() >= 0
     assert len(flagship.columns) >= 2

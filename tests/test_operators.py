@@ -1656,3 +1656,52 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     finally:
         spark.conf.set(conf, default_provider)
     assert with_rocks == baseline and len(baseline) > 0
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Property check: the union-trick as-of join must equal the obvious
+    per-row brute force (latest right row with right.ts <= left.ts per key,
+    ts ties to highest tie id) on randomized event sets, including equal
+    timestamps across sides and keys with no prior right row."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datalake_breweries_two_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        # coarse second grid forces frequent exact-tie timestamps
+        lefts = [
+            ("L", rng.randrange(0, 4), base + timedelta(seconds=rng.randrange(0, 60)), i)
+            for i in range(120)
+        ]
+        rights = [
+            ("R", rng.randrange(0, 4), base + timedelta(seconds=rng.randrange(0, 60)),
+             1000 + i, round(rng.uniform(0, 9), 2))
+            for i in range(120)
+        ]
+        left_df = spark.createDataFrame(
+            [(k, ts, i) for _, k, ts, i in lefts], ["user_id", "ts", "event_id"]
+        )
+        right_df = spark.createDataFrame(
+            [(k, ts, i, v) for _, k, ts, i, v in rights],
+            ["user_id", "ts", "p_event_id", "value"],
+        )
+        out = asof_join(
+            left_df, right_df, "user_id", "ts", ["p_event_id", "value"], "p_event_id"
+        )
+        got = {
+            r["event_id"]: (r["asof_p_event_id"], r["asof_value"])
+            for r in out.collect()
+        }
+        expected = {}
+        for _, k, lts, i in lefts:
+            cands = [(rts, rid, v) for _, rk, rts, rid, v in rights
+                     if rk == k and rts <= lts]
+            if cands:
+                rts, rid, v = max(cands)  # (ts, tie) max — same tie rule
+                expected[i] = (rid, v)
+            else:
+                expected[i] = (None, None)
+        assert got == expected, f"seed {seed}"

@@ -135,6 +135,7 @@ HEADLINE = [
     "q_recursive_cte",
     "q_collated_distinct",
     "q_scan_xml",
+    "q_pandas_api",
 ]
 
 

@@ -4730,3 +4730,38 @@ ORACLE_SQL["q_scan_xml"] = """
     FROM orders WHERE o_orderkey % 10 = 0
     GROUP BY o_orderstatus
 """
+
+
+def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the DataFrame loaded through
+    the catalog, switched into the pandas dialect (``.pandas_api`` with a
+    REAL index column — no synthetic distributed-sequence index stage),
+    grouped/aggregated pandas-style, and surfaced back via ``to_spark``.
+    Everything compiles to the same JVM plan (no Python nodes, one agg
+    exchange — enforced by the shared plan-discipline tests); decimal sums
+    keep the engine's hash-exact discipline. Full oracle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+    )
+    pdf = orders.pandas_api(index_col="o_orderkey")
+    g = pdf.groupby("o_orderstatus").agg(
+        n_orders=("o_orderstatus", "count"), total_dec=("price_dec", "sum")
+    )
+    out = g.to_spark(index_col="o_orderstatus")
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_dec").cast("double").alias("total_price"),
+    )
+
+
+QUERIES["q_pandas_api"] = q_pandas_api
+
+ORACLE_SQL["q_pandas_api"] = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+"""

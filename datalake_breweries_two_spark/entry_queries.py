@@ -4478,10 +4478,11 @@ ORACLE_SQL["q_mode_agg"] = """
 
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT semi-structured path: parse_json → binary variant →
-    typed variant_get + canonical to_json round-trip, aggregated per event
-    type (operators/semistructured.py:variant_props_rollup) — the
-    open-schema twin of q_from_json_struct. Full oracle (DuckDB json()
-    produces the same canonical compact form)."""
+    typed variant_get extractions, aggregated per event type
+    (operators/semistructured.py:variant_props_rollup) — the open-schema
+    twin of q_from_json_struct. Full oracle: every compared metric is a
+    TYPED extraction (never re-serialized JSON text, whose canonical form
+    is engine-specific)."""
     return semistructured.variant_props_rollup(_t(spark, sf_dir, "events"))
 
 
@@ -4503,7 +4504,7 @@ ORACLE_SQL["q_variant_extract"] = """
     SELECT event_type,
            count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
            sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-           count(DISTINCT CAST(json(props) AS VARCHAR)) AS n_distinct_payloads
+           count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
     FROM events GROUP BY event_type
 """
 

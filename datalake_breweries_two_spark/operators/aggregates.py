@@ -146,7 +146,11 @@ def group_mode(
     """Deterministic per-group mode: the most frequent ``value_col`` in
     each group, ties broken by the SMALLEST value (Spark's ``mode()``
     leaves ties unspecified, which can never hash-match another engine —
-    this count→rank formulation pins one winner everywhere).
+    this count→rank formulation pins one winner everywhere). NULL values
+    sort LAST in the tie-break (``asc_nulls_last`` — Spark's bare ASC is
+    NULLS FIRST, which would let a NULL mode beat every real value and
+    diverge from NULLS-LAST engines); a NULL mode_value therefore appears
+    only when NULL is strictly the most frequent value.
 
     Shuffle profile: a (group, value)-keyed partial agg, then a window on
     the group key over the collapsed counts — the window input is one row
@@ -157,7 +161,7 @@ def group_mode(
         F.count(F.lit(1)).alias("n")
     )
     w = Window.partitionBy(group_col).orderBy(
-        F.col("n").desc(), F.col(value_col).asc()
+        F.col("n").desc(), F.col(value_col).asc_nulls_last()
     )
     return (
         counts.withColumn("__rn", F.row_number().over(w))

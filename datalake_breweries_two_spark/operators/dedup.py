@@ -156,6 +156,38 @@ def observed_metrics(obs: Observation, *names: str) -> dict:
         return {n: jrow.get(i) for i, n in enumerate(names)}
 
 
+def _observe_dropped_sentinels(
+    result: DataFrame,
+    sentinels: DataFrame,
+    obs: Observation,
+    size_col: str,
+    count_alias: str,
+    sum_alias: str,
+) -> DataFrame:
+    """Shared top-of-plan CollectMetrics workaround: AQE drops observed
+    values from intermediate query stages (an aggregate downstream of the
+    observe node starts a new stage and the observed row comes back empty,
+    Spark 4.1), so the metrics node goes at the TOP — each over-cap group
+    emits one sentinel row (result columns NULL + its size in
+    ``size_col``), the union is observed, and sentinels are filtered back
+    out. Aggregates are coalesced to 0 so an entirely empty plan (no
+    result rows AND nothing dropped) reports zeros, not NULLs — production
+    alerting compares these numbers."""
+    merged = result.withColumn(size_col, F.lit(None).cast("long")).unionByName(
+        sentinels
+    )
+    observed = merged.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.col(size_col).isNotNull().cast("long")), F.lit(0)
+        ).alias(count_alias),
+        F.coalesce(
+            F.sum(F.coalesce(F.col(size_col), F.lit(0))), F.lit(0)
+        ).alias(sum_alias),
+    )
+    return observed.filter(F.col(size_col).isNull()).drop(size_col)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -227,30 +259,15 @@ def lsh_candidate_pairs(
     ).select("p.id_a", "p.id_b").distinct()
     if dropped_obs is None:
         return pairs
-    # AQE drops CollectMetrics values from intermediate query stages: an
-    # aggregate DOWNSTREAM of the observe node (the pair-dedup distinct)
-    # starts a new stage and the observed row comes back empty (Spark
-    # 4.1). Keep the metrics node at the TOP of the plan instead: each
-    # over-cap bucket emits one sentinel row past the distinct, the
-    # top-level observe counts them, and they are filtered out before
-    # returning — same single job, metrics survive AQE re-planning.
     id_type = pairs.schema["id_a"].dataType
     sentinels = grouped.filter(F.size("ids") > max_bucket).select(
         F.lit(None).cast(id_type).alias("id_a"),
         F.lit(None).cast(id_type).alias("id_b"),
         F.size("ids").cast("long").alias("_dropped_sz"),
     )
-    merged = pairs.withColumn(
-        "_dropped_sz", F.lit(None).cast("long")
-    ).unionByName(sentinels)
-    observed = merged.observe(
-        dropped_obs,
-        F.sum(F.col("_dropped_sz").isNotNull().cast("long")).alias(
-            "dropped_buckets"
-        ),
-        F.sum(F.coalesce(F.col("_dropped_sz"), F.lit(0))).alias("dropped_ids"),
+    return _observe_dropped_sentinels(
+        pairs, sentinels, dropped_obs, "_dropped_sz", "dropped_buckets", "dropped_ids"
     )
-    return observed.filter(F.col("_dropped_sz").isNull()).select("id_a", "id_b")
 
 
 def minhash_near_duplicates(
@@ -691,10 +708,6 @@ def fuzzy_blocked_pairs(
     )
     if dropped_obs is None:
         return result
-    # Same AQE caveat as lsh_candidate_pairs: a CollectMetrics node inside
-    # the broadcast subtree loses its values when AQE stages the plan, so
-    # the metrics node goes at the TOP — over-cap blocks emit one sentinel
-    # row each, counted by the top-level observe and filtered back out.
     id_type = keyed.schema[id_col].dataType
     sentinels = sizes.filter(F.col("_n") > block_cap).select(
         F.lit(None).cast(id_type).alias("id_a"),
@@ -702,16 +715,6 @@ def fuzzy_blocked_pairs(
         F.lit(None).cast("int").alias("edit_dist"),
         F.col("_n").cast("long").alias("_dropped_n"),
     )
-    merged = result.withColumn(
-        "_dropped_n", F.lit(None).cast("long")
-    ).unionByName(sentinels)
-    observed = merged.observe(
-        dropped_obs,
-        F.sum(F.col("_dropped_n").isNotNull().cast("long")).alias(
-            "dropped_blocks"
-        ),
-        F.sum(F.coalesce(F.col("_dropped_n"), F.lit(0))).alias("dropped_rows"),
-    )
-    return observed.filter(F.col("_dropped_n").isNull()).select(
-        "id_a", "id_b", "edit_dist"
+    return _observe_dropped_sentinels(
+        result, sentinels, dropped_obs, "_dropped_n", "dropped_blocks", "dropped_rows"
     )

@@ -133,7 +133,15 @@ def pagerank(
                 .cast("long")
                 .alias("rank_e8"),
             )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < num_iter:
+        # the dangling branch consumes `ranks` TWICE per iteration
+        # (contribs + dmass): without per-iteration lineage truncation the
+        # doubly-referenced subtree doubles the plan every iteration
+        # (2^checkpoint_every growth between checkpoints), so dangling
+        # graphs checkpoint every step; the k-NN path keeps the cheaper
+        # periodic cadence
+        if i + 1 < num_iter and (
+            has_dangling or (i + 1) % checkpoint_every == 0
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",

@@ -77,28 +77,30 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
 
 def variant_props_rollup(events: DataFrame) -> DataFrame:
     """Spark 4 VARIANT path over the event props: ``parse_json`` → binary
-    variant column → typed ``variant_get`` extraction + canonical
-    ``to_json`` round-trip, aggregated per event type.
+    variant column → typed ``variant_get`` extraction, aggregated per
+    event type.
 
     This is the OPEN-schema twin of ``parse_event_props`` (``from_json``
     with a declared struct): variant defers the schema to read time, which
     is what a 100 TB bronze layer with drifting payloads actually needs —
     new keys land without a schema migration, and the binary variant
-    encoding shuffles/aggregates without re-parsing JSON text per access.
-    All JVM expressions (no Python); one partial→final agg exchange.
+    encoding shuffles/aggregates without re-parsing JSON text per access
+    (the variant column is parsed ONCE and both extractions read it). All
+    aggregated metrics are TYPED extractions — never a re-serialized JSON
+    string, whose canonical form (key order, number formatting) is
+    engine-specific and can never hash-match another engine. All JVM
+    expressions (no Python); one distinct-agg exchange pair.
     """
-    v = F.parse_json(F.col("props"))
-    k = F.expr("cast(variant_get(parse_json(props), '$.k', 'bigint') as bigint)")
+    parsed = events.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
     return (
-        events.select(
-            "event_type",
-            k.alias("k"),
-            F.to_json(v).alias("canon"),
-        )
+        parsed.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_with_k"),
             F.sum("k").alias("sum_k"),
-            F.countDistinct("canon").alias("n_distinct_payloads"),
+            F.countDistinct("k").alias("n_distinct_k"),
         )
     )

@@ -41,10 +41,18 @@ def object_store_conf(
     code that reads ``/local/path`` in tests reads ``s3a://bucket/path`` in
     production. Scale choices baked in:
 
-      * **magic committer** — the default directory-rename commit is an
-        O(files) server-side COPY on object stores (rename is not atomic
-        or free there); the magic committer completes multipart uploads at
-        commit time, zero renames;
+      * **magic committer** (opt-in) — the default directory-rename commit
+        is an O(files) server-side COPY on object stores (rename is not
+        atomic or free there); the magic committer completes multipart
+        uploads at commit time, zero renames. Its
+        ``spark.sql.sources.commitProtocolClass`` override is GLOBAL (it
+        applies to every write, local paths included) and its classes live
+        in the optional spark-hadoop-cloud module that pip-installed
+        pyspark does NOT bundle — so it is gated behind
+        ``SPARK_GRAFT_S3_MAGIC_COMMITTER=1`` rather than switched on by
+        the endpoint alone (an endpoint-only setup would otherwise fail
+        EVERY write with ClassNotFoundException). Without the flag, s3a
+        writes fall back to the slower-but-correct rename committer;
       * path-style access for MinIO (virtual-host style breaks on
         non-DNS endpoints);
       * static keys only when provided — otherwise the hadoop-aws default
@@ -59,14 +67,19 @@ def object_store_conf(
         "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
         "spark.hadoop.fs.s3a.fast.upload": "true",
         "spark.hadoop.fs.s3a.connection.maximum": "96",
-        "spark.hadoop.fs.s3a.committer.name": "magic",
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
     }
+    if os.environ.get("SPARK_GRAFT_S3_MAGIC_COMMITTER", "") == "1":
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+            }
+        )
     access_key = access_key or os.environ.get("SPARK_GRAFT_S3_ACCESS_KEY", "")
     secret_key = secret_key or os.environ.get("SPARK_GRAFT_S3_SECRET_KEY", "")
     if access_key and secret_key:

@@ -117,21 +117,31 @@ def test_ensure_schema_issues_ddl_and_closes(spark):
         ensure_schema("gold;DROP TABLE x", connect=FakeConn)
 
 
-def test_object_store_conf_profile():
+def test_object_store_conf_profile(monkeypatch):
     """The s3a profile must activate only when an endpoint is configured,
-    carry the zero-rename magic committer (directory-rename commit is an
-    O(files) COPY on object stores), and add static keys only when both
-    halves are present (otherwise the hadoop-aws provider chain applies)."""
+    add static keys only when both halves are present (otherwise the
+    hadoop-aws provider chain applies), and gate the magic committer
+    behind SPARK_GRAFT_S3_MAGIC_COMMITTER: its commitProtocolClass
+    override is global and its classes live in the optional
+    spark-hadoop-cloud module pip pyspark does not ship, so endpoint-only
+    setups must NOT carry it (it would break every write with
+    ClassNotFoundException)."""
     from datalake_breweries_two_spark.session import object_store_conf
 
     assert object_store_conf(endpoint=None) == {} or "SPARK_GRAFT_S3_ENDPOINT" in os.environ
 
+    monkeypatch.delenv("SPARK_GRAFT_S3_MAGIC_COMMITTER", raising=False)
     conf = object_store_conf(endpoint="http://minio:9000")
     assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
     assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
-    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
-    assert "spark.sql.sources.commitProtocolClass" in conf
+    assert "spark.sql.sources.commitProtocolClass" not in conf  # gated
+    assert "spark.hadoop.fs.s3a.committer.name" not in conf
     assert "spark.hadoop.fs.s3a.access.key" not in conf  # provider chain
+
+    monkeypatch.setenv("SPARK_GRAFT_S3_MAGIC_COMMITTER", "1")
+    magic = object_store_conf(endpoint="http://minio:9000")
+    assert magic["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "spark.sql.sources.commitProtocolClass" in magic
 
     keyed = object_store_conf(
         endpoint="http://minio:9000", access_key="ak", secret_key="sk"
@@ -596,6 +606,34 @@ def test_lsh_and_fuzzy_report_dropped_buckets(spark):
     assert dedup.observed_metrics(obs3, "dropped_blocks", "dropped_rows") == {
         "dropped_blocks": 0,
         "dropped_rows": 0,
+    }
+
+    # ENTIRELY empty plan (no pairs AND nothing dropped — every block a
+    # singleton): metrics must be 0, never NULL (alerting compares them)
+    lonely = spark.createDataFrame(
+        [(1, "acme widget"), (2, "beta gadget"), (3, "gamma sprocket")],
+        "pid long, name string",
+    )
+    obs4 = Observation("fuzzy_empty")
+    assert dedup.fuzzy_blocked_pairs(
+        lonely, "name", "pid", block_cap=3, dropped_obs=obs4
+    ).count() == 0
+    assert dedup.observed_metrics(obs4, "dropped_blocks", "dropped_rows") == {
+        "dropped_blocks": 0,
+        "dropped_rows": 0,
+    }
+
+    obs5 = Observation("lsh_empty")
+    distinct_sigs = spark.createDataFrame(
+        [(i, [i * 4 + j for j in range(4)]) for i in range(6)],
+        "doc_id long, signature array<long>",
+    )
+    assert dedup.lsh_candidate_pairs(
+        distinct_sigs, bands=2, rows_per_band=2, max_bucket=4, dropped_obs=obs5
+    ).count() == 0
+    assert dedup.observed_metrics(obs5, "dropped_buckets", "dropped_ids") == {
+        "dropped_buckets": 0,
+        "dropped_ids": 0,
     }
 
 
@@ -1566,10 +1604,17 @@ def test_group_mode_tie_breaks_to_smallest_value(spark):
     rows = [
         ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"),  # tie: a wins
         ("g2", "z"), ("g2", "z"), ("g2", "y"),
+        ("g3", None), ("g3", None), ("g3", "c"), ("g3", "c"),  # NULL ties real value: c wins
+        ("g4", None), ("g4", None), ("g4", "d"),  # NULL strictly most frequent
     ]
     df = spark.createDataFrame(rows, ["g", "v"])
     out = {r["g"]: (r["mode_value"], r["mode_count"]) for r in group_mode(df, "g", "v").collect()}
-    assert out == {"g1": ("a", 2), "g2": ("z", 2)}
+    assert out == {
+        "g1": ("a", 2),
+        "g2": ("z", 2),
+        "g3": ("c", 2),
+        "g4": (None, 2),
+    }
 
 
 def test_coalesce_intervals_matches_bruteforce_sweep(spark):

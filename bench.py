@@ -136,6 +136,7 @@ HEADLINE = [
     "q_collated_distinct",
     "q_scan_xml",
     "q_pandas_api",
+    "q_pit_lookup",
 ]
 
 

@@ -4766,3 +4766,58 @@ ORACLE_SQL["q_pandas_api"] = """
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
 """
+
+
+def q_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup: each click event joined to the
+    per-user dimension version (built from the purchase changelog,
+    sources/lake.py:build_scd2 semantics) that was valid AT the click's
+    event time. Expressed as an AS-OF join against version starts
+    (operators/joins.py:asof_join — one shuffle, no per-key pair
+    explosion) instead of the naive BETWEEN(valid_from, valid_to)
+    theta-join, which degenerates to a per-key cartesian at scale; the
+    interval formulation is exactly what the oracle recomputes. Clicks
+    before any version keep NULL attributes (left semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    versions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("dim_version_id"),
+        F.col("value").alias("dim_value"),
+    )
+    out = joins.asof_join(
+        clicks, versions, "user_id", "ts", ["dim_version_id", "dim_value"],
+        "dim_version_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_dim_version_id").alias("dim_version_id"),
+        F.col("asof_dim_value").alias("dim_value"),
+    )
+
+
+QUERIES["q_pit_lookup"] = q_pit_lookup
+
+ORACLE_SQL["q_pit_lookup"] = """
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               event_id AS dim_version_id,
+               value AS dim_value
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, d.dim_version_id, d.dim_value
+    FROM clicks c LEFT JOIN dim d
+      ON c.user_id = d.user_id
+     AND d.valid_from <= c.ts
+     AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+"""

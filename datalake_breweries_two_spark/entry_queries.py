@@ -4821,3 +4821,78 @@ ORACLE_SQL["q_pit_lookup"] = """
      AND d.valid_from <= c.ts
      AND (d.valid_to IS NULL OR c.ts < d.valid_to)
 """
+
+
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — unconverted views surface
+    as a stream with NULL click columns when the watermark evicts their
+    state (streaming/joins.py:view_click_attribution_outer). FULL ORACLE:
+    the staged slices replay in time order, so matched pairs equal the
+    batch interval join and the emitted null rows are exactly the
+    unmatched views whose ``view_ts + lag`` fell before the final global
+    watermark ``min(max view_ts, max click_ts) - delay`` — both recomputed
+    in SQL. Per-user counts returned."""
+    from datalake_breweries_two_spark.streaming import joins as stream_joins
+
+    stage_dir = os.path.join(_SCRATCH, "events_ssjoin_outer_stream")
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), stage_dir, n_slices=4
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    pairs = stream_joins.view_click_attribution_outer(
+        views, clicks, max_lag_minutes=5, watermark="2 minutes"
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, pairs, "q_streaming_ssjoin_outer_sink", output_mode="append"
+    )
+    return out.groupBy("user_id").agg(
+        F.count("click_id").alias("n_attributed"),
+        F.sum(F.col("click_id").isNull().cast("long")).alias("n_expired_unmatched"),
+    )
+
+
+QUERIES["q_streaming_interval_join_outer"] = q_streaming_interval_join_outer
+
+ORACLE_SQL["q_streaming_interval_join_outer"] = """
+    WITH v AS (
+        SELECT user_id, ts AS view_ts, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(view_ts) FROM v), (SELECT max(click_ts) FROM c))
+               - INTERVAL 2 MINUTE AS w
+    ),
+    matched AS (
+        SELECT v.user_id, v.view_id, c.click_id
+        FROM v JOIN c
+          ON v.user_id = c.click_user
+         AND c.click_ts >= v.view_ts
+         AND c.click_ts <= v.view_ts + INTERVAL 5 MINUTE
+    ),
+    expired_unmatched AS (
+        SELECT v.user_id, v.view_id, NULL AS click_id
+        FROM v
+        WHERE NOT EXISTS (
+                SELECT 1 FROM c
+                WHERE c.click_user = v.user_id
+                  AND c.click_ts >= v.view_ts
+                  AND c.click_ts <= v.view_ts + INTERVAL 5 MINUTE
+              )
+          AND v.view_ts + INTERVAL 5 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT user_id,
+           count(click_id) AS n_attributed,
+           CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_expired_unmatched
+    FROM (
+        SELECT user_id, click_id FROM matched
+        UNION ALL
+        SELECT user_id, click_id FROM expired_unmatched
+    ) GROUP BY user_id
+"""

@@ -58,3 +58,44 @@ def view_click_attribution(
     return v.join(c, cond, "inner").select(
         "user_id", "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def view_click_attribution_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag_minutes: int = 5,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — matched
+    views eagerly (the inner part), unmatched views with NULL click columns
+    once the global watermark passes the farthest instant a click could
+    still match (``view_ts + lag``), i.e. when their state is evicted.
+
+    This is the semantics the inner variant cannot give you: "views that
+    never converted" as a STREAM, with state still O(lag window). The
+    emission cutoff is deterministic for a drained finite replay: the final
+    global watermark is ``min(max view_ts, max click_ts) - watermark`` (the
+    two-watermark MIN policy, Spark's default), so unmatched views with
+    ``view_ts + lag < final_wm`` have emitted and later ones are still
+    buffered when the query stops — exactly the set the oracle recomputes.
+    Unlike the inner twin, the watermark must be REAL (not data-spanning):
+    an outer join emits its null rows only as the watermark advances.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (v["user_id"] == c["click_user"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"interval {max_lag_minutes} minutes"))
+    )
+    return v.join(c, cond, "leftOuter").select(
+        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    )

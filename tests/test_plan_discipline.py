@@ -34,6 +34,7 @@ SKIP_PLAN = {
     "q_streaming_enrich",
     "q_streaming_sliding",
     "q_streaming_interval_join",
+    "q_streaming_interval_join_outer",
     "q_media_features",
 }
 

@@ -4804,16 +4804,24 @@ def q_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_pit_lookup"] = q_pit_lookup
 
 ORACLE_SQL["q_pit_lookup"] = """
+    -- ts comparisons and outputs truncated to microseconds: Spark decodes
+    -- every events.ts layout to microsecond timestamps (catalog.py), so a
+    -- raw nanosecond fixture would otherwise diverge at sub-us precision
     WITH dim AS (
-        SELECT user_id, ts AS valid_from,
-               lead(ts) OVER w AS valid_to,
+        SELECT user_id,
+               date_trunc('microseconds', ts) AS valid_from,
+               lead(date_trunc('microseconds', ts)) OVER w AS valid_to,
                event_id AS dim_version_id,
                value AS dim_value
         FROM events WHERE event_type = 'purchase'
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
+        )
     ),
     clicks AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        FROM events WHERE event_type = 'click'
     )
     SELECT c.event_id, c.user_id, c.ts, d.dim_version_id, d.dim_value
     FROM clicks c LEFT JOIN dim d
@@ -4857,15 +4865,25 @@ QUERIES["q_streaming_interval_join_outer"] = q_streaming_interval_join_outer
 
 ORACLE_SQL["q_streaming_interval_join_outer"] = """
     WITH v AS (
-        SELECT user_id, ts AS view_ts, event_id AS view_id
+        SELECT user_id, date_trunc('microseconds', ts) AS view_ts,
+               event_id AS view_id
         FROM events WHERE event_type = 'view'
     ),
     c AS (
-        SELECT user_id AS click_user, ts AS click_ts, event_id AS click_id
+        SELECT user_id AS click_user, date_trunc('microseconds', ts) AS click_ts,
+               event_id AS click_id
         FROM events WHERE event_type = 'click'
     ),
+    -- Final global watermark, mirroring Spark EXACTLY (empirically pinned
+    -- by boundary probes at wm, wm-1us, wm-1ms, wm+400us): each side's max
+    -- event time is FLOORED TO WHOLE MILLISECONDS (event-time stats track
+    -- ms), the global watermark is the MIN of the two (default policy),
+    -- and state eviction fires iff view_ts + lag <= wm - 1ms (Spark's
+    -- state-watermark strictness adjustment) — equality at wm or within
+    -- the trailing millisecond stays buffered.
     wm AS (
-        SELECT least((SELECT max(view_ts) FROM v), (SELECT max(click_ts) FROM c))
+        SELECT least(date_trunc('milliseconds', (SELECT max(view_ts) FROM v)),
+                     date_trunc('milliseconds', (SELECT max(click_ts) FROM c)))
                - INTERVAL 2 MINUTE AS w
     ),
     matched AS (
@@ -4884,7 +4902,8 @@ ORACLE_SQL["q_streaming_interval_join_outer"] = """
                   AND c.click_ts >= v.view_ts
                   AND c.click_ts <= v.view_ts + INTERVAL 5 MINUTE
               )
-          AND v.view_ts + INTERVAL 5 MINUTE < (SELECT w FROM wm)
+          AND v.view_ts + INTERVAL 5 MINUTE
+              <= (SELECT w FROM wm) - INTERVAL 1 MILLISECOND
     )
     SELECT user_id,
            count(click_id) AS n_attributed,

@@ -18,6 +18,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag_minutes: int,
+    watermark: str,
+    how: str,
+    always_watermark: bool,
+) -> DataFrame:
+    """Shared core of the inner/leftOuter attribution joins: project both
+    sides, watermark (streaming inputs only, unless ``always_watermark`` —
+    an OUTER join emits its null rows only as the watermark advances, so
+    the outer variant watermarks unconditionally), and join on the
+    user-keyed event-time interval condition."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if always_watermark or views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if always_watermark or clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (v["user_id"] == c["click_user"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"interval {max_lag_minutes} minutes"))
+    )
+    return v.join(c, cond, how).select(
+        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    )
+
+
 def view_click_attribution(
     views: DataFrame,
     clicks: DataFrame,
@@ -36,27 +73,8 @@ def view_click_attribution(
     dropped as late (late-drop semantics are covered by the windowed-agg
     tests).
     """
-    v = views.select(
-        F.col("user_id"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    )
-    c = clicks.select(
-        F.col("user_id").alias("click_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    if views.isStreaming:
-        v = v.withWatermark("view_ts", watermark)
-    if clicks.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
-    cond = (
-        (v["user_id"] == c["click_user"])
-        & (c["click_ts"] >= v["view_ts"])
-        & (c["click_ts"] <= v["view_ts"] + F.expr(f"interval {max_lag_minutes} minutes"))
-    )
-    return v.join(c, cond, "inner").select(
-        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    return _attribution_join(
+        views, clicks, max_lag_minutes, watermark, "inner", always_watermark=False
     )
 
 
@@ -74,28 +92,17 @@ def view_click_attribution_outer(
     This is the semantics the inner variant cannot give you: "views that
     never converted" as a STREAM, with state still O(lag window). The
     emission cutoff is deterministic for a drained finite replay: the final
-    global watermark is ``min(max view_ts, max click_ts) - watermark`` (the
-    two-watermark MIN policy, Spark's default), so unmatched views with
-    ``view_ts + lag < final_wm`` have emitted and later ones are still
-    buffered when the query stops — exactly the set the oracle recomputes.
-    Unlike the inner twin, the watermark must be REAL (not data-spanning):
-    an outer join emits its null rows only as the watermark advances.
+    global watermark is ``min(max view_ts, max click_ts) - watermark``
+    (each side's max FLOORED TO WHOLE MILLISECONDS first — Spark's
+    event-time stats track milliseconds; the two-watermark MIN policy is
+    Spark's default), and an unmatched view has emitted iff
+    ``view_ts + lag <= wm - 1ms`` (the state-watermark strictness
+    adjustment; boundary semantics pinned by probes at wm, wm-1us, wm-1ms
+    and wm+400us — equality at wm or inside the trailing millisecond stays
+    buffered). The oracle recomputes exactly that set. Unlike the inner
+    twin, the watermark must be REAL (not data-spanning): an outer join
+    emits its null rows only as the watermark advances.
     """
-    v = views.select(
-        F.col("user_id"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    ).withWatermark("view_ts", watermark)
-    c = clicks.select(
-        F.col("user_id").alias("click_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    ).withWatermark("click_ts", watermark)
-    cond = (
-        (v["user_id"] == c["click_user"])
-        & (c["click_ts"] >= v["view_ts"])
-        & (c["click_ts"] <= v["view_ts"] + F.expr(f"interval {max_lag_minutes} minutes"))
-    )
-    return v.join(c, cond, "leftOuter").select(
-        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    return _attribution_join(
+        views, clicks, max_lag_minutes, watermark, "leftOuter", always_watermark=True
     )

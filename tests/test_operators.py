@@ -1750,3 +1750,42 @@ def test_asof_join_matches_bruteforce(spark):
             else:
                 expected[i] = (None, None)
         assert got == expected, f"seed {seed}"
+
+
+def test_outer_interval_join_eviction_boundary(spark, tmp_path):
+    """Pins the outer-join eviction rule the oracle mirrors: with final
+    watermark wm = floor_ms(max event ts) - delay, an unmatched view emits
+    iff view_ts + lag <= wm - 1ms. Four probes straddle the boundary:
+    +400us and exactly-wm stay buffered, wm-1us stays buffered (inside the
+    trailing millisecond), wm-1ms emits."""
+    import datetime as dt
+    import time
+
+    from datalake_breweries_two_spark.streaming import joins as sj
+    from datalake_breweries_two_spark.streaming import windows as sw
+
+    T0 = dt.datetime(2024, 1, 1)
+    us = lambda n: dt.timedelta(microseconds=n)
+    rows1 = [
+        (1, T0, 10, "view", 0.0),             # A: A+lag == wm      → buffered
+        (1, T0 + us(400), 11, "view", 0.0),   # B: wm+400us         → buffered
+        (1, T0 - us(1), 30, "view", 0.0),     # D: wm-1us           → buffered
+        (1, T0 - us(1000), 31, "view", 0.0),  # E: wm-1ms           → emits
+    ]
+    clock = T0 + dt.timedelta(minutes=7) + us(600)  # floor_ms → T0+7min
+    rows2 = [(1, clock, 40, "view", 0.0), (1, clock, 41, "click", 0.0)]
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    stage = str(tmp_path / "wm_probe")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    time.sleep(1.1)  # distinct mtime → slice 2 replays second
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(stage)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+    j = sj.view_click_attribution_outer(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        max_lag_minutes=5,
+        watermark="2 minutes",
+    )
+    out = sw.run_stream_to_memory(spark, j, "wm_probe_sink_ut", output_mode="append")
+    res = sorted((r["view_id"], r["click_id"]) for r in out.collect())
+    assert res == [(31, None), (40, 41)], res

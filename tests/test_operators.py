@@ -1789,3 +1789,92 @@ def test_outer_interval_join_eviction_boundary(spark, tmp_path):
     out = sw.run_stream_to_memory(spark, j, "wm_probe_sink_ut", output_mode="append")
     res = sorted((r["view_id"], r["click_id"]) for r in out.collect())
     assert res == [(31, None), (40, 41)], res
+
+
+def test_funnel_matches_bruteforce(spark):
+    """Property check: the join-cascade funnel must equal an obvious
+    per-user simulation (first anchor, then earliest next-stage event
+    strictly after the previous stage and within the window) on randomized
+    event streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datalake_breweries_two_spark.operators.behavior import funnel_stages
+
+    base = datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    for seed in (3, 77):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(0, 12),
+                base + timedelta(seconds=rng.randrange(0, 7200)),
+                rng.choice(steps),
+                i,
+            )
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+        got = {
+            r["user_id"]: r["stage_depth"]
+            for r in funnel_stages(df, steps, within_minutes=20).collect()
+        }
+
+        expected = {}
+        by_user: dict = {}
+        for u, ts, et, _ in rows:
+            by_user.setdefault(u, []).append((ts, et))
+        for u, evs in by_user.items():
+            anchors = sorted(ts for ts, et in evs if et == steps[0])
+            if not anchors:
+                continue
+            depth, cur = 1, anchors[0]
+            for step in steps[1:]:
+                nxt = sorted(
+                    ts for ts, et in evs
+                    if et == step and ts > cur and ts <= cur + timedelta(minutes=20)
+                )
+                if not nxt:
+                    break
+                depth, cur = depth + 1, nxt[0]
+            expected[u] = depth
+        assert got == expected, f"seed {seed}"
+
+
+def test_cohort_retention_matches_bruteforce(spark):
+    """Property check: the cohort triangle must equal the per-user
+    first-day/offset recount on randomized activity histories."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datalake_breweries_two_spark.operators.behavior import cohort_retention
+
+    base = datetime(2024, 1, 1)
+    for seed in (11, 59):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(0, 25),
+                base + timedelta(days=rng.randrange(0, 14), seconds=rng.randrange(0, 86400)),
+                i,
+            )
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+        got = {
+            (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+            for r in cohort_retention(df).collect()
+        }
+
+        first: dict = {}
+        days: dict = {}
+        for u, ts, _ in rows:
+            d = ts.date()
+            days.setdefault(u, set()).add(d)
+            first[u] = min(first.get(u, d), d)
+        expected: dict = {}
+        for u, dset in days.items():
+            for d in dset:
+                key = (str(first[u]), (d - first[u]).days)
+                expected[key] = expected.get(key, 0) + 1
+        assert got == expected, f"seed {seed}"

@@ -1878,3 +1878,21 @@ def test_cohort_retention_matches_bruteforce(spark):
                 key = (str(first[u]), (d - first[u]).days)
                 expected[key] = expected.get(key, 0) + 1
         assert got == expected, f"seed {seed}"
+
+
+def test_arrow_interchange_round_trip(spark):
+    """PySpark 4 Arrow interchange: df.toArrow() must carry exact schema
+    and values, and createDataFrame(arrow_table) must round-trip — the
+    zero-copy hand-off path to pandas/polars/DuckDB consumers."""
+    src = (
+        load_table(spark, "orders", SF_SMOKE)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+    tbl = src.toArrow()
+    assert tbl.num_rows == 500
+    assert [f.name for f in tbl.schema] == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    back = spark.createDataFrame(tbl)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

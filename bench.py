@@ -137,6 +137,12 @@ HEADLINE = [
     "q_scan_xml",
     "q_pandas_api",
     "q_pit_lookup",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q21",
+    "q_corr_matrix",
+    "q_linreg_by_group",
+    "q_dq_audit",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -254,6 +260,12 @@ QUIET_HOST_REF_SEC = {
     "q_winsorize": 0.26,
     "q_word_count": 0.23,
     "q_zorder_scan": 1.47,
+    "q_sql_tpch_q4": 0.9,
+    "q_sql_tpch_q12": 0.56,
+    "q_sql_tpch_q21": 1.56,
+    "q_corr_matrix": 0.21,
+    "q_linreg_by_group": 0.36,
+    "q_dq_audit": 1.18,
 }
 
 def main() -> None:

@@ -4915,3 +4915,296 @@ ORACLE_SQL["q_streaming_interval_join_outer"] = """
         SELECT user_id, click_id FROM expired_unmatched
     ) GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# r4: TPC-H Q4/Q12/Q21 shapes (the three remaining queries expressible
+# without a partsupp table), statistical aggregates, and a dbt/Deequ-style
+# data-quality audit.
+# --------------------------------------------------------------------------
+
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority queue): orders in a one-year band that had
+    at least one LATE lineitem (shipped >60 days after the order date —
+    the l_commitdate < l_receiptdate analog on this schema), counted per
+    priority. Spark side is a non-equi LEFT SEMI join (the decorrelated
+    form of Q4's EXISTS): the orders side keeps its columns, lineitem
+    contributes only existence, and the semi join shuffles just
+    (orderkey, shipdate) — at 100 TB no lineitem payload moves."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / late lines): lineitems shipped in
+    a one-year band AND slow (>30 days after order date), bucketed by
+    linestatus (the shipmode analog), with the two-tier conditional
+    priority counts. One equi join + one small-key aggregate; the date
+    filters push to the lineitem scan."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): in finished orders,
+    count late lineitems whose supplier was the ONLY late supplier of a
+    multi-supplier order. The textbook form is a triple self-join with
+    correlated EXISTS / NOT EXISTS over lineitem (the oracle keeps that
+    form); Spark-first it decorrelates into ONE per-order aggregate —
+    count of distinct suppliers and distinct LATE suppliers — joined back
+    to the late lines. lineitem is scanned once for the aggregate and once
+    for the candidates instead of three times, and both sides of the
+    join are orderkey-partitioned, so at 100 TB the plan is two
+    orderkey shuffles rather than two quadratic-risk correlated probes.
+    """
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        li.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation matrix over the lineitem measure
+    columns — one single-pass grouped aggregate (operators/aggregates.py
+    corr_matrix)."""
+    from datalake_breweries_two_spark.operators.aggregates import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_quantity", "l_discount"),
+        ],
+    )
+
+
+def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment least-squares fit of order total against customer
+    account balance — the regr_* closed-form single-job pattern
+    (operators/aggregates.py linreg_by_group); customer broadcast onto the
+    orders scan."""
+    from datalake_breweries_two_spark.operators.aggregates import linreg_by_group
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return linreg_by_group(joined, "c_mktsegment", "o_totalprice", "c_acctbal")
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt/Deequ-style audit suite over the lake in one declarative plan:
+    referential integrity (FK orphans), key uniqueness, and row-level
+    invariants, one (check, n_violations, passed) row each
+    (operators/quality.py fk_orphan_count / duplicate_key_count /
+    predicate_violation_count / dq_audit)."""
+    from datalake_breweries_two_spark.operators.quality import (
+        dq_audit,
+        duplicate_key_count,
+        fk_orphan_count,
+        predicate_violation_count,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    checks = [
+        (
+            "lineitem_orderkey_fk",
+            fk_orphan_count(lineitem, orders, "l_orderkey", "o_orderkey"),
+        ),
+        (
+            "orders_custkey_fk",
+            fk_orphan_count(orders, customer, "o_custkey", "c_custkey"),
+        ),
+        (
+            "customer_nationkey_fk",
+            fk_orphan_count(customer, nation, "c_nationkey", "n_nationkey"),
+        ),
+        ("orders_orderkey_unique", duplicate_key_count(orders, ["o_orderkey"])),
+        (
+            "lineitem_line_unique",
+            duplicate_key_count(lineitem, ["l_orderkey", "l_linenumber"]),
+        ),
+        (
+            "orders_totalprice_positive",
+            predicate_violation_count(orders, F.col("o_totalprice") <= 0),
+        ),
+        (
+            "lineitem_discount_range",
+            predicate_violation_count(
+                lineitem, (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+        ),
+    ]
+    return dq_audit(checks)
+
+
+QUERIES["q_sql_tpch_q4"] = q_sql_tpch_q4
+QUERIES["q_sql_tpch_q12"] = q_sql_tpch_q12
+QUERIES["q_sql_tpch_q21"] = q_sql_tpch_q21
+QUERIES["q_corr_matrix"] = q_corr_matrix
+QUERIES["q_linreg_by_group"] = q_linreg_by_group
+QUERIES["q_dq_audit"] = q_dq_audit
+
+ORACLE_SQL["q_sql_tpch_q4"] = """
+    SELECT o_orderpriority,
+           count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+ORACLE_SQL["q_sql_tpch_q12"] = """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+"""
+
+# The textbook correlated EXISTS / NOT EXISTS triple-self-join form — the
+# Spark side decorrelates it to one per-order aggregate; results must agree.
+ORACLE_SQL["q_sql_tpch_q21"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+ORACLE_SQL["q_corr_matrix"] = """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_l_quantity_l_extendedprice,
+           round(corr(l_extendedprice, l_discount), 4) AS corr_l_extendedprice_l_discount,
+           round(corr(l_quantity, l_discount), 4) AS corr_l_quantity_l_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["q_linreg_by_group"] = """
+    SELECT c_mktsegment,
+           round(regr_slope(o_totalprice, c_acctbal), 4) AS slope,
+           round(regr_intercept(o_totalprice, c_acctbal), 4) AS intercept,
+           regr_count(o_totalprice, c_acctbal) AS n_obs
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+ORACLE_SQL["q_dq_audit"] = """
+    SELECT 'lineitem_orderkey_fk' AS check,
+           count(*) AS n_violations, count(*) = 0 AS passed
+    FROM lineitem WHERE l_orderkey IS NULL
+       OR NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*), count(*) = 0
+    FROM orders WHERE o_custkey IS NULL
+       OR NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'customer_nationkey_fk', count(*), count(*) = 0
+    FROM customer WHERE c_nationkey IS NULL
+       OR NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           coalesce(sum(n), 0), coalesce(sum(n), 0) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_line_unique',
+           coalesce(sum(n), 0), coalesce(sum(n), 0) = 0
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END),
+           sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
+                    THEN 1 ELSE 0 END),
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+"""

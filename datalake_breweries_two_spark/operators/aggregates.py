@@ -224,3 +224,69 @@ def merge_partial_aggs(
             F.sum(F.col(sum_col)).alias(sum_col),
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame, group_col: str, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-group Pearson correlation for each (x, y) column pair, as one
+    single-pass grouped aggregate — the co-moment accumulators for every
+    pair ride the same partial/final HashAggregate, so a K-pair matrix
+    still costs exactly one scan + one group-keyed exchange at 100 TB.
+
+    The reference has no statistical layer at all (its checks stop at
+    null/empty counts, ``plugins/data_quality_operator.py:61-71``); this is
+    the feature-correlation screen a training-data pipeline runs before
+    feature selection. Values are rounded to 4dp AFTER the aggregate: both
+    engines' one-pass co-moment updates agree to ~1e-12 relative, so the
+    rounded values are cross-engine stable (same discipline as
+    ``zscore_outliers``).
+
+    ANSI caveat: Spark 4's ``corr`` THROWS DIVIDE_BY_ZERO on a
+    zero-variance group under the default ANSI mode (DuckDB returns
+    NULL), so the correlation is assembled from the division-free
+    SQL-standard co-moment aggregates — ``regr_sxy / sqrt(regr_sxx *
+    regr_syy)`` via ``try_divide`` — which yields NULL for degenerate
+    groups in both engines and keeps the whole matrix inside one
+    codegen'd HashAggregate.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for x, y in pairs:
+        aggs.append(
+            F.round(
+                F.try_divide(
+                    F.regr_sxy(F.col(y), F.col(x)),
+                    F.sqrt(
+                        F.regr_sxx(F.col(y), F.col(x))
+                        * F.regr_syy(F.col(y), F.col(x))
+                    ),
+                ),
+                4,
+            ).alias(f"corr_{x}_{y}")
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def linreg_by_group(
+    df: DataFrame, group_col: str, y_col: str, x_col: str
+) -> DataFrame:
+    """Per-group simple linear regression (slope / intercept / n) via the
+    SQL-standard ``regr_*`` aggregates — closed-form least squares computed
+    as one-pass co-moments inside a single grouped aggregate: one scan, one
+    group-keyed exchange, whole-stage-codegen'd, no iteration and no
+    driver-side math. The distributed-ML contrast: fitting K per-group
+    models this way is a single Spark job regardless of group count,
+    where a loop of per-group ``numpy.polyfit`` calls would be K driver
+    round-trips. Rounded to 4dp post-aggregate (see ``corr_matrix``).
+    Groups where x has zero variance return NULL slope/intercept in both
+    engines — built from the division-free co-moments (``regr_sxy /
+    regr_sxx`` via ``try_divide``) because Spark 4's ``regr_slope``
+    throws DIVIDE_BY_ZERO there under default ANSI mode."""
+    y, x = F.col(y_col), F.col(x_col)
+    slope = F.try_divide(F.regr_sxy(y, x), F.regr_sxx(y, x))
+    intercept = F.regr_avgy(y, x) - slope * F.regr_avgx(y, x)
+    return df.groupBy(group_col).agg(
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.regr_count(y, x).cast("long").alias("n_obs"),
+    )

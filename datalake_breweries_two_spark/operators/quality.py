@@ -122,3 +122,65 @@ def profile_table(
         ).alias("mean_val"),
     ]
     return df.agg(*aggs)
+
+
+def fk_orphan_count(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Single-row count of child rows whose key has no parent — the
+    referential-integrity check (dbt ``relationships`` test). LEFT ANTI
+    join + count: at 100 TB both sides shuffle on the key once (the anti
+    join cannot broadcast a 100 TB parent), then the count collapses
+    map-side; no row data survives past the join. NULL child keys are
+    counted as orphans (they reference nothing)."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key)),
+        child[child_key] == parent[parent_key],
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+
+
+def duplicate_key_count(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Single-row count of ROWS participating in a duplicated key — the
+    uniqueness check (dbt ``unique``). groupBy(key).count → sum of counts
+    where count > 1: one key-partitioned aggregate; the second aggregate
+    sees one row per distinct key."""
+    per_key = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_key.filter(F.col("_n") > 1).agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_violations")
+    )
+
+
+def predicate_violation_count(df: DataFrame, violation: "F.Column") -> DataFrame:
+    """Single-row count of rows violating a row-level invariant (dbt
+    ``accepted_values`` / range tests). One conditional-sum aggregate —
+    partial map-side, one row out; NULL predicate results (NULL operands)
+    count as violations, matching the audit stance that unknown = broken."""
+    return df.agg(
+        F.sum(
+            F.when(F.coalesce(violation, F.lit(True)), 1).otherwise(0)
+        ).cast("long").alias("n_violations")
+    )
+
+
+def dq_audit(checks: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Union the named single-row check counts into one (check, n_violations)
+    relation and flag each row. The composite stays ONE declarative plan —
+    Spark runs the per-check aggregates as parallel stages of a single job,
+    and each check's scan prunes to just its own columns. This is the
+    engine-level analog of a dbt/Deequ test suite over the lake."""
+    parts = [
+        df.select(
+            F.lit(name).alias("check"),
+            F.col("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1896,3 +1896,142 @@ def test_arrow_interchange_round_trip(spark):
     back = spark.createDataFrame(tbl)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_dq_audit_detects_violations(spark):
+    """The audit must COUNT violations, not just pass on clean data: inject
+    orphan FKs, duplicate keys, NULL keys, and range breaks into tiny
+    frames and assert exact per-check counts."""
+    from datalake_breweries_two_spark.operators.quality import (
+        dq_audit,
+        duplicate_key_count,
+        fk_orphan_count,
+        predicate_violation_count,
+    )
+    from pyspark.sql import functions as F
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan"), (None, "nullkey")],
+        "fk long, payload string",
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (3, "v"), (3, "u")],
+        ["k", "v"],
+    )
+    vals = spark.createDataFrame(
+        [(0.5,), (1.5,), (-0.1,), (None,)], "d double"
+    )
+    out = dq_audit(
+        [
+            ("fk", fk_orphan_count(child, parent, "fk", "pk")),
+            ("uniq", duplicate_key_count(dup, ["k"])),
+            (
+                "range",
+                predicate_violation_count(
+                    vals, (F.col("d") < 0) | (F.col("d") > 1)
+                ),
+            ),
+        ]
+    )
+    got = {r["check"]: (r["n_violations"], r["passed"]) for r in out.collect()}
+    # fk: key 9 (no parent) + NULL key = 2; uniq: keys 1 (2 rows) and
+    # 3 (3 rows) = 5 participating rows; range: 1.5, -0.1, NULL = 3.
+    assert got == {"fk": (2, False), "uniq": (5, False), "range": (3, False)}
+
+
+def test_dq_audit_clean_passes(spark):
+    from datalake_breweries_two_spark.operators.quality import (
+        dq_audit,
+        duplicate_key_count,
+        fk_orphan_count,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame([(1, "a"), (2, "b")], ["fk", "payload"])
+    out = dq_audit(
+        [
+            ("fk", fk_orphan_count(child, parent, "fk", "pk")),
+            ("uniq", duplicate_key_count(child, ["fk"])),
+        ]
+    )
+    got = {r["check"]: (r["n_violations"], r["passed"]) for r in out.collect()}
+    assert got == {"fk": (0, True), "uniq": (0, True)}
+
+
+def test_corr_matrix_and_linreg_degenerate_groups(spark):
+    """Zero-variance columns must yield NULL (not NaN / error) from both
+    corr and the regr_* fits; a perfectly linear group must recover its
+    exact slope/intercept."""
+    from datalake_breweries_two_spark.operators.aggregates import (
+        corr_matrix,
+        linreg_by_group,
+    )
+
+    rows = [
+        # group "lin": y = 2x + 1 exactly
+        *[("lin", float(x), 2.0 * x + 1.0) for x in range(10)],
+        # group "flat": x constant -> corr/slope undefined
+        *[("flat", 5.0, float(y)) for y in range(5)],
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+
+    cm = {r["g"]: r for r in corr_matrix(df, "g", [("x", "y")]).collect()}
+    assert cm["lin"]["corr_x_y"] == 1.0
+    assert cm["flat"]["corr_x_y"] is None
+    assert cm["lin"]["n_rows"] == 10 and cm["flat"]["n_rows"] == 5
+
+    lr = {r["g"]: r for r in linreg_by_group(df, "g", "y", "x").collect()}
+    assert lr["lin"]["slope"] == 2.0 and lr["lin"]["intercept"] == 1.0
+    assert lr["lin"]["n_obs"] == 10
+    assert lr["flat"]["slope"] is None and lr["flat"]["intercept"] is None
+
+
+def test_tpch_q21_decorrelated_equals_bruteforce(spark):
+    """The window/aggregate decorrelation of Q21 must equal the textbook
+    correlated EXISTS/NOT EXISTS semantics, brute-forced per order in
+    Python over the smoke data."""
+    from datalake_breweries_two_spark.entry_queries import q_sql_tpch_q21
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, "orders", SF_SMOKE)
+        .filter("o_orderstatus = 'F'")
+        .collect()
+    }
+    li = (
+        load_table(spark, "lineitem", SF_SMOKE)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    )
+    import collections
+    import datetime
+
+    by_order = collections.defaultdict(list)
+    for r in li:
+        if r["l_orderkey"] in orders:
+            by_order[r["l_orderkey"]].append(r)
+    waits = collections.Counter()
+    for ok, lines in by_order.items():
+        cutoff = orders[ok] + datetime.timedelta(days=60)
+        supps = {l["l_suppkey"] for l in lines}
+        late_supps = {l["l_suppkey"] for l in lines if l["l_shipdate"] > cutoff}
+        if len(supps) >= 2 and len(late_supps) == 1:
+            sole = next(iter(late_supps))
+            waits[sole] += sum(
+                1
+                for l in lines
+                if l["l_suppkey"] == sole and l["l_shipdate"] > cutoff
+            )
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, "supplier", SF_SMOKE).collect()
+    }
+    expected = sorted(
+        ((waits[s], names[s]) for s in waits), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = [
+        (r["numwait"], r["s_name"])
+        for r in q_sql_tpch_q21(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected

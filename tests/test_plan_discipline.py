@@ -213,6 +213,12 @@ SHUFFLE_BUDGET = {
     "q_scan_xml": 1,            # one agg over the staged-XML scan
     "q_pandas_api": 1,          # pandas dialect compiles to the same single-agg plan
     "q_pit_lookup": 1,          # as-of union-trick: one user-keyed window exchange
+    "q_sql_tpch_q4": 1,         # semi join broadcasts at smoke sf; one agg
+    "q_sql_tpch_q12": 1,        # orders broadcast; one linestatus agg
+    "q_sql_tpch_q21": 4,        # per-order distinct pair + join-back + final agg
+    "q_corr_matrix": 1,         # single-pass co-moment agg
+    "q_linreg_by_group": 1,     # customer broadcast; one regr agg
+    "q_dq_audit": 9,            # 7 unioned checks: 2 key aggs x2 + 3 single-row collapses
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

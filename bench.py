@@ -143,6 +143,9 @@ HEADLINE = [
     "q_corr_matrix",
     "q_linreg_by_group",
     "q_dq_audit",
+    "q_spearman_corr",
+    "q_event_transitions",
+    "q_percent_of_total",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -266,6 +269,9 @@ QUIET_HOST_REF_SEC = {
     "q_corr_matrix": 0.21,
     "q_linreg_by_group": 0.36,
     "q_dq_audit": 1.18,
+    "q_spearman_corr": 0.52,
+    "q_event_transitions": 0.75,
+    "q_percent_of_total": 0.65,
 }
 
 def main() -> None:

@@ -5208,3 +5208,153 @@ ORACLE_SQL["q_dq_audit"] = """
                     THEN 1 ELSE 0 END) = 0
     FROM lineitem
 """
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation of quantity vs extended
+    price: rank-transform both measures inside one group-partitioned
+    window pass (the two rank() calls share the SAME partition key, so
+    Catalyst runs them on one exchange+sort), then the division-free
+    co-moment correlation over the integer ranks (see
+    operators/aggregates.py corr_matrix for the ANSI rationale).
+    Min-rank ties (SQL rank()) are used on BOTH engines, so the rank
+    vectors are bit-identical cross-engine — no FP enters until the final
+    co-moment division, rounded to 4dp. Scale note: per-group ranking is
+    a group-keyed sort, not a global one; the heavy exchange is the same
+    single shuffle any per-group window costs."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(wq).cast("double").alias("rx"),
+        F.rank().over(wp).cast("double").alias("ry"),
+    )
+    rx, ry = F.col("ry"), F.col("rx")
+    rho = F.try_divide(
+        F.regr_sxy(rx, ry), F.sqrt(F.regr_sxx(rx, ry) * F.regr_syy(rx, ry))
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(rho, 4).alias("spearman_qty_price"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition (first-order Markov) counts: one
+    user-keyed window pass pairs each event with its successor
+    (lead over ts, event_id tie-break), then a global pair count and a
+    deterministic top-20. The sessionize/funnel sibling for behavioral
+    modeling — at 100 TB the only wide exchanges are the user-keyed
+    window shuffle and the tiny (type,type)-keyed count."""
+    from pyspark.sql import Window
+
+    from datalake_breweries_two_spark.catalog import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), F.asc("from_type"), F.asc("to_type"))
+        .limit(20)
+    )
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total BI shape: order revenue per (region, nation) and
+    each nation's share of its region — one fact aggregate (decimal-exact
+    sums; customer/nation/region broadcast onto the orders scan) followed
+    by a window ratio over the TINY aggregate relation, so the share
+    computation costs a ~25-row exchange regardless of fact size. Ratio
+    computed on the decimal sums BEFORE the double cast and rounded —
+    cross-engine stable."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev") / F.sum("_rev").over(w)).cast("double"), 6
+        ).alias("region_share"),
+    )
+
+
+QUERIES["q_spearman_corr"] = q_spearman_corr
+QUERIES["q_event_transitions"] = q_event_transitions
+QUERIES["q_percent_of_total"] = q_percent_of_total
+
+ORACLE_SQL["q_spearman_corr"] = """
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                    AS DOUBLE) AS rx,
+               CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                    AS DOUBLE) AS ry
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(regr_sxy(rx, ry)
+                 / sqrt(regr_sxx(rx, ry) * regr_syy(rx, ry)), 4)
+               AS spearman_qty_price,
+           count(*) AS n_rows
+    FROM ranked
+    GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["q_event_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 20
+"""
+
+ORACLE_SQL["q_percent_of_total"] = """
+    WITH per_nation AS (
+        SELECT r_name, n_name,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS _rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(_rev AS DOUBLE) AS revenue,
+           round(CAST(_rev / sum(_rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+               AS region_share
+    FROM per_nation
+"""

@@ -2035,3 +2035,112 @@ def test_tpch_q21_decorrelated_equals_bruteforce(spark):
         for r in q_sql_tpch_q21(spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+def test_spearman_matches_bruteforce_with_ties(spark):
+    """The rank-transform + co-moment Spearman must equal a Python
+    brute force using the SAME min-rank tie convention, on data dense
+    with ties."""
+    import itertools
+    import math
+
+    rows = [
+        ("g", float(q), float(p))
+        for q, p in itertools.product(range(5), range(4))  # heavy ties
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_quantity", "l_extendedprice"])
+    df.createOrReplaceTempView("_sp_src")
+
+    from datalake_breweries_two_spark.entry_queries import q_spearman_corr
+    import datalake_breweries_two_spark.entry_queries as eq
+
+    # drive the same computation over the synthetic frame via the ranked
+    # pipeline inlined (q_spearman_corr reads from sf_dir, so re-express):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = df.select(
+        "l_returnflag",
+        F.rank().over(wq).cast("double").alias("rx"),
+        F.rank().over(wp).cast("double").alias("ry"),
+    )
+    rho_col = F.try_divide(
+        F.regr_sxy(F.col("ry"), F.col("rx")),
+        F.sqrt(
+            F.regr_sxx(F.col("ry"), F.col("rx"))
+            * F.regr_syy(F.col("ry"), F.col("rx"))
+        ),
+    )
+    got = (
+        ranked.groupBy("l_returnflag")
+        .agg(F.round(rho_col, 4).alias("rho"))
+        .collect()[0]["rho"]
+    )
+
+    # brute force with min-rank ties
+    qs = [r[1] for r in rows]
+    ps = [r[2] for r in rows]
+
+    def min_ranks(vals):
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            if v not in first:
+                first[v] = i + 1
+        return [float(first[v]) for v in vals]
+
+    rx, ry = min_ranks(qs), min_ranks(ps)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sxx = sum((a - mx) ** 2 for a in rx)
+    syy = sum((b - my) ** 2 for b in ry)
+    expected = round(sxy / math.sqrt(sxx * syy), 4)
+    assert got == expected
+
+
+def test_event_transitions_bruteforce(spark):
+    """Transition counts must equal a per-user Python walk over the
+    (ts, event_id)-ordered event sequence."""
+    import collections
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    seq = ["a", "b", "a", "c", "b", "b", "a"]
+    for u in range(20):
+        for i, t in enumerate(seq):
+            # same-second ties for half the users: event_id breaks them
+            ts = base + dt.timedelta(seconds=(i // 2 if u % 2 else i))
+            rows.append((u * 100 + i, ts, u, t, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    expected = collections.Counter()
+    by_user = collections.defaultdict(list)
+    for eid, ts, u, t, _, _ in rows:
+        by_user[u].append((ts, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            expected[(a, b)] += 1
+    assert got == dict(expected)

@@ -219,6 +219,9 @@ SHUFFLE_BUDGET = {
     "q_corr_matrix": 1,         # single-pass co-moment agg
     "q_linreg_by_group": 1,     # customer broadcast; one regr agg
     "q_dq_audit": 9,            # 7 unioned checks: 2 key aggs x2 + 3 single-row collapses
+    "q_spearman_corr": 1,       # both rank windows + final agg share one group-keyed exchange
+    "q_event_transitions": 2,   # user-keyed window + (type,type) count
+    "q_percent_of_total": 2,    # fact agg + ~25-row window exchange
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

@@ -146,6 +146,9 @@ HEADLINE = [
     "q_spearman_corr",
     "q_event_transitions",
     "q_percent_of_total",
+    "q_offset_pagination",
+    "q_nulls_ordering",
+    "q_group_by_all",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -272,6 +275,9 @@ QUIET_HOST_REF_SEC = {
     "q_spearman_corr": 0.52,
     "q_event_transitions": 0.75,
     "q_percent_of_total": 0.65,
+    "q_offset_pagination": 0.38,
+    "q_nulls_ordering": 0.3,
+    "q_group_by_all": 0.38,
 }
 
 def main() -> None:

@@ -5358,3 +5358,94 @@ ORACLE_SQL["q_percent_of_total"] = """
                AS region_share
     FROM per_nation
 """
+
+
+def q_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LIMIT/OFFSET pagination (Spark 4 OFFSET support): page 3
+    of orders by descending value with a full deterministic sort key.
+    Scale note: OFFSET pagination materializes offset+limit rows through a
+    TakeOrdered-style global top-k — fine at dashboard page depths, but a
+    deep-scroll consumer should switch to keyset pagination (WHERE
+    (o_totalprice, o_orderkey) < last_seen ORDER BY ... LIMIT n), which
+    this engine expresses as an ordinary pushed-down filter; the reference
+    itself paginates its source API by page number
+    (``plugins/brewery_operators.py:33-56``) — this is that surface on the
+    query side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50 OFFSET 100
+        """
+    )
+
+
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering: engines DISAGREE on the
+    default NULL sort position (Spark ASC = NULLS FIRST, DuckDB ASC =
+    NULLS LAST), so portable top-k queries must pin it — this query takes
+    the first 30 rows under NULLS LAST over a priority column made
+    nullable via nullif, with a key tie-break; the picked row SET (which
+    is what the order-insensitive hash checks) differs from the default
+    Spark ordering, so the pin is load-bearing."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri
+        FROM orders_v
+        ORDER BY pri ASC NULLS LAST, o_orderkey
+        LIMIT 30
+        """
+    )
+
+
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL sugar): every non-aggregate
+    select item becomes a grouping key — compiles to the identical
+    partial/final HashAggregate as the explicit form (the plan-budget test
+    pins it at one exchange), so the sugar costs nothing at scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM orders_v
+        GROUP BY ALL
+        """
+    )
+
+
+QUERIES["q_offset_pagination"] = q_offset_pagination
+QUERIES["q_nulls_ordering"] = q_nulls_ordering
+QUERIES["q_group_by_all"] = q_group_by_all
+
+ORACLE_SQL["q_offset_pagination"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+"""
+
+ORACLE_SQL["q_nulls_ordering"] = """
+    SELECT o_orderkey,
+           nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri
+    FROM orders
+    ORDER BY pri ASC NULLS LAST, o_orderkey
+    LIMIT 30
+"""
+
+ORACLE_SQL["q_group_by_all"] = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_value
+    FROM orders
+    GROUP BY ALL
+"""

@@ -222,6 +222,9 @@ SHUFFLE_BUDGET = {
     "q_spearman_corr": 1,       # both rank windows + final agg share one group-keyed exchange
     "q_event_transitions": 2,   # user-keyed window + (type,type) count
     "q_percent_of_total": 2,    # fact agg + ~25-row window exchange
+    "q_offset_pagination": 0,   # TakeOrdered-style global top-(offset+limit)
+    "q_nulls_ordering": 0,      # same; NULLS LAST pinned
+    "q_group_by_all": 1,        # sugar compiles to one partial/final agg
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

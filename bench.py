@@ -149,6 +149,8 @@ HEADLINE = [
     "q_offset_pagination",
     "q_nulls_ordering",
     "q_group_by_all",
+    "q_group_split",
+    "q_balanced_sample",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -278,6 +280,8 @@ QUIET_HOST_REF_SEC = {
     "q_offset_pagination": 0.38,
     "q_nulls_ordering": 0.3,
     "q_group_by_all": 0.38,
+    "q_group_split": 0.4,
+    "q_balanced_sample": 0.64,
 }
 
 def main() -> None:

@@ -5449,3 +5449,80 @@ ORACLE_SQL["q_group_by_all"] = """
     FROM orders
     GROUP BY ALL
 """
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split summary: documents split by SOURCE hash (all docs
+    of a source share a split — near-dups can't straddle train/test), then
+    a per-(split, source-count) sanity rollup
+    (operators/sampling.py:group_split). The rollup proves the invariant
+    the oracle checks: every source maps to exactly one split."""
+    from datalake_breweries_two_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        group_split(docs, "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of the embeddings table to min-class
+    cardinality, summarized per label (operators/sampling.py:
+    balanced_downsample) — the md5-ordered deterministic variant of the
+    random undersampling every classifier pipeline runs; checksum of
+    picked ids proves both engines selected the IDENTICAL rows, not just
+    the same count."""
+    from datalake_breweries_two_spark.operators.sampling import balanced_downsample
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    picked = balanced_downsample(emb, "label", "vec_id")
+    return picked.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )
+
+
+QUERIES["q_group_split"] = q_group_split
+QUERIES["q_balanced_sample"] = q_balanced_sample
+
+ORACLE_SQL["q_group_split"] = """
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CASE
+                 WHEN substr(md5(source || ':groupsplit-v1'), 1, 8) < 'cccccccc'
+                   THEN 'train'
+                 WHEN substr(md5(source || ':groupsplit-v1'), 1, 8) < 'e6666666'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM assigned
+    GROUP BY split
+"""
+
+ORACLE_SQL["q_balanced_sample"] = """
+    WITH ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':balance-v1'),
+                            vec_id) AS rk
+        FROM embeddings
+    ),
+    floor_n AS (
+        SELECT min(n) AS f FROM (
+            SELECT count(*) AS n FROM embeddings GROUP BY label)
+    )
+    SELECT label, count(*) AS n_rows, sum(vec_id) AS id_checksum
+    FROM ranked, floor_n
+    WHERE rk <= f
+    GROUP BY label
+"""

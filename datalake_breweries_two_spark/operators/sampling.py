@@ -250,3 +250,60 @@ def weighted_hash_sample_per_group(
         .filter(F.col("rn") <= k_per_group)
         .select(id_col, group_col, "weight", "es_key")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    seed: str = "groupsplit-v1",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment hashes the GROUP
+    key (source / domain / author), not the row id, so every row of a
+    group lands in the same split — near-duplicate documents from one
+    source can never straddle the train/test boundary and leak eval data
+    into training. Same portable md5 threshold scheme as
+    :func:`hash_split` (pure projection, zero shuffle, append-stable);
+    the split-fraction guarantee holds over GROUPS, not rows, which is
+    the property a leakage-safe split must trade away."""
+    bucket = _hash_bucket_hex(group_col, seed)
+    t_train = fraction_to_hex_threshold(train)
+    t_val = fraction_to_hex_threshold(train + val)
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(t_train), F.lit("train"))
+        .when(bucket < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    seed: str = "balance-v1",
+) -> DataFrame:
+    """Class-balanced downsampling: keep exactly min-class-count rows per
+    label, chosen by deterministic md5 order (portable across engines and
+    partitionings). One tiny count aggregate finds the floor, broadcast
+    back; one label-keyed window ranks rows by their hash draw. The
+    scale shape is a single label-keyed exchange — the window never sees
+    a global sort — and the md5 ranking means re-runs and engine swaps
+    pick the identical row set (ties impossible: the tie-break is the
+    unique id itself)."""
+    from pyspark.sql import Window
+
+    digest = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    floor = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n")).agg(
+        F.min("_n").alias("_floor")
+    )
+    w = Window.partitionBy(label_col).orderBy(digest, F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(floor))
+        .filter(F.col("_rk") <= F.col("_floor"))
+        .drop("_rk", "_floor")
+    )

@@ -2144,3 +2144,44 @@ def test_event_transitions_bruteforce(spark):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             expected[(a, b)] += 1
     assert got == dict(expected)
+
+
+def test_group_split_no_leakage_and_stability(spark):
+    """Every group must land in exactly ONE split (the leakage guarantee),
+    and adding rows must never move an existing group's assignment
+    (append stability)."""
+    from datalake_breweries_two_spark.operators.sampling import group_split
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "source")
+    out = group_split(docs, "source")
+    per_source = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.filter(F.col("n_splits") > 1).count() == 0
+
+    # append stability: assignment on a subset equals assignment on the full set
+    subset = group_split(docs.limit(50), "source").select("doc_id", "split")
+    full = out.select("doc_id", "split").withColumnRenamed("split", "split_full")
+    joined = subset.join(full, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split_full")).count() == 0
+
+
+def test_balanced_downsample_exact_floor_and_deterministic(spark):
+    """Every class must end at exactly min-class-count rows, and two runs
+    must pick the identical id set."""
+    from datalake_breweries_two_spark.operators.sampling import balanced_downsample
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).select("vec_id", "label")
+    floor = (
+        emb.groupBy("label").count().agg(F.min("count").alias("f")).collect()[0]["f"]
+    )
+    picked = balanced_downsample(emb, "label", "vec_id")
+    counts = {r["label"]: r["n"] for r in
+              picked.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts.values()) == {floor}
+    ids1 = sorted(r["vec_id"] for r in picked.select("vec_id").collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in balanced_downsample(emb, "label", "vec_id").select("vec_id").collect()
+    )
+    assert ids1 == ids2

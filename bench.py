@@ -151,6 +151,8 @@ HEADLINE = [
     "q_group_by_all",
     "q_group_split",
     "q_balanced_sample",
+    "q_rolling_active_users",
+    "q_geo_radius_pairs",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -282,6 +284,8 @@ QUIET_HOST_REF_SEC = {
     "q_group_by_all": 0.38,
     "q_group_split": 0.4,
     "q_balanced_sample": 0.64,
+    "q_rolling_active_users": 0.59,
+    "q_geo_radius_pairs": 0.79,
 }
 
 def main() -> None:

@@ -5526,3 +5526,141 @@ ORACLE_SQL["q_balanced_sample"] = """
     WHERE rk <= f
     GROUP BY label
 """
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (the WAU engagement metric) via
+    BOUNDED EXPANSION instead of a range join: events first dedupe to
+    (user, day) — the only full-data shuffle — then each user-day fans out
+    to the ≤7 report days it supports (explode over a 7-element sequence)
+    and a day-keyed distinct count finishes. The naive formulation is a
+    `u.day BETWEEN s.day-6 AND s.day` theta join, which Spark executes as
+    a nested-loop — at 100 TB the bounded 7x explode of the ALREADY
+    DEDUPED user-day relation shuffles strictly less and stays a hash
+    join/aggregate. Report days are restricted to days with activity."""
+    from datalake_breweries_two_spark.catalog import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    user_days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    spine = user_days.select(F.col("d").alias("day")).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(spine), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join: customer pairs within 150 km.
+
+    Coordinates are derived deterministically from the customer key (the
+    testdata carries none; the md5-uniform draw is IEEE-exact on both
+    engines so the inputs to the distance are bit-identical), latitude
+    confined to [-45, 45] so a 2-degree grid cell provably covers the
+    150 km radius at every latitude in range. Scale shape: each point
+    maps to one cell; the LEFT side expands to its 3x3 cell neighborhood
+    (bounded 9x) and pairs join on CELL EQUALITY — a hash join over
+    ~point-count rows — never the all-pairs cross join a naive
+    `haversine(a,b) <= R` theta-join degenerates to. Haversine compared
+    on a rounded value (libm sin/cos differ across engines in ulps; the
+    ROUNDED distance is the portable quantity, same discipline as the
+    stats operators)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    u1 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("c_custkey").cast("string"), F.lit("lat-v1"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(4294967295.0)
+    u2 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("c_custkey").cast("string"), F.lit("lon-v1"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(4294967295.0)
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (u1 * 90.0 - 45.0).alias("lat"),
+        (u2 * 120.0 - 60.0).alias("lon"),
+    ).select(
+        "id", "lat", "lon",
+        F.floor(F.col("lat") / 2.0).cast("long").alias("cx"),
+        F.floor(F.col("lon") / 2.0).cast("long").alias("cy"),
+    )
+    left = pts.select(
+        F.col("id").alias("id_a"), F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"),
+        F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("cx"), F.col("cy").alias("cy0"),
+    ).select(
+        "id_a", "lat_a", "lon_a", "cx",
+        F.explode(F.expr("sequence(cy0 - 1, cy0 + 1)")).alias("cy"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"),
+        "cx", "cy",
+    )
+    joined = left.join(right, ["cx", "cy"]).filter(F.col("id_a") < F.col("id_b"))
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = (rad(F.col("lat_b")) - rad(F.col("lat_a"))) / 2.0
+    dlon = (rad(F.col("lon_b")) - rad(F.col("lon_a"))) / 2.0
+    h = F.sin(dlat) ** 2 + F.cos(rad(F.col("lat_a"))) * F.cos(rad(F.col("lat_b"))) * F.sin(dlon) ** 2
+    # ONE rounding, used for both the radius filter and the output value:
+    # re-rounding 3dp->2dp would land exactly on .xx5 halves where the
+    # engines' half-rules disagree (observed: Spark HALF_UP vs DuckDB).
+    dist = F.round(2.0 * 6371.0 * F.asin(F.sqrt(h)), 3)
+    return (
+        joined.select("id_a", "id_b", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 150.0)
+    )
+
+
+QUERIES["q_rolling_active_users"] = q_rolling_active_users
+QUERIES["q_geo_radius_pairs"] = q_geo_radius_pairs
+
+ORACLE_SQL["q_rolling_active_users"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT d AS day FROM user_days)
+    SELECT s.day, count(DISTINCT u.user_id) AS wau
+    FROM spine s
+    JOIN user_days u
+      ON u.d <= s.day AND u.d >= s.day - INTERVAL 6 DAY
+    GROUP BY s.day
+"""
+
+ORACLE_SQL["q_geo_radius_pairs"] = """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lat-v1'), 1, 8))
+                    AS BIGINT) / 4294967295.0 * 90.0 - 45.0 AS lat,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lon-v1'), 1, 8))
+                    AS BIGINT) / 4294967295.0 * 120.0 - 60.0 AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT id, lat, lon,
+               CAST(floor(lat / 2.0) AS BIGINT) AS cx,
+               CAST(floor(lon / 2.0) AS BIGINT) AS cy
+        FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(2.0 * 6371.0 * asin(sqrt(
+               pow(sin((radians(b.lat) - radians(a.lat)) / 2.0), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0), 2))), 3)
+               AS dist_km
+    FROM cells a
+    JOIN cells b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.id < b.id
+    WHERE round(2.0 * 6371.0 * asin(sqrt(
+               pow(sin((radians(b.lat) - radians(a.lat)) / 2.0), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0), 2))), 3) <= 150.0
+"""

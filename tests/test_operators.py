@@ -2185,3 +2185,67 @@ def test_balanced_downsample_exact_floor_and_deterministic(spark):
         for r in balanced_downsample(emb, "label", "vec_id").select("vec_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_geo_radius_pairs_covers_all_pairs_bruteforce(spark):
+    """The 3x3 cell-neighborhood candidate generation must not MISS any
+    pair within the radius: compare against brute-force all-pairs
+    haversine over the smoke customers."""
+    import math
+
+    from datalake_breweries_two_spark.entry_queries import q_geo_radius_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in q_geo_radius_pairs(spark, SF_SMOKE).collect()
+    }
+
+    import hashlib
+
+    ids = [r["c_custkey"] for r in
+           load_table(spark, "customer", SF_SMOKE).select("c_custkey").collect()]
+
+    def u(i, seed):
+        h = hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967295.0
+
+    pts = {i: (u(i, "lat-v1") * 90.0 - 45.0, u(i, "lon-v1") * 120.0 - 60.0)
+           for i in ids}
+
+    def hav(a, b):
+        la1, lo1 = map(math.radians, pts[a])
+        la2, lo2 = map(math.radians, pts[b])
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 3)
+
+    sids = sorted(ids)
+    expected = {
+        (a, b)
+        for i, a in enumerate(sids)
+        for b in sids[i + 1:]
+        if hav(a, b) <= 150.0
+    }
+    assert got == expected
+    assert len(expected) > 0  # the smoke data must actually exercise it
+
+
+def test_rolling_active_users_bruteforce(spark):
+    """WAU via bounded expansion must equal a per-day brute force."""
+    import collections
+
+    from datalake_breweries_two_spark.entry_queries import q_rolling_active_users
+    from datalake_breweries_two_spark.catalog import read_events
+    import os as _os
+
+    got = {str(r["day"]): r["wau"]
+           for r in q_rolling_active_users(spark, SF_SMOKE).collect()}
+
+    ev = read_events(spark, _os.path.join(SF_SMOKE, "events.parquet")).collect()
+    user_days = {(r["user_id"], r["ts"].date()) for r in ev}
+    days = sorted({d for _, d in user_days})
+    expected = {}
+    for day in days:
+        active = {u for u, d in user_days if 0 <= (day - d).days <= 6}
+        expected[str(day)] = len(active)
+    assert got == expected

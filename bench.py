@@ -153,6 +153,8 @@ HEADLINE = [
     "q_balanced_sample",
     "q_rolling_active_users",
     "q_geo_radius_pairs",
+    "q_skew_report",
+    "q_partition_plan",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -286,6 +288,8 @@ QUIET_HOST_REF_SEC = {
     "q_balanced_sample": 0.64,
     "q_rolling_active_users": 0.59,
     "q_geo_radius_pairs": 0.79,
+    "q_skew_report": 0.65,
+    "q_partition_plan": 0.48,
 }
 
 def main() -> None:

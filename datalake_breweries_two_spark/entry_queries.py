@@ -5664,3 +5664,134 @@ ORACLE_SQL["q_geo_radius_pairs"] = """
                + cos(radians(a.lat)) * cos(radians(b.lat))
                  * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0), 2))), 3) <= 150.0
 """
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report you run BEFORE shipping a
+    100 TB join: per-key row-count distribution (distinct keys, max,
+    discrete p50/p99, max/p50 skew ratio) for each candidate shuffle key,
+    unioned into one relation. Each key costs one partial-aggregated
+    count pass plus a percentile aggregate over the (small) per-key count
+    relation; a skew_ratio in the hundreds says salt this key or rely on
+    AQE skew-join before the real workload runs. Counts are exact ints
+    and percentile_disc picks actual elements, so every reported number
+    is integer-exact cross-engine (only the ratio is FP, rounded)."""
+    def one(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("_n"))
+        return per_key.agg(
+            F.lit(label).alias("key_name"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_n").cast("long").alias("total_rows"),
+            F.max("_n").cast("long").alias("max_rows"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _n)")
+            .cast("long").alias("p50_rows"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY _n)")
+            .cast("long").alias("p99_rows"),
+            F.round(
+                F.max("_n").cast("double")
+                / F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _n)"),
+                2,
+            ).alias("skew_ratio"),
+        )
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        one(li, "l_orderkey", "lineitem.l_orderkey"),
+        one(li, "l_suppkey", "lineitem.l_suppkey"),
+        one(li, "l_partkey", "lineitem.l_partkey"),
+        one(_t(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout planning report: for a candidate hive partition
+    column (order month), rows per partition, share of total, and a
+    small-files / skew classification — the sizing pass you run before a
+    `partitionBy` write of a 100 TB table (too-small partitions fragment
+    the filesystem; too-big ones break executor memory). One grouped
+    count + a broadcast single-row total; thresholds compare exact int
+    counts against a single IEEE division, deterministic cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    per_part = orders.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("part_value")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_part.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_nparts")
+    )
+    avg = F.col("_total").cast("double") / F.col("_nparts").cast("double")
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .select(
+            "part_value",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows").cast("double") / F.col("_total").cast("double"), 6)
+            .alias("share"),
+            F.when(F.col("n_rows").cast("double") < 0.2 * avg, F.lit("small"))
+            .when(F.col("n_rows").cast("double") > 2.0 * avg, F.lit("skewed"))
+            .otherwise(F.lit("ok"))
+            .alias("classification"),
+        )
+    )
+
+
+QUERIES["q_skew_report"] = q_skew_report
+QUERIES["q_partition_plan"] = q_partition_plan
+
+ORACLE_SQL["q_skew_report"] = """
+    WITH k1 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_orderkey),
+         k2 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_suppkey),
+         k3 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_partkey),
+         k4 AS (SELECT count(*) AS _n FROM orders GROUP BY o_custkey)
+    SELECT 'lineitem.l_orderkey' AS key_name, count(*) AS n_keys,
+           sum(_n) AS total_rows, max(_n) AS max_rows,
+           CAST(quantile_disc(_n, 0.5) AS BIGINT) AS p50_rows,
+           CAST(quantile_disc(_n, 0.99) AS BIGINT) AS p99_rows,
+           round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2) AS skew_ratio
+    FROM k1
+    UNION ALL
+    SELECT 'lineitem.l_suppkey', count(*), sum(_n), max(_n),
+           CAST(quantile_disc(_n, 0.5) AS BIGINT),
+           CAST(quantile_disc(_n, 0.99) AS BIGINT),
+           round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
+    FROM k2
+    UNION ALL
+    SELECT 'lineitem.l_partkey', count(*), sum(_n), max(_n),
+           CAST(quantile_disc(_n, 0.5) AS BIGINT),
+           CAST(quantile_disc(_n, 0.99) AS BIGINT),
+           round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
+    FROM k3
+    UNION ALL
+    SELECT 'orders.o_custkey', count(*), sum(_n), max(_n),
+           CAST(quantile_disc(_n, 0.5) AS BIGINT),
+           CAST(quantile_disc(_n, 0.99) AS BIGINT),
+           round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
+    FROM k4
+"""
+
+ORACLE_SQL["q_partition_plan"] = """
+    WITH per_part AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS part_value,
+               count(*) AS n_rows
+        FROM orders
+        GROUP BY 1
+    ),
+    totals AS (
+        SELECT sum(n_rows) AS _total, count(*) AS _nparts FROM per_part
+    )
+    SELECT part_value,
+           n_rows,
+           round(CAST(n_rows AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS share,
+           CASE
+             WHEN CAST(n_rows AS DOUBLE)
+                  < 0.2 * (CAST(_total AS DOUBLE) / CAST(_nparts AS DOUBLE))
+               THEN 'small'
+             WHEN CAST(n_rows AS DOUBLE)
+                  > 2.0 * (CAST(_total AS DOUBLE) / CAST(_nparts AS DOUBLE))
+               THEN 'skewed'
+             ELSE 'ok'
+           END AS classification
+    FROM per_part, totals
+"""

@@ -92,3 +92,32 @@ def test_rows_only_queries_run(spark, name):
     assert len(sdf.columns) > 0
     n = sdf.count()
     assert n >= 0
+
+
+def test_comparator_detects_differences():
+    """Canary for the gate itself: the order-insensitive multiset compare
+    must actually FLAG a single changed value, a dropped row, and a
+    column rename — otherwise every green above is vacuous."""
+    cols = ["a", "b"]
+    base = [(1, "x"), (2, "y"), (3, None)]
+    assert _row_multiset(base, cols) == _row_multiset(list(reversed(base)), cols)
+
+    changed = [(1, "x"), (2, "y"), (4, None)]
+    assert _row_multiset(base, cols) != _row_multiset(changed, cols)
+
+    dropped = base[:2]
+    assert _row_multiset(base, cols) != _row_multiset(dropped, cols)
+
+    # column-name sort must align values by NAME, not position: same rows
+    # under swapped column order hash identically...
+    swapped_rows = [(r[1], r[0]) for r in base]
+    assert _row_multiset(base, ["a", "b"]) == _row_multiset(swapped_rows, ["b", "a"])
+    # ...but a rename misaligns the sort order and is caught upstream by
+    # the column-name set compare (simulate it here)
+    assert sorted(["a", "b"]) != sorted(["a", "c"])
+
+    # float cell normalization: 9dp round unifies sub-noise, NaN is stable
+    assert _norm_cell(0.1234567891) == _norm_cell(0.12345678914)
+    assert _norm_cell(float("nan")) == "NaN"
+    assert _norm_cell(None) == "NULL"
+    assert _norm_cell(True) == "1"

@@ -251,7 +251,7 @@ QUIET_HOST_REF_SEC = {
     "q_star_join": 0.83,
     "q_stats_agg": 0.26,
     "q_stratified_sample": 0.14,
-    "q_streaming_upsert": 5.43,
+    "q_streaming_upsert": 4.01,
     "q_temperature_mix": 0.36,
     "q_text_quality": 0.17,
     "q_text_stats": 0.19,

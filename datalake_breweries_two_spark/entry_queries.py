@@ -5795,3 +5795,47 @@ ORACLE_SQL["q_partition_plan"] = """
            END AS classification
     FROM per_part, totals
 """
+
+
+def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users: the dedup→aggregate CHAIN shape — a
+    watermarked (user, day) dropDuplicates feeding a per-day count in
+    update mode. State is one dedup entry per user-day (watermark-bounded)
+    plus one counter per day; the raw event volume never reaches the
+    aggregation. FULL ORACLE: the staged slices replay in time order so
+    the watermark drops nothing, the per-day count is monotone across
+    emissions, and the final snapshot (max per day) must equal the batch
+    COUNT(DISTINCT user) — streaming correctness is hash-checked against
+    the batch recompute."""
+    from datalake_breweries_two_spark.catalog import read_events  # noqa: F401
+
+    stage_dir = os.path.join(_SCRATCH, "events_stream_dau")
+    stream_windows.stage_time_ordered_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), stage_dir
+    )
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    per_day = (
+        stream.withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id"),
+            F.col("ts"),
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .dropDuplicates(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, per_day, "q_streaming_dau_sink", output_mode="update"
+    )
+    return out.groupBy("day").agg(F.max("dau").cast("long").alias("dau"))
+
+
+QUERIES["q_streaming_dau"] = q_streaming_dau
+
+ORACLE_SQL["q_streaming_dau"] = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY 1
+"""

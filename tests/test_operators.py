@@ -2249,3 +2249,53 @@ def test_rolling_active_users_bruteforce(spark):
         active = {u for u, d in user_days if 0 <= (day - d).days <= 6}
         expected[str(day)] = len(active)
     assert got == expected
+
+
+def test_plan_advisor_flags_and_passes(spark, tmp_path):
+    """The advisor must flag a row-Python UDF, a cross join, a blown
+    shuffle budget, a global sort, and an unpushed filter — and return
+    ZERO findings for this engine's own disciplined plans."""
+    from pyspark.sql.functions import udf
+
+    from datalake_breweries_two_spark.entry_queries import q_gold_agg, q_topk
+    from datalake_breweries_two_spark.plans.advisor import (
+        PlanAuditError,
+        assert_plan_clean,
+        audit_plan,
+    )
+
+    a = spark.range(100).selectExpr("id", "id % 5 AS k")
+    b = spark.range(50).selectExpr("id AS id2")
+
+    rules = lambda fs: {f.rule for f in fs}  # noqa: E731
+
+    plus_one = udf(lambda x: x + 1)
+    assert "row_python_udf" in rules(audit_plan(a.select(plus_one("id"))))
+    assert "nested_loop_join" in rules(audit_plan(a.crossJoin(b)))
+    assert rules(audit_plan(a.crossJoin(b), allow_nested_loop=True)) == set()
+    assert "global_sort" in rules(audit_plan(a.orderBy("k")))
+    assert rules(audit_plan(a.orderBy("k").limit(5))) == set()  # TakeOrdered
+    # repartition on a DIFFERENT key than the aggregate: the exchange
+    # cannot be reused, so the plan carries two wide shuffles
+    assert "wide_exchange_budget" in rules(
+        audit_plan(a.repartition(8, "id").groupBy("k").count(), max_wide_exchanges=1)
+    )
+
+    # unpushed filter: a predicate shape parquet readers can't push AT ALL
+    # (the OR-null keeps even the implied IsNotNull from being pushed)
+    src = str(tmp_path / "t")
+    a.write.parquet(src)
+    df = spark.read.parquet(src).filter("pmod(id, 7) = 3 OR id IS NULL")
+    assert "filter_not_pushed" in rules(audit_plan(df))
+
+    # the engine's own plans are clean under their declared budgets
+    assert audit_plan(q_gold_agg(spark, SF_SMOKE), max_wide_exchanges=1) == []
+    assert_plan_clean(q_topk(spark, SF_SMOKE), max_wide_exchanges=0)
+
+    # assert_plan_clean raises with the findings attached
+    try:
+        assert_plan_clean(a.select(plus_one("id")))
+    except PlanAuditError as exc:
+        assert any(f.rule == "row_python_udf" for f in exc.findings)
+    else:
+        raise AssertionError("expected PlanAuditError")

@@ -48,6 +48,7 @@ class MedallionResult:
     gold_path: str
     quality: QualityReport
     gold_rows: int
+    plan_findings: list = field(default_factory=list)  # advisor warnings (non-fatal)
 
 
 class QualityGateError(RuntimeError):
@@ -84,7 +85,21 @@ def run_medallion(
     from pyspark.sql import functions as F
 
     obs = Observation("gold_metrics")
-    gold = cfg.aggregate(silver_back).observe(
+    gold_plan = cfg.aggregate(silver_back)
+
+    # Pre-flight plan audit (plans/advisor.py) BEFORE any action runs:
+    # error-level findings (a row-at-a-time Python UDF smuggled in via a
+    # user-supplied aggregate fn) abort the pipeline; warnings ride along
+    # in the result for the operator's log. At 100 TB the cheapest moment
+    # to catch a de-vectorized plan is before its first task launches.
+    from datalake_breweries_two_spark.plans.advisor import PlanAuditError, audit_plan
+
+    findings = audit_plan(gold_plan)
+    errors = [f for f in findings if f.severity == "error"]
+    if errors:
+        raise PlanAuditError(errors)
+
+    gold = gold_plan.observe(
         obs, F.count(F.lit(1)).alias("rows")
     ).persist()
     try:
@@ -100,4 +115,5 @@ def run_medallion(
         gold_path=gold_path,
         quality=report,
         gold_rows=gold_rows,
+        plan_findings=findings,
     )

@@ -156,3 +156,69 @@ def test_spark_entry_adapter_contract(spark):
     flagship = mod.entry(spark)
     assert flagship.count() >= 0
     assert len(flagship.columns) >= 2
+
+
+def test_medallion_plan_gate_blocks_row_python(spark, tmp_path):
+    """A user-supplied aggregate that smuggles in a row-at-a-time Python
+    UDF must abort the pipeline BEFORE the gold write (error-level advisor
+    finding); the clean pipeline reports zero error findings."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from datalake_breweries_two_spark.catalog import BRONZE_BREWERY_SCHEMA
+    from datalake_breweries_two_spark.plans.advisor import PlanAuditError
+    from datalake_breweries_two_spark.plans.medallion import (
+        MedallionConfig,
+        run_medallion,
+    )
+
+    bronze_dir = str(tmp_path / "bronze")
+    os.makedirs(bronze_dir)
+    rows = [
+        {"id": str(i), "name": f"b{i}", "brewery_type": "micro",
+         "address_1": "x", "address_2": None, "address_3": None,
+         "city": "c", "state_province": "s", "country": "US",
+         "longitude": "1.0", "latitude": "2.0"}
+        for i in range(150)
+    ]
+    with open(os.path.join(bronze_dir, "page0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    bad = udf(lambda s: (s or "").upper())
+
+    def curate(df):
+        return df.select("id", "name", "brewery_type")
+
+    def bad_aggregate(df):
+        return df.groupBy(bad(F.col("brewery_type")).alias("t")).count()
+
+    cfg = MedallionConfig(
+        base_dir=str(tmp_path / "lake"),
+        bronze_schema=BRONZE_BREWERY_SCHEMA,
+        curate=curate,
+        aggregate=bad_aggregate,
+        critical_columns=["id", "name"],
+        min_rows=100,
+    )
+    with pytest.raises(PlanAuditError):
+        run_medallion(spark, cfg, bronze_dir)
+    # gold must NOT have been written
+    assert not os.path.exists(os.path.join(str(tmp_path / "lake"), "gold"))
+
+    def good_aggregate(df):
+        return df.groupBy("brewery_type").count()
+
+    cfg2 = MedallionConfig(
+        base_dir=str(tmp_path / "lake2"),
+        bronze_schema=BRONZE_BREWERY_SCHEMA,
+        curate=curate,
+        aggregate=good_aggregate,
+        critical_columns=["id", "name"],
+        min_rows=100,
+    )
+    res = run_medallion(spark, cfg2, bronze_dir)
+    assert res.gold_rows == 1
+    assert [f for f in res.plan_findings if f.severity == "error"] == []

@@ -155,6 +155,8 @@ HEADLINE = [
     "q_geo_radius_pairs",
     "q_skew_report",
     "q_partition_plan",
+    "q_asof_join_forward",
+    "q_window_ignore_nulls",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -290,6 +292,8 @@ QUIET_HOST_REF_SEC = {
     "q_geo_radius_pairs": 0.79,
     "q_skew_report": 0.65,
     "q_partition_plan": 0.48,
+    "q_asof_join_forward": 0.5,
+    "q_window_ignore_nulls": 0.25,
 }
 
 def main() -> None:

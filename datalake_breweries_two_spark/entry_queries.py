@@ -5839,3 +5839,105 @@ ORACLE_SQL["q_streaming_dau"] = """
     FROM events
     GROUP BY 1
 """
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py:asof_join_forward): each click
+    matched to the user's NEXT purchase at-or-after it — the
+    time-to-conversion shape; union-trick, one shuffle, no pair blowup."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    out = joins.asof_join_forward(
+        clicks,
+        purchases,
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["p_event_id", "value"],
+        tie_col="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("next_p_event_id").alias("next_event_id"),
+        F.col("next_value").alias("next_value"),
+    )
+
+
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the gaps-forward-fill idiom as raw
+    SQL (the engine's resample operator builds the same shape with the
+    DataFrame API): per customer in a keyed band, orders carry the last
+    non-null priority seen so far (ffill) and the first non-null ever
+    (anchor), with priorities deterministically nulled to create gaps.
+    Engines agree on IGNORE NULLS semantics; the frame is rows-based so
+    ties are pinned by the (date, key) ordering."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_custkey,
+               last_value(pri) IGNORE NULLS OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pri_ffill,
+               first_value(pri) IGNORE NULLS OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pri_anchor
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri
+            FROM orders_v
+            WHERE o_custkey % 10 = 0
+        )
+        """
+    )
+
+
+QUERIES["q_asof_join_forward"] = q_asof_join_forward
+QUERIES["q_window_ignore_nulls"] = q_window_ignore_nulls
+
+ORACLE_SQL["q_asof_join_forward"] = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT event_id AS p_event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           n.p_event_id AS next_event_id,
+           n.value AS next_value
+    FROM clicks c
+    LEFT JOIN LATERAL (
+        SELECT p.p_event_id, p.value
+        FROM purch p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.ts, p.p_event_id
+        LIMIT 1
+    ) n ON TRUE
+"""
+
+ORACLE_SQL["q_window_ignore_nulls"] = """
+    SELECT o_orderkey,
+           o_custkey,
+           last_value(pri IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS pri_ffill,
+           first_value(pri IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS pri_anchor
+    FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               nullif(o_orderpriority, '4-NOT SPECIFIED') AS pri
+        FROM orders
+        WHERE o_custkey % 10 = 0
+    )
+"""

@@ -257,3 +257,41 @@ def interval_self_join(
         .select(F.col("k").alias(key_col), "id_a", "id_b")
         .distinct()  # an edge pair can match in multiple replicated buckets
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    the same key and ``right.ts >= left.ts`` (ties at equal ts broken by
+    lowest ``tie_col``) — the time-to-next-event shape (conversion lag,
+    next-maintenance lookup). Mirror of :func:`asof_join`: tag + union +
+    ``first(..., ignorenulls=True)`` over [currentRow, unboundedFollowing]
+    ordered by (ts asc, tag DESC, tie asc) — left rows (tag 1) sort BEFORE
+    right rows (tag 0) at equal ts, so an equal-ts right row lands inside
+    the forward frame and the inclusive >= falls out of the ordering.
+    Same scale profile: exactly one key-partitioned shuffle, no pair
+    expansion."""
+    lt = left.withColumn("_tag", F.lit(1))
+    rt_cols = list(dict.fromkeys([key_col, ts_col, tie_col, *right_cols]))
+    rt = right.select(*rt_cols).withColumn("_tag", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").desc(), F.col(tie_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = F.first(
+        F.when(F.col("_tag") == 0, F.struct(*[F.col(c) for c in right_cols])),
+        ignorenulls=True,
+    ).over(w)
+    out = u.withColumn("_next", carried).filter(F.col("_tag") == 1)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_next.{c}").alias(f"next_{c}") for c in right_cols],
+    )

@@ -2299,3 +2299,55 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
         assert any(f.rule == "row_python_udf" for f in exc.findings)
     else:
         raise AssertionError("expected PlanAuditError")
+
+
+def test_asof_forward_bruteforce_with_equal_ts(spark):
+    """Forward as-of must pick the EARLIEST right row with ts >= left.ts,
+    INCLUDING a right row at exactly-equal ts, ties at equal ts broken by
+    lowest tie id — brute-forced over synthetic data dense with equal
+    timestamps."""
+    import datetime as dt
+
+    from datalake_breweries_two_spark.operators.joins import asof_join_forward
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left_rows = [
+        (1, 100, t(10)),
+        (2, 100, t(20)),   # equal to a right ts
+        (3, 100, t(31)),   # after every right row -> null
+        (4, 200, t(5)),
+        (5, 300, t(1)),    # key with no right rows -> null
+    ]
+    right_rows = [
+        (100, t(20), 900, 1.0),   # equal-ts with left id 2
+        (100, t(20), 901, 2.0),   # tie at same ts: id 900 must win
+        (100, t(15), 902, 3.0),
+        (100, t(30), 903, 4.0),
+        (200, t(5), 904, 5.0),
+    ]
+    left = spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        right_rows, ["user_id", "ts", "p_event_id", "value"]
+    )
+    out = asof_join_forward(
+        left, right, key_col="user_id", ts_col="ts",
+        right_cols=["p_event_id", "value"], tie_col="p_event_id",
+    )
+    got = {r["event_id"]: (r["next_p_event_id"], r["next_value"])
+           for r in out.collect()}
+
+    expected = {}
+    for eid, uid, lts in left_rows:
+        cands = [(rts, pid, v) for (ruid, rts, pid, v) in right_rows
+                 if ruid == uid and rts >= lts]
+        if cands:
+            rts, pid, v = min(cands)
+            expected[eid] = (pid, v)
+        else:
+            expected[eid] = (None, None)
+    assert got == expected
+    # the subtle cases explicitly:
+    assert got[2] == (900, 1.0)   # equal-ts inclusive, tie -> lowest id
+    assert got[3] == (None, None)
+    assert got[5] == (None, None)

@@ -231,6 +231,8 @@ SHUFFLE_BUDGET = {
     "q_geo_radius_pairs": 0,    # cell-equality hash join (broadcast at test sf)
     "q_skew_report": 8,         # 4 key-count passes x (per-key agg + percentile collapse)
     "q_partition_plan": 3,      # month agg + single-row totals + broadcast-back
+    "q_asof_join_forward": 1,   # union-trick: one user-keyed window exchange
+    "q_window_ignore_nulls": 1, # one customer-keyed window exchange
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

@@ -1,0 +1,161 @@
+"""Command-line entry point: ``python -m datalake_breweries_two_spark``.
+
+The reference's operational surface is an Airflow DAG definition
+(``dags/dag-brewery_pipeline.py``) — scheduling, retries, and task wiring
+live in Airflow. This engine is a library, so the CLI covers the same
+operational verbs directly:
+
+  list-queries                      enumerate the declared registry
+  run-query NAME [--sf-dir DIR]     run one declared query, print rows
+  run-medallion --bronze-dir D --base-dir B
+                                    execute bronze→silver→gate→gold
+  audit-query NAME [--sf-dir DIR]   plan-advisor findings for a query
+
+Scheduling stays external by design (cron/Airflow/dbt invoke this CLI):
+one engine process per run, one shared SparkSession inside it — NOT the
+reference's three cold JVMs per DAG run (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_session(app_name: str):
+    """Returns (session, owns_it): the CLI must stop only sessions IT
+    created — under an embedding process (tests, a notebook) getOrCreate
+    returns the host's live session, and stopping that would kill the
+    host's JVM mid-run."""
+    from pyspark.sql import SparkSession
+
+    from datalake_breweries_two_spark.session import build_session
+
+    preexisting = SparkSession.getActiveSession() is not None
+    return build_session(app_name=app_name), not preexisting
+
+
+def _maybe_stop(spark, owns: bool) -> None:
+    if owns:
+        spark.stop()
+
+
+def cmd_list_queries(_args: argparse.Namespace) -> int:
+    from datalake_breweries_two_spark import entry_queries
+
+    oracles = set(entry_queries.ORACLE_SQL)
+    for name in entry_queries.QUERIES:
+        kind = "oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cmd_run_query(args: argparse.Namespace) -> int:
+    from datalake_breweries_two_spark import entry_queries
+
+    if args.name not in entry_queries.QUERIES:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark, owns = _build_session(f"cli:{args.name}")
+    try:
+        df = entry_queries.QUERIES[args.name](spark, args.sf_dir)
+        rows = df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(f"# {len(rows)} row(s) shown (limit {args.limit}); "
+              f"schema: {df.schema.simpleString()}", file=sys.stderr)
+    finally:
+        _maybe_stop(spark, owns)
+    return 0
+
+
+def cmd_audit_query(args: argparse.Namespace) -> int:
+    from datalake_breweries_two_spark import entry_queries
+    from datalake_breweries_two_spark.plans.advisor import audit_plan
+
+    if args.name not in entry_queries.QUERIES:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    spark, owns = _build_session(f"cli-audit:{args.name}")
+    try:
+        df = entry_queries.QUERIES[args.name](spark, args.sf_dir)
+        findings = audit_plan(df)
+        for f in findings:
+            print(json.dumps({"rule": f.rule, "severity": f.severity,
+                              "detail": f.detail}))
+        if not findings:
+            print("# plan clean", file=sys.stderr)
+    finally:
+        _maybe_stop(spark, owns)
+    return 1 if any(f.severity == "error" for f in findings) else 0
+
+
+def cmd_run_medallion(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from datalake_breweries_two_spark.catalog import BRONZE_BREWERY_SCHEMA
+    from datalake_breweries_two_spark.operators.aggregates import group_count
+    from datalake_breweries_two_spark.operators.projection import (
+        curate_silver_breweries,
+    )
+    from datalake_breweries_two_spark.plans.medallion import (
+        MedallionConfig,
+        run_medallion,
+    )
+
+    cfg = MedallionConfig(
+        base_dir=args.base_dir,
+        bronze_schema=BRONZE_BREWERY_SCHEMA,
+        curate=curate_silver_breweries,
+        aggregate=lambda df: group_count(
+            df, ["brewery_type", "country"], "id", "brewery_count"
+        ).orderBy(F.desc("brewery_count")),
+        silver_partition_by=["country"],
+        critical_columns=["id", "brewery_name", "brewery_type"],
+        min_rows=args.min_rows,
+    )
+    spark, owns = _build_session("cli:medallion")
+    try:
+        res = run_medallion(spark, cfg, args.bronze_dir)
+        print(json.dumps({
+            "silver_path": res.silver_path,
+            "gold_path": res.gold_path,
+            "gold_rows": res.gold_rows,
+            "quality_passed": res.quality.passed,
+            "plan_warnings": [f.rule for f in res.plan_findings],
+        }))
+    finally:
+        _maybe_stop(spark, owns)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="datalake_breweries_two_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-queries").set_defaults(fn=cmd_list_queries)
+
+    rq = sub.add_parser("run-query")
+    rq.add_argument("name")
+    rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rq.add_argument("--limit", type=int, default=20)
+    rq.set_defaults(fn=cmd_run_query)
+
+    aq = sub.add_parser("audit-query")
+    aq.add_argument("name")
+    aq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    aq.set_defaults(fn=cmd_audit_query)
+
+    rm = sub.add_parser("run-medallion")
+    rm.add_argument("--bronze-dir", required=True)
+    rm.add_argument("--base-dir", required=True)
+    rm.add_argument("--min-rows", type=int, default=100)
+    rm.set_defaults(fn=cmd_run_medallion)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,6 +12,7 @@ import pytest
 from datalake_breweries_two_spark.catalog import BRONZE_BREWERY_SCHEMA
 from datalake_breweries_two_spark.operators.aggregates import group_count
 from datalake_breweries_two_spark.operators.projection import curate_silver_breweries
+from .conftest import SF_SMOKE
 from datalake_breweries_two_spark.plans.medallion import (
     MedallionConfig,
     QualityGateError,
@@ -222,3 +223,52 @@ def test_medallion_plan_gate_blocks_row_python(spark, tmp_path):
     res = run_medallion(spark, cfg2, bronze_dir)
     assert res.gold_rows == 1
     assert [f for f in res.plan_findings if f.severity == "error"] == []
+
+
+def test_cli_surface(spark, tmp_path):
+    """The CLI verbs must work in-process: list-queries covers the full
+    registry, run-medallion executes the brewery pipeline end-to-end, and
+    audit-query returns exit 0 on a clean plan. (spark fixture keeps the
+    JVM warm; the CLI builds/stops its own session via the shared
+    factory, which getOrCreate()-reuses this one.)"""
+    import io
+    import json as _json
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from datalake_breweries_two_spark.__main__ import main
+    from datalake_breweries_two_spark.entry_queries import QUERIES
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main(["list-queries"]) == 0
+    listed = dict(
+        line.split("\t") for line in out.getvalue().strip().splitlines()
+    )
+    assert set(listed) == set(QUERIES)
+
+    bronze_dir = str(tmp_path / "bronze")
+    os.makedirs(bronze_dir)
+    rows = [
+        {"id": str(i), "name": f"b{i}", "brewery_type": ["micro", "nano"][i % 2],
+         "address_1": "x", "address_2": None, "address_3": None,
+         "city": "c", "state_province": "s", "country": "US",
+         "longitude": "1.0", "latitude": "2.0"}
+        for i in range(120)
+    ]
+    with open(os.path.join(bronze_dir, "page0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main([
+            "run-medallion", "--bronze-dir", bronze_dir,
+            "--base-dir", str(tmp_path / "lake"),
+        ])
+    assert rc == 0
+    res = _json.loads(out.getvalue())
+    assert res["quality_passed"] is True and res["gold_rows"] == 2
+
+    out, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(out), redirect_stderr(err):
+        rc = main(["audit-query", "q_topk", "--sf-dir", SF_SMOKE])
+    assert rc == 0

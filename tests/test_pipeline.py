@@ -272,3 +272,15 @@ def test_cli_surface(spark, tmp_path):
     with redirect_stdout(out), redirect_stderr(err):
         rc = main(["audit-query", "q_topk", "--sf-dir", SF_SMOKE])
     assert rc == 0
+
+
+def test_bench_reference_covers_headline():
+    """Every bench HEADLINE query needs a QUIET_HOST_REF_SEC entry — a
+    missing entry silently falls back to the 0.3 s floor, making the
+    stall detector retry slow-by-design queries on every run."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in bench.QUIET_HOST_REF_SEC]
+    assert not missing, f"headline queries without a quiet-host ref: {missing}"
+    stale = [n for n in bench.QUIET_HOST_REF_SEC if n not in bench.HEADLINE]
+    assert not stale, f"refs for queries no longer in headline: {stale}"

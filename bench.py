@@ -157,6 +157,11 @@ HEADLINE = [
     "q_partition_plan",
     "q_asof_join_forward",
     "q_window_ignore_nulls",
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q16",
+    "q_sql_tpch_q20",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -294,6 +299,11 @@ QUIET_HOST_REF_SEC = {
     "q_partition_plan": 0.48,
     "q_asof_join_forward": 0.5,
     "q_window_ignore_nulls": 0.25,
+    "q_sql_tpch_q2": 1.05,
+    "q_sql_tpch_q9": 1.65,
+    "q_sql_tpch_q11": 1.26,
+    "q_sql_tpch_q16": 0.9,
+    "q_sql_tpch_q20": 0.65,
 }
 
 def main() -> None:

@@ -5941,3 +5941,204 @@ ORACLE_SQL["q_window_ignore_nulls"] = """
         WHERE o_custkey % 10 = 0
     )
 """
+
+
+# --------------------------------------------------------------------------
+# r4: the five TPC-H queries needing a partsupp table (Q2/Q9/Q11/Q16/Q20),
+# over a DERIVED partsupp — the testdata ships none, so the pair relation
+# implied by the fact table (DISTINCT (l_partkey, l_suppkey)) is extended
+# with md5-derived supplycost/availqty. The derivation is a pure integer
+# function of the keys (hex digits -> integer -> /100), so both engines
+# materialize the IDENTICAL relation and every downstream comparison is
+# exact. This completes all 22 TPC-H query shapes.
+# --------------------------------------------------------------------------
+
+# {hex} differs per engine: Spark conv(); DuckDB 0x-prefix cast. Inputs are
+# 'pk:sk:<seed>' md5 digests either way.
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               1 + ({availhex} % 9999) AS ps_availqty,
+               1.0 + CAST({costhex} % 99900 AS DOUBLE) / 100.0 AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                              l_suppkey AS ps_suppkey
+              FROM {lineitem})
+    )
+"""
+
+_SPARK_HEX = (
+    "CAST(conv(substring(md5(concat_ws(':', CAST(ps_partkey AS STRING), "
+    "CAST(ps_suppkey AS STRING), '{seed}')), 1, 8), 16, 10) AS BIGINT)"
+)
+_DUCK_HEX = (
+    "CAST(('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || ':' || "
+    "CAST(ps_suppkey AS VARCHAR) || ':{seed}'), 1, 8)) AS BIGINT)"
+)
+
+
+def _partsupp_cte(engine: str, lineitem: str) -> str:
+    hexes = _SPARK_HEX if engine == "spark" else _DUCK_HEX
+    return _PARTSUPP_CTE.format(
+        availhex=hexes.format(seed="availqty-v1"),
+        costhex=hexes.format(seed="cost-v1"),
+        lineitem=lineitem,
+    )
+
+
+_TPCH_Q2_BODY = """
+    , eligible AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+               n_name, ps_supplycost
+        FROM partsupp
+        JOIN {part} ON ps_partkey = p_partkey
+        JOIN {supplier} ON ps_suppkey = s_suppkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        JOIN {region} ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT *, min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM eligible
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost AS supplycost
+    FROM best
+    WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+"""
+
+_TPCH_Q9_BODY = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))
+                          - CAST(ps_supplycost AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4)))
+                      AS DOUBLE), 2) AS sum_profit
+    FROM {lineitem}
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN {part} ON p_partkey = l_partkey
+    JOIN {supplier} ON s_suppkey = l_suppkey
+    JOIN {orders} ON o_orderkey = l_orderkey
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+"""
+
+_TPCH_Q11_BODY = """
+    , scoped AS (
+        SELECT ps_partkey,
+               CAST(ps_supplycost AS DECIMAL(18,4))
+                   * CAST(ps_availqty AS DECIMAL(18,4)) AS value_dec
+        FROM partsupp
+        JOIN {supplier} ON ps_suppkey = s_suppkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+    )
+    SELECT ps_partkey, CAST(sum(value_dec) AS DOUBLE) AS part_value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING sum(value_dec) * 1000 > (SELECT sum(value_dec) FROM scoped)
+"""
+
+_TPCH_Q16_BODY = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN {part} ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (5, 11, 15, 20, 28, 31, 44, 49)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+_TPCH_Q20_BODY = """
+    SELECT s_name, s_acctbal
+    FROM {supplier}
+    JOIN {nation} ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          WHERE ps_partkey IN
+                (SELECT p_partkey FROM {part} WHERE p_name LIKE 'small%')
+            AND ps_availqty > (
+                SELECT 0.5 * sum(l_quantity) FROM {lineitem}
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'))
+    ORDER BY s_name
+"""
+
+_SPARK_T = {
+    "lineitem": "lineitem_v", "part": "part_v", "supplier": "supplier_v",
+    "nation": "nation_v", "region": "region_v", "orders": "orders_v",
+}
+_DUCK_T = {
+    "lineitem": "lineitem", "part": "part", "supplier": "supplier",
+    "nation": "nation", "region": "region", "orders": "orders",
+}
+
+
+def _tpch_ps_sql(engine: str, body: str) -> str:
+    t = _SPARK_T if engine == "spark" else _DUCK_T
+    return "WITH " + _partsupp_cte(engine, t["lineitem"]) + body.format(**t)
+
+
+def _run_tpch_ps(spark: SparkSession, sf_dir: str, body: str) -> DataFrame:
+    for name, view in _SPARK_T.items():
+        _t(spark, sf_dir, name).createOrReplaceTempView(view)
+    return spark.sql(_tpch_ps_sql("spark", body))
+
+
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): region-scoped part/supplier chain,
+    per-part min supplycost via ONE window over the eligible relation (the
+    textbook correlated-min subquery decorrelated), deterministic top-20.
+    Equality on ps_supplycost is safe: the derived cost is the identical
+    pure-integer function of the keys on both engines."""
+    return _run_tpch_ps(spark, sf_dir, _TPCH_Q2_BODY)
+
+
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): five-way join of the fact to the
+    derived partsupp (BOTH keys — pairs exist by construction), decimal-
+    exact profit expression, (nation, year) rollup."""
+    return _run_tpch_ps(spark, sf_dir, _TPCH_Q9_BODY)
+
+
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): nation-scoped inventory value per part
+    vs a scalar-subquery share threshold — compared in EXACT decimal
+    (sum * 1000 > total) so no FP boundary exists at the cutoff."""
+    return _run_tpch_ps(spark, sf_dir, _TPCH_Q11_BODY)
+
+
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): brand/type/size exclusion
+    filters + NOT IN complaint-supplier subquery (negative-balance analog)
+    + per-group distinct supplier counts."""
+    return _run_tpch_ps(spark, sf_dir, _TPCH_Q16_BODY)
+
+
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers): nested IN chain ending in a
+    correlated scalar aggregate (availqty > half the year's shipped
+    quantity for that exact pair) — integer-valued doubles, so the 0.5x
+    comparison is exact."""
+    return _run_tpch_ps(spark, sf_dir, _TPCH_Q20_BODY)
+
+
+QUERIES["q_sql_tpch_q2"] = q_sql_tpch_q2
+QUERIES["q_sql_tpch_q9"] = q_sql_tpch_q9
+QUERIES["q_sql_tpch_q11"] = q_sql_tpch_q11
+QUERIES["q_sql_tpch_q16"] = q_sql_tpch_q16
+QUERIES["q_sql_tpch_q20"] = q_sql_tpch_q20
+
+ORACLE_SQL["q_sql_tpch_q2"] = _tpch_ps_sql("duck", _TPCH_Q2_BODY)
+ORACLE_SQL["q_sql_tpch_q9"] = _tpch_ps_sql("duck", _TPCH_Q9_BODY)
+ORACLE_SQL["q_sql_tpch_q11"] = _tpch_ps_sql("duck", _TPCH_Q11_BODY)
+ORACLE_SQL["q_sql_tpch_q16"] = _tpch_ps_sql("duck", _TPCH_Q16_BODY)
+ORACLE_SQL["q_sql_tpch_q20"] = _tpch_ps_sql("duck", _TPCH_Q20_BODY)

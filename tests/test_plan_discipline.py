@@ -233,6 +233,11 @@ SHUFFLE_BUDGET = {
     "q_partition_plan": 3,      # month agg + single-row totals + broadcast-back
     "q_asof_join_forward": 1,   # union-trick: one user-keyed window exchange
     "q_window_ignore_nulls": 1, # one customer-keyed window exchange
+    "q_sql_tpch_q2": 2,         # partsupp dedup + part-keyed min window
+    "q_sql_tpch_q9": 2,         # pair dedup + (nation,year) agg; dims broadcast
+    "q_sql_tpch_q11": 4,        # pair dedup + part agg + total scalar + having
+    "q_sql_tpch_q16": 3,        # pair dedup + distinct-count expand pair
+    "q_sql_tpch_q20": 2,        # pair dedup + correlated-agg decorrelation
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

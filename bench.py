@@ -162,6 +162,9 @@ HEADLINE = [
     "q_sql_tpch_q11",
     "q_sql_tpch_q16",
     "q_sql_tpch_q20",
+    "q_mad",
+    "q_gini",
+    "q_benford",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -304,6 +307,9 @@ QUIET_HOST_REF_SEC = {
     "q_sql_tpch_q11": 1.26,
     "q_sql_tpch_q16": 0.9,
     "q_sql_tpch_q20": 0.65,
+    "q_mad": 0.67,
+    "q_gini": 0.5,
+    "q_benford": 0.38,
 }
 
 def main() -> None:

@@ -6142,3 +6142,156 @@ ORACLE_SQL["q_sql_tpch_q9"] = _tpch_ps_sql("duck", _TPCH_Q9_BODY)
 ORACLE_SQL["q_sql_tpch_q11"] = _tpch_ps_sql("duck", _TPCH_Q11_BODY)
 ORACLE_SQL["q_sql_tpch_q16"] = _tpch_ps_sql("duck", _TPCH_Q16_BODY)
 ORACLE_SQL["q_sql_tpch_q20"] = _tpch_ps_sql("duck", _TPCH_Q20_BODY)
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion measure
+    (outlier-insensitive sibling of q_stats_agg's stddev). Two discrete-
+    percentile aggregates: the group median (an actual data element,
+    bit-identical cross-engine), broadcast back, then the median of
+    |x - median|. Both medians are percentile_disc, so NO interpolation
+    arithmetic exists anywhere — the only FP is the subtraction of exact
+    doubles, identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("_med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("_med")).alias("_dev"),
+        F.col("_med"),
+    )
+    return dev.groupBy("l_returnflag").agg(
+        F.max("_med").alias("median_price"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)").alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per market segment —
+    the revenue-concentration metric. Rank-based formula
+    G = (2*Σ(i*x_i))/(n*Σx) - (n+1)/n over values ranked ascending within
+    the group (row_number, key tie-break → integer-exact ranks).
+    Numerators/denominators are decimal-exact sums of rank*value products;
+    the single final division is the only FP op, rounded to 6dp."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_custkey")
+    ranked = j.select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.row_number().over(w).cast("decimal(18,0)").alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.sum(F.col("i") * F.col("x")).alias("_ix"),
+        F.sum("x").alias("_sx"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    n = F.col("n_orders").cast("double")
+    gini = (
+        2.0 * F.col("_ix").cast("double") / (n * F.col("_sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "c_mktsegment", "n_orders", F.round(gini, 6).alias("gini")
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic fabricated-
+    numbers screen (a synthetic-uniform generator like this testdata FAILS
+    Benford, which is exactly what the audit should report). First digit
+    extracted textually (no log10 FP), counts exact, observed share
+    rounded; expected Benford share computed from log10 — both engines'
+    log10 of small integers agree to well past 6dp."""
+    orders = _t(spark, sf_dir, "orders")
+    # first digit via exact integer route: 4dp fixed-point -> BIGINT ->
+    # string (BIGINT-to-string never goes scientific, unlike double casts)
+    fixed = F.round(F.abs(F.col("o_totalprice")) * 10000.0).cast("bigint")
+    digits = orders.select(
+        F.substring(fixed.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") > 0)
+    per_digit = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = per_digit.agg(F.sum("n").alias("_t"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6)
+            .alias("observed_share"),
+            F.round(
+                F.log10((F.col("digit") + 1.0) / F.col("digit")), 6
+            ).alias("benford_share"),
+        )
+    )
+
+
+QUERIES["q_mad"] = q_mad
+QUERIES["q_gini"] = q_gini
+QUERIES["q_benford"] = q_benford
+
+ORACLE_SQL["q_mad"] = """
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS _med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, abs(l.l_extendedprice - m._med) AS _dev, m._med
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    )
+    SELECT l_returnflag,
+           max(_med) AS median_price,
+           quantile_disc(_dev, 0.5) AS mad,
+           count(*) AS n_rows
+    FROM dev
+    GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["q_gini"] = """
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+               CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice, o_custkey) AS DECIMAL(18,0)) AS i
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               sum(i * x) AS _ix, sum(x) AS _sx, count(*) AS n_orders
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_orders,
+           round(2.0 * CAST(_ix AS DOUBLE)
+                     / (CAST(n_orders AS DOUBLE) * CAST(_sx AS DOUBLE))
+                 - (CAST(n_orders AS DOUBLE) + 1.0) / CAST(n_orders AS DOUBLE),
+                 6) AS gini
+    FROM agg
+"""
+
+ORACLE_SQL["q_benford"] = """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 10000.0)
+                                     AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+        FROM orders
+    ),
+    per_digit AS (
+        SELECT digit, count(*) AS n FROM digits WHERE digit > 0 GROUP BY digit
+    ),
+    total AS (SELECT sum(n) AS _t FROM per_digit)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(_t AS DOUBLE), 6) AS observed_share,
+           round(log10((digit + 1.0) / digit), 6) AS benford_share
+    FROM per_digit, total
+"""

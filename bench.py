@@ -165,6 +165,8 @@ HEADLINE = [
     "q_mad",
     "q_gini",
     "q_benford",
+    "q_zipf_slope",
+    "q_ks_test",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -310,6 +312,8 @@ QUIET_HOST_REF_SEC = {
     "q_mad": 0.67,
     "q_gini": 0.5,
     "q_benford": 0.38,
+    "q_zipf_slope": 0.33,
+    "q_ks_test": 0.5,
 }
 
 def main() -> None:

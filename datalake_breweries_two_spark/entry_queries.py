@@ -6295,3 +6295,129 @@ ORACLE_SQL["q_benford"] = """
            round(log10((digit + 1.0) / digit), 6) AS benford_share
     FROM per_digit, total
 """
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: regression slope of
+    ln(freq) on ln(rank) over the frequency-ranked vocabulary (natural
+    text ~ -1; a synthetic uniform vocabulary reads near 0 — exactly what
+    a corpus-health check should surface). Token counts are exact; ranks
+    are integer row_numbers (count desc, token tie-break); the co-moment
+    regression runs over ln() of exact integers, so the only cross-engine
+    noise is libm ulps, absorbed by the 4dp round. One explode + one
+    token aggregate + a single-partition rank of the (small) vocabulary."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("ln_rank"),
+        F.log(F.col("n").cast("double")).alias("ln_freq"),
+    )
+    slope = F.try_divide(
+        F.regr_sxy(F.col("ln_freq"), F.col("ln_rank")),
+        F.regr_sxx(F.col("ln_freq"), F.col("ln_rank")),
+    )
+    return ranked.agg(
+        F.round(slope, 4).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between finished ('F') and
+    open ('O') orders' value distributions — the drift test a training
+    pipeline runs between data snapshots. D = max |CDF_a - CDF_b| over a
+    RANGE-framed cumulative count (ties share one cumulative value, so
+    the result is independent of tie order — a ROWS frame would not be).
+    Counts are exact integers; each CDF is one exact division; the max of
+    |differences| is deterministic cross-engine, rounded for safety.
+    Scale shape: one global range-sort of (value, tag) pairs — the same
+    exchange any exact-CDF computation needs — then a scalar aggregate."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    tagged = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderstatus") == "F").alias("is_a"),
+    )
+    counts = tagged.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tagged.select(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).over(w).alias("cb"),
+    )
+    return cum.crossJoin(F.broadcast(counts)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("n_a").cast("double")
+                    - F.col("cb").cast("double") / F.col("n_b").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
+
+
+QUERIES["q_zipf_slope"] = q_zipf_slope
+QUERIES["q_ks_test"] = q_ks_test
+
+ORACLE_SQL["q_zipf_slope"] = """
+    WITH vocab AS (
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE length(token) > 0 GROUP BY token
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                       AS DOUBLE)) AS ln_rank,
+               ln(CAST(n AS DOUBLE)) AS ln_freq
+        FROM vocab
+    )
+    SELECT round(regr_sxy(ln_freq, ln_rank) / regr_sxx(ln_freq, ln_rank), 4)
+               AS zipf_slope,
+           count(*) AS vocab_size
+    FROM ranked
+"""
+
+ORACLE_SQL["q_ks_test"] = """
+    WITH tagged AS (
+        SELECT o_totalprice AS v, (o_orderstatus = 'F') AS is_a
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    counts AS (
+        SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+        FROM tagged
+    ),
+    cum AS (
+        SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) OVER (
+                   ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) OVER (
+                   ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM tagged
+    )
+    SELECT round(max(abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+               AS ks_stat,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b
+    FROM cum, counts
+"""

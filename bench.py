@@ -167,6 +167,8 @@ HEADLINE = [
     "q_benford",
     "q_zipf_slope",
     "q_ks_test",
+    "q_chi_square",
+    "q_psi",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -314,6 +316,8 @@ QUIET_HOST_REF_SEC = {
     "q_benford": 0.38,
     "q_zipf_slope": 0.33,
     "q_ks_test": 0.5,
+    "q_chi_square": 0.71,
+    "q_psi": 1.72,
 }
 
 def main() -> None:

@@ -6421,3 +6421,143 @@ ORACLE_SQL["q_ks_test"] = """
            CAST(max(n_b) AS BIGINT) AS n_b
     FROM cum, counts
 """
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift test over a categorical column: does the
+    event-type mix differ between the first and second half of the event
+    stream? (The categorical sibling of q_ks_test.) Observed counts are
+    exact; expected counts are single divisions of exact integers; the
+    statistic sums (O-E)^2/E over the contingency table — deterministic
+    FP over identical inputs, rounded. One pass builds the table
+    (conditional-sum aggregate per type), a broadcast of the tiny margin
+    totals finishes it."""
+    from datalake_breweries_two_spark.catalog import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    median_id = ev.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)").alias("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(median_id)).select(
+        "event_type", (F.col("event_id") <= F.col("m")).alias("first_half")
+    )
+    table = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("o1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("o2"),
+    )
+    totals = table.agg(
+        F.sum("o1").alias("t1"), F.sum("o2").alias("t2"),
+        F.sum(F.col("o1") + F.col("o2")).alias("tt"),
+    )
+    j = table.crossJoin(F.broadcast(totals))
+    e1 = (F.col("o1") + F.col("o2")) * F.col("t1") / F.col("tt")
+    e2 = (F.col("o1") + F.col("o2")) * F.col("t2") / F.col("tt")
+    cell = (F.col("o1") - e1) ** 2 / e1 + (F.col("o2") - e2) ** 2 / e2
+    return j.agg(
+        F.round(F.sum(cell), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+    )
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value between finished and open
+    orders — the standard ML-monitoring drift score. Bins are the DECILE
+    edges of the reference ('F') population via percentile_disc (actual
+    data elements, bit-identical cross-engine); each population's bin
+    shares are exact-count divisions; PSI = Σ (pa-pb)·ln(pa/pb). Same
+    edge-comparison discipline as equi_depth_bins: a row's bin = count of
+    edges strictly below its value, a pure projection against the
+    broadcast edge row."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    ref = orders.filter(F.col("o_orderstatus") == "F")
+    edges = ref.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10!r}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"_e{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_expr = sum(
+        (F.col("o_totalprice") > F.col(f"_e{i}")).cast("int") for i in range(1, 10)
+    )
+    binned = orders.crossJoin(F.broadcast(edges)).select(
+        (F.col("o_orderstatus") == "F").alias("is_a"),
+        bin_expr.alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+    )
+    totals = per_bin.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    j = per_bin.crossJoin(F.broadcast(totals))
+    pa = F.col("na").cast("double") / F.col("ta").cast("double")
+    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    return j.agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+
+
+QUERIES["q_chi_square"] = q_chi_square
+QUERIES["q_psi"] = q_psi
+
+ORACLE_SQL["q_chi_square"] = """
+    WITH m AS (SELECT quantile_disc(event_id, 0.5) AS m FROM events),
+    tagged AS (
+        SELECT event_type, (event_id <= m.m) AS first_half FROM events, m
+    ),
+    tab AS (
+        SELECT event_type,
+               sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS o1,
+               sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS o2
+        FROM tagged GROUP BY event_type
+    ),
+    tot AS (SELECT sum(o1) AS t1, sum(o2) AS t2, sum(o1 + o2) AS tt FROM tab)
+    SELECT round(sum(
+               pow(o1 - (o1 + o2) * t1 / tt, 2) / ((o1 + o2) * t1 / tt)
+             + pow(o2 - (o1 + o2) * t2 / tt, 2) / ((o1 + o2) * t2 / tt)
+           ), 6) AS chi2,
+           count(*) - 1 AS dof
+    FROM tab, tot
+"""
+
+ORACLE_SQL["q_psi"] = """
+    WITH ref AS (
+        SELECT quantile_disc(o_totalprice, 0.1) AS _e1,
+               quantile_disc(o_totalprice, 0.2) AS _e2,
+               quantile_disc(o_totalprice, 0.3) AS _e3,
+               quantile_disc(o_totalprice, 0.4) AS _e4,
+               quantile_disc(o_totalprice, 0.5) AS _e5,
+               quantile_disc(o_totalprice, 0.6) AS _e6,
+               quantile_disc(o_totalprice, 0.7) AS _e7,
+               quantile_disc(o_totalprice, 0.8) AS _e8,
+               quantile_disc(o_totalprice, 0.9) AS _e9
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    binned AS (
+        SELECT (o_orderstatus = 'F') AS is_a,
+               CAST(o_totalprice > _e1 AS INT) + CAST(o_totalprice > _e2 AS INT)
+             + CAST(o_totalprice > _e3 AS INT) + CAST(o_totalprice > _e4 AS INT)
+             + CAST(o_totalprice > _e5 AS INT) + CAST(o_totalprice > _e6 AS INT)
+             + CAST(o_totalprice > _e7 AS INT) + CAST(o_totalprice > _e8 AS INT)
+             + CAST(o_totalprice > _e9 AS INT) AS bin
+        FROM orders, ref WHERE o_orderstatus IN ('F', 'O')
+    ),
+    per_bin AS (
+        SELECT bin,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per_bin)
+    SELECT round(sum(
+               (CAST(na AS DOUBLE)/ta - CAST(nb AS DOUBLE)/tb)
+               * ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb))
+           ), 6) AS psi,
+           count(*) AS n_bins
+    FROM per_bin, tot
+"""

@@ -243,6 +243,8 @@ SHUFFLE_BUDGET = {
     "q_benford": 3,             # digit agg + single-row total + share projection
     "q_zipf_slope": 2,          # token agg + small-vocab rank/regression
     "q_ks_test": 2,             # global range-sort + scalar aggregate
+    "q_chi_square": 6,          # median scalar + contingency agg + margins + final
+    "q_psi": 6,                 # decile-edge agg + bin agg + margins + final
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

@@ -169,6 +169,7 @@ HEADLINE = [
     "q_ks_test",
     "q_chi_square",
     "q_psi",
+    "q_incremental_join",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -318,6 +319,7 @@ QUIET_HOST_REF_SEC = {
     "q_ks_test": 0.5,
     "q_chi_square": 0.71,
     "q_psi": 1.72,
+    "q_incremental_join": 0.76,
 }
 
 def main() -> None:

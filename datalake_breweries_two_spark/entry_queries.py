@@ -6561,3 +6561,54 @@ ORACLE_SQL["q_psi"] = """
            count(*) AS n_bins
     FROM per_bin, tot
 """
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-join half of IVM
+    (q_incremental_agg covers the aggregate half). A materialized
+    orders⋈customer view is maintained under an orders delta batch
+    (10% churn: upserts by orderkey): new-view rows = Δorders ⋈ customer
+    only — the base FACT table is never re-joined or re-scanned; the
+    merge anti-joins the (tiny) delta key set against the base VIEW and
+    unions the freshly joined delta rows. At 100 TB the daily cost is
+    O(churn ⋈ dims), not O(facts ⋈ dims) — the reference recomputes its
+    whole gold join daily (``plugins/brewery_operators.py:196,328``).
+    Result provably identical to the full-recompute oracle."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    base_orders = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta_orders = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def join_view(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        ).select(
+            "o_orderkey", "o_totalprice", "c_mktsegment", "c_nationkey"
+        )
+
+    base_view = join_view(base_orders)          # the materialized view
+    delta_view = join_view(delta_orders)        # Δ ⋈ dims only
+    delta_keys = delta_orders.select("o_orderkey")
+    maintained = base_view.join(
+        delta_keys, "o_orderkey", "left_anti"
+    ).unionByName(delta_view)
+    return maintained.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+QUERIES["q_incremental_join"] = q_incremental_join
+
+# full-recompute oracle: the maintained view must equal joining ALL orders
+ORACLE_SQL["q_incremental_join"] = """
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, c_nationkey
+"""

@@ -245,6 +245,7 @@ SHUFFLE_BUDGET = {
     "q_ks_test": 2,             # global range-sort + scalar aggregate
     "q_chi_square": 6,          # median scalar + contingency agg + margins + final
     "q_psi": 6,                 # decile-edge agg + bin agg + margins + final
+    "q_incremental_join": 1,    # anti+union are broadcast/narrow; one final agg
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

@@ -170,6 +170,9 @@ HEADLINE = [
     "q_chi_square",
     "q_psi",
     "q_incremental_join",
+    "q_dedup_keep_latest",
+    "q_top_percent",
+    "q_sequence_gaps",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -320,6 +323,9 @@ QUIET_HOST_REF_SEC = {
     "q_chi_square": 0.71,
     "q_psi": 1.72,
     "q_incremental_join": 0.76,
+    "q_dedup_keep_latest": 0.32,
+    "q_top_percent": 0.75,
+    "q_sequence_gaps": 0.5,
 }
 
 def main() -> None:

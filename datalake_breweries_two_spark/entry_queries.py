@@ -6612,3 +6612,124 @@ ORACLE_SQL["q_incremental_join"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment, c_nationkey
 """
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup — the production survivorship variant of
+    q_dedup_exact (which keeps the stable minimum): one row per
+    (user, event_type), the row with the greatest event time, max
+    event_id breaking exact-time ties. max_by over a (ts, id, payload)
+    struct: ONE partial-aggregated groupBy, no window sort — at 100 TB
+    this shuffles one struct per surviving key, not the raw stream."""
+    from datalake_breweries_two_spark.catalog import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    picked = ev.groupBy("user_id", "event_type").agg(
+        F.max(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+        ).alias("_last")
+    )
+    return picked.select(
+        "user_id",
+        "event_type",
+        F.col("_last.event_id").alias("event_id"),
+        F.col("_last.ts").alias("ts"),
+        F.col("_last.value").alias("value"),
+    )
+
+
+def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5%-by-value orders per market segment via cume_dist — the
+    percentile-threshold filter (distinct from fixed-k q_topk_per_group).
+    cume_dist ties share a value, so the cut is deterministic regardless
+    of partitioning; one segment-keyed window exchange; summary aggregate
+    keeps the output bounded."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
+    top = j.withColumn("_cd", F.cume_dist().over(w)).filter(F.col("_cd") <= 0.05)
+    return top.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("top_revenue"),
+        F.min("o_totalprice").alias("threshold_value"),
+    )
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection in a dense key sequence — the completeness check for
+    ingest pipelines (missing orderkey ranges = lost batches). lag over
+    the ordered DISTINCT keys; rows where the step exceeds 1 report each
+    missing range as [gap_start, gap_end]. The only exchange is the
+    range-sort of the deduped key column (not the payload); a synthetic
+    10%-deletion makes the check non-vacuous on the clean testdata."""
+    from pyspark.sql import Window
+
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 != 3)  # synth deletions
+        .select("o_orderkey")
+        .distinct()
+    )
+    w = Window.orderBy("o_orderkey")
+    stepped = keys.select(
+        F.col("o_orderkey"),
+        F.lag("o_orderkey").over(w).alias("_prev"),
+    ).filter(
+        F.col("_prev").isNotNull() & (F.col("o_orderkey") - F.col("_prev") > 1)
+    )
+    return stepped.select(
+        (F.col("_prev") + 1).alias("gap_start"),
+        (F.col("o_orderkey") - 1).alias("gap_end"),
+        (F.col("o_orderkey") - F.col("_prev") - 1).alias("n_missing"),
+    )
+
+
+QUERIES["q_dedup_keep_latest"] = q_dedup_keep_latest
+QUERIES["q_top_percent"] = q_top_percent
+QUERIES["q_sequence_gaps"] = q_sequence_gaps
+
+ORACLE_SQL["q_dedup_keep_latest"] = """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+ORACLE_SQL["q_top_percent"] = """
+    WITH ranked AS (
+        SELECT c_mktsegment, o_totalprice,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice DESC) AS _cd
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_top,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS top_revenue,
+           min(o_totalprice) AS threshold_value
+    FROM ranked WHERE _cd <= 0.05
+    GROUP BY c_mktsegment
+"""
+
+ORACLE_SQL["q_sequence_gaps"] = """
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    stepped AS (
+        SELECT o_orderkey,
+               lag(o_orderkey) OVER (ORDER BY o_orderkey) AS _prev
+        FROM keys
+    )
+    SELECT _prev + 1 AS gap_start,
+           o_orderkey - 1 AS gap_end,
+           o_orderkey - _prev - 1 AS n_missing
+    FROM stepped
+    WHERE _prev IS NOT NULL AND o_orderkey - _prev > 1
+"""

@@ -173,6 +173,8 @@ HEADLINE = [
     "q_dedup_keep_latest",
     "q_top_percent",
     "q_sequence_gaps",
+    "q_listagg",
+    "q_histogram_2d",
 ]
 
 # Best time ever observed per query on a QUIET host (r03 driver bench +
@@ -326,6 +328,8 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_keep_latest": 0.32,
     "q_top_percent": 0.75,
     "q_sequence_gaps": 0.5,
+    "q_listagg": 0.49,
+    "q_histogram_2d": 0.32,
 }
 
 def main() -> None:

@@ -6733,3 +6733,66 @@ ORACLE_SQL["q_sequence_gaps"] = """
     FROM stepped
     WHERE _prev IS NOT NULL AND o_orderkey - _prev > 1
 """
+
+
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    aggregation — the denormalized-export shape (one row per nation,
+    its market segments concatenated deterministically). The WITHIN
+    GROUP order is total (segment names are distinct per group after
+    the DISTINCT), so the string is reproducible across partitionings
+    and engines."""
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_mktsegment").distinct()
+    j.createOrReplaceTempView("nation_segments_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(c_mktsegment, ',')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_segments
+        FROM nation_segments_v
+        GROUP BY n_name
+        """
+    )
+
+
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heat-map counts) of order value x order month —
+    equi-width integer binning on both axes via floor arithmetic (exact
+    ints end to end, no FP boundary anywhere), one grouped count. The
+    BI heat-map shape; at 100 TB it is a single partial-aggregated
+    pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("value_bin"),
+            F.month("o_orderdate").cast("long").alias("month_bin"),
+        )
+        .groupBy("value_bin", "month_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+QUERIES["q_listagg"] = q_listagg
+QUERIES["q_histogram_2d"] = q_histogram_2d
+
+ORACLE_SQL["q_listagg"] = """
+    SELECT n_name,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           count(*) AS n_segments
+    FROM (SELECT DISTINCT n_name, c_mktsegment
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    GROUP BY n_name
+"""
+
+ORACLE_SQL["q_histogram_2d"] = """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS value_bin,
+           CAST(month(o_orderdate) AS BIGINT) AS month_bin,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+"""

@@ -249,6 +249,8 @@ SHUFFLE_BUDGET = {
     "q_dedup_keep_latest": 1,   # one partial-agg max_by groupBy, no window
     "q_top_percent": 1,         # one segment-keyed cume_dist window + agg
     "q_sequence_gaps": 2,       # key distinct + global range-sort lag
+    "q_listagg": 2,             # distinct pair agg + ordered string agg
+    "q_histogram_2d": 1,        # one partial-aggregated 2D bin count
     # ---- r4: budgets frozen for every remaining bench headline query,
     # at each plan's audited round-3 shuffle count (VERDICT r3 found no
     # scale-killer among them) — the table now covers the full headline set.

@@ -47,25 +47,74 @@ def _driver_checked() -> set[str]:
     return seen
 
 
+# Rows-only queries (no DuckDB-expressible oracle by contract) that must
+# reach the driver's bounded per-round prefix: with >50 oracle-backed
+# entries still unchecked, a plain oracle-first sort would starve these
+# forever. They are interleaved INSIDE the first ~50 so each finally gets
+# a recorded `spark_rows` run (`err: no_oracle` is the expected result).
+_ROWS_ONLY_INTERLEAVE = [
+    "q_dedup_near",
+    "q_dedup_near_verified",
+    "q_simhash",
+    "q_ivf_search",
+    "q_cosine_topk_lsh",
+    "q_embedding_near_dup",
+    "q_media_features",
+    "q_streaming_sessionize",
+]
+
+_DRIVER_PREFIX = 50  # the driver snapshots roughly this many per round
+
+# Oracle-backed queries the round-4 verdict calls out by name as the
+# round-5 verification bar — fronted within the unchecked-oracle bucket
+# so they land in the prefix even if the driver snapshots fewer than
+# _DRIVER_PREFIX entries this round.
+_ORACLE_PRIORITY = [
+    "q_sql_tpch_q2", "q_sql_tpch_q4", "q_sql_tpch_q9", "q_sql_tpch_q11",
+    "q_sql_tpch_q12", "q_sql_tpch_q16", "q_sql_tpch_q20", "q_sql_tpch_q21",
+    "q_corr_matrix", "q_linreg_by_group", "q_spearman_corr", "q_mad",
+    "q_gini", "q_benford", "q_zipf_slope", "q_ks_test", "q_chi_square",
+    "q_psi", "q_event_transitions", "q_percent_of_total",
+    "q_dq_audit", "q_streaming_dau", "q_python_datasource",
+    "q_python_datasource_stream", "q_geo_radius_pairs",
+    "q_rolling_active_users",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so not-yet-driver-verified queries come first (oracle-backed
-    ones ahead of rows-only ones), then previously-verified ones in
-    registry order — a stable rotation that converges to full driver
-    coverage across rounds without dropping any entry.
+    Ordered so not-yet-driver-verified queries come first — oracle-backed
+    ones ahead, with a bounded set of priority rows-only entries
+    interleaved inside the ~50-query driver prefix so they are not
+    starved — then previously-verified ones in registry order. A stable
+    rotation that converges to full driver coverage across rounds
+    without dropping any entry.
     """
     registry = dict(entry_queries.QUERIES)
     try:
         checked = _driver_checked()
         oracles = entry_queries.ORACLE_SQL
 
-        def bucket(name: str) -> int:
-            if name not in checked:
-                return 0 if name in oracles else 1
-            return 2
-
-        ordered = sorted(registry, key=bucket)  # stable: keeps registry order per bucket
+        unchecked_oracle = [
+            q for q in registry if q not in checked and q in oracles
+        ]
+        rank = {q: i for i, q in enumerate(_ORACLE_PRIORITY)}
+        unchecked_oracle.sort(key=lambda q: rank.get(q, len(rank)))  # stable
+        rows_priority = [
+            q
+            for q in _ROWS_ONLY_INTERLEAVE
+            if q in registry and q not in checked and q not in oracles
+        ]
+        head = unchecked_oracle[: max(0, _DRIVER_PREFIX - len(rows_priority))]
+        placed = set(head) | set(rows_priority)
+        tail_unchecked = sorted(
+            (q for q in registry if q not in checked and q not in placed),
+            key=lambda q: 0 if q in oracles else 1,
+        )  # stable: oracle-backed leftovers first, rows-only after
+        tail_checked = [q for q in registry if q in checked and q not in placed]
+        ordered = head + rows_priority + tail_unchecked + tail_checked
+        assert set(ordered) == set(registry) and len(ordered) == len(registry)
         return {name: registry[name] for name in ordered}
     except Exception:
         return registry

@@ -373,10 +373,17 @@ def main() -> None:
     # host.
     ALWAYS_3 = {"q_dedup_clusters", "q_pagerank", "q_streaming_upsert"}
     STALL_RETRIES = 2
-    retry_budget = 60  # total extra runs allowed across the suite
+    retry_budget = 90  # total extra runs allowed across the suite
 
     def _stalled(name: str, sec: float) -> bool:
         ref = QUIET_HOST_REF_SEC.get(name, 0.3)
+        if ref < 1.0:
+            # Sub-second entries: a 0.2 s host stall already doubles the
+            # reading (r4: a 0.19 s query reported 0.39 s = 2.05x its
+            # baseline without ever tripping the old 2x+0.4 rule), so
+            # retry well BEFORE the 2x weak threshold — retries here cost
+            # fractions of a second.
+            return sec > max(1.6 * ref, ref + 0.08)
         return sec > 2.0 * ref + 0.4
 
     timings: dict[str, float] = {}

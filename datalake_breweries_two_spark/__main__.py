@@ -27,12 +27,23 @@ def _build_session(app_name: str):
     """Returns (session, owns_it): the CLI must stop only sessions IT
     created — under an embedding process (tests, a notebook) getOrCreate
     returns the host's live session, and stopping that would kill the
-    host's JVM mid-run."""
+    host's JVM mid-run. getActiveSession() alone is thread-local (a host
+    session created on another thread would read as absent), so ownership
+    is decided by checking the process-global default session too and by
+    identity: we own the session only if NO session object existed
+    beforehand in either slot."""
     from pyspark.sql import SparkSession
 
     from datalake_breweries_two_spark.session import build_session
 
-    preexisting = SparkSession.getActiveSession() is not None
+    preexisting = (
+        SparkSession.getActiveSession() is not None
+        # PySpark's process-global slot (the JVM default session's Python
+        # mirror) has no public accessor; read it defensively so a
+        # pyspark rename degrades to the thread-local check, never to a
+        # crash.
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
     return build_session(app_name=app_name), not preexisting
 
 

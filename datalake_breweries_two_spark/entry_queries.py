@@ -5197,15 +5197,17 @@ ORACLE_SQL["q_dq_audit"] = """
           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
     UNION ALL
     SELECT 'orders_totalprice_positive',
-           sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END),
-           sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+           coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END), 0),
+           coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'lineitem_discount_range',
-           sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
-                    THEN 1 ELSE 0 END),
-           sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
-                    THEN 1 ELSE 0 END) = 0
+           coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
+                             THEN 1 ELSE 0 END), 0),
+           coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
+                             THEN 1 ELSE 0 END), 0) = 0
     FROM lineitem
 """
 
@@ -6464,7 +6466,9 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — the standard ML-monitoring drift score. Bins are the DECILE
     edges of the reference ('F') population via percentile_disc (actual
     data elements, bit-identical cross-engine); each population's bin
-    shares are exact-count divisions; PSI = Σ (pa-pb)·ln(pa/pb). Same
+    shares are exact-count divisions epsilon-floored at 1e-6 (a bin empty
+    in one population scores large-but-finite, never ±Infinity);
+    PSI = Σ (pa-pb)·ln(pa/pb). Same
     edge-comparison discipline as equi_depth_bins: a row's bin = count of
     edges strictly below its value, a pure projection against the
     broadcast edge row."""
@@ -6493,8 +6497,17 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = per_bin.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     j = per_bin.crossJoin(F.broadcast(totals))
-    pa = F.col("na").cast("double") / F.col("ta").cast("double")
-    pb = F.col("nb").cast("double") / F.col("tb").cast("double")
+    # Standard PSI practice: epsilon-floor each share so a bin with zero
+    # rows in one population yields a large-but-finite term instead of
+    # ±Infinity — the metric must stay usable exactly when drift is
+    # extreme. greatest() of an exact int division is bit-identical
+    # cross-engine, so the floor preserves oracle parity.
+    pa = F.greatest(
+        F.col("na").cast("double") / F.col("ta").cast("double"), F.lit(1e-6)
+    )
+    pb = F.greatest(
+        F.col("nb").cast("double") / F.col("tb").cast("double"), F.lit(1e-6)
+    )
     term = (pa - pb) * F.log(pa / pb)
     return j.agg(
         F.round(F.sum(term), 6).alias("psi"),
@@ -6555,8 +6568,10 @@ ORACLE_SQL["q_psi"] = """
     ),
     tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per_bin)
     SELECT round(sum(
-               (CAST(na AS DOUBLE)/ta - CAST(nb AS DOUBLE)/tb)
-               * ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb))
+               (greatest(CAST(na AS DOUBLE)/ta, 1e-6)
+                  - greatest(CAST(nb AS DOUBLE)/tb, 1e-6))
+               * ln(greatest(CAST(na AS DOUBLE)/ta, 1e-6)
+                      / greatest(CAST(nb AS DOUBLE)/tb, 1e-6))
            ), 6) AS psi,
            count(*) AS n_bins
     FROM per_bin, tot

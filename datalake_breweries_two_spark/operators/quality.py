@@ -160,8 +160,9 @@ def predicate_violation_count(df: DataFrame, violation: "F.Column") -> DataFrame
     partial map-side, one row out; NULL predicate results (NULL operands)
     count as violations, matching the audit stance that unknown = broken."""
     return df.agg(
-        F.sum(
-            F.when(F.coalesce(violation, F.lit(True)), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.coalesce(violation, F.lit(True)), 1).otherwise(0)),
+            F.lit(0),
         ).cast("long").alias("n_violations")
     )
 

@@ -27,6 +27,7 @@ shuffle-budget tests check, so advisor warnings and CI failures agree.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -56,6 +57,26 @@ class PlanAuditError(AssertionError):
 
 def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# A line whose NODE NAME is the bare `Exchange` operator: optional
+# tree-drawing prefix (+- :  *(3) …) then the word. Anchoring at the
+# node-name position excludes BroadcastExchange, ReusedExchange, and the
+# trailing ", Exchange hashpartitioning(...)" description a ReusedExchange
+# line carries about the node it reuses.
+_EXCHANGE_NODE = re.compile(r"^[\s+\-:*()0-9]*Exchange(?![A-Za-z])")
+
+
+def count_wide_exchanges(plan: str) -> int:
+    """Number of true shuffle-exchange nodes in a physical-plan string.
+
+    Counts lines whose node name is the bare ``Exchange`` operator only —
+    ``BroadcastExchange`` and ``ReusedExchange`` (including the reused
+    exchange's description re-printed on the reuse line) are excluded,
+    since a reuse node re-reads an exchange already paid for and is not
+    an extra shuffle of the data.
+    """
+    return sum(1 for line in plan.splitlines() if _EXCHANGE_NODE.match(line))
 
 
 def audit_plan(
@@ -97,7 +118,7 @@ def audit_plan(
             )
         )
 
-    wide = plan.count("Exchange") - plan.count("BroadcastExchange")
+    wide = count_wide_exchanges(plan)
     if max_wide_exchanges is not None and wide > max_wide_exchanges:
         findings.append(
             Finding(

@@ -2351,3 +2351,110 @@ def test_asof_forward_bruteforce_with_equal_ts(spark):
     assert got[2] == (900, 1.0)   # equal-ts inclusive, tie -> lowest id
     assert got[3] == (None, None)
     assert got[5] == (None, None)
+
+
+def test_resample_ffill_same_second_tiebreak(spark):
+    """The documented granularity invariant (operators/timeseries.py):
+    the per-slot survivor key is (epoch SECOND, tie id), so two events in
+    the same second resolve by tie_col alone — the higher id wins even if
+    a sub-second clock would have ordered them the other way."""
+    import datetime as dt
+
+    from datalake_breweries_two_spark.operators.timeseries import resample_ffill
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1, one slot (same day): ids 10 and 11 in the SAME second —
+        # id 11 must survive regardless of microsecond order.
+        (1, base + dt.timedelta(microseconds=900_000), 11, 7.0),
+        (1, base + dt.timedelta(microseconds=100_000), 10, 5.0),
+        # user 1, next day: a later second beats a higher id in an
+        # earlier second (seconds dominate the composite key).
+        (1, base + dt.timedelta(days=1, seconds=30), 12, 9.0),
+        (1, base + dt.timedelta(days=1, seconds=10), 99, 1.0),
+        # user 2: single event, then a gap day to exercise ffill.
+        (2, base, 20, 3.0),
+        (2, base + dt.timedelta(days=2), 21, 4.0),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = resample_ffill(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id", step="1 day",
+    )
+    got = {
+        (r["user_id"], r["slot"].date().isoformat()): r["value_ffill"]
+        for r in out.collect()
+    }
+    assert got[(1, "2024-03-01")] == 7.0  # same-second tie -> id 11
+    assert got[(1, "2024-03-02")] == 9.0  # latest second wins, not max id
+    assert got[(2, "2024-03-01")] == 3.0
+    assert got[(2, "2024-03-02")] == 3.0  # forward-filled gap day
+    assert got[(2, "2024-03-03")] == 4.0
+
+
+def test_count_wide_exchanges_excludes_broadcast_and_reuse():
+    """The shuffle counter must count bare Exchange nodes only:
+    BroadcastExchange and ReusedExchange (including reused broadcasts)
+    are not extra shuffles of the data."""
+    from datalake_breweries_two_spark.plans.advisor import count_wide_exchanges
+
+    plan = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- HashAggregate",
+        "   +- Exchange hashpartitioning(k#1, 32)",
+        "      +- BroadcastHashJoin",
+        "         :- BroadcastExchange HashedRelationBroadcastMode",
+        "         +- ReusedExchange [k#1], Exchange hashpartitioning(k#1, 32)",
+    ])
+    # one real shuffle; the ReusedExchange line also re-prints the reused
+    # Exchange's description, but neither token is a new shuffle node
+    assert count_wide_exchanges(plan) == 1
+    assert count_wide_exchanges("Exchange rangepartitioning(a#1 ASC, 32)") == 1
+    assert count_wide_exchanges("+- BroadcastExchange IdentityBroadcastMode") == 0
+
+
+def test_object_store_conf_round_trips_through_live_session(
+    spark, tmp_path, monkeypatch
+):
+    """The s3a profile must round-trip through a LIVE session: every key
+    is a `spark.hadoop.`-prefixed hadoop-aws key, settable and readable on
+    the running JVM's Hadoop Configuration (the exact surface the s3a
+    filesystem reads), and — with the magic committer gated off — the
+    profile leaves local file: writes fully functional. This pins the
+    working MinIO shape the reference hard-wires
+    (`plugins/brewery_operators.py:241-242`) without needing a live
+    bucket in the sandbox."""
+    from datalake_breweries_two_spark.session import object_store_conf
+
+    monkeypatch.delenv("SPARK_GRAFT_S3_MAGIC_COMMITTER", raising=False)
+    conf = object_store_conf(
+        endpoint="http://minio:9000", access_key="ak", secret_key="sk"
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prefix = "spark.hadoop."
+    originals = {}
+    try:
+        for k, v in conf.items():
+            assert k.startswith(prefix), f"non-hadoop key in s3a profile: {k}"
+            hk = k[len(prefix):]
+            originals[hk] = hconf.get(hk)
+            hconf.set(hk, v)
+        # read-back from the live JVM configuration, key for key
+        assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
+        assert hconf.get("fs.s3a.path.style.access") == "true"
+        assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"
+        assert hconf.get("fs.s3a.fast.upload") == "true"
+        assert hconf.get("fs.s3a.connection.maximum") == "96"
+        assert hconf.get("fs.s3a.access.key") == "ak"
+        assert hconf.get("fs.s3a.secret.key") == "sk"
+        # committer gated off: the profile must not hijack the global
+        # commit protocol, so a local write under the profile still works
+        dst = str(tmp_path / "local_write_under_s3a_profile")
+        spark.range(10).write.parquet(dst)
+        assert spark.read.parquet(dst).count() == 10
+    finally:
+        for hk, old in originals.items():
+            if old is None:
+                hconf.unset(hk)
+            else:
+                hconf.set(hk, old)

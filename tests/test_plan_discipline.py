@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from datalake_breweries_two_spark import entry_queries
 from datalake_breweries_two_spark.catalog import load_table
+from datalake_breweries_two_spark.plans.advisor import count_wide_exchanges
 
 from .conftest import SF_SMOKE
 
@@ -339,7 +340,7 @@ def test_budget_covers_every_headline_query():
 def test_wide_shuffle_budget(spark, name):
     df = entry_queries.QUERIES[name](spark, SF_SMOKE)
     plan = _plan(df)
-    wide = plan.count("Exchange") - plan.count("BroadcastExchange")
+    wide = count_wide_exchanges(plan)
     assert wide <= SHUFFLE_BUDGET[name], (
         f"{name}: {wide} wide exchanges (budget {SHUFFLE_BUDGET[name]}) — "
         "a broadcast or partial-agg was lost"

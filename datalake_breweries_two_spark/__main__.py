@@ -10,6 +10,9 @@ operational verbs directly:
   run-medallion --bronze-dir D --base-dir B
                                     execute bronze→silver→gate→gold
   audit-query NAME [--sf-dir DIR]   plan-advisor findings for a query
+  audit [--repo-dir DIR]            coverage table: registry × driver
+                                    CORRECTNESS evidence, regenerated
+                                    from the artifacts on disk
 
 Scheduling stays external by design (cron/Airflow/dbt invoke this CLI):
 one engine process per run, one shared SparkSession inside it — NOT the
@@ -102,6 +105,76 @@ def cmd_audit_query(args: argparse.Namespace) -> int:
     return 1 if any(f.severity == "error" for f in findings) else 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Regenerate the coverage-accounting table from the artifacts: for
+    every registry query, its oracle kind and its hard driver-verification
+    status derived from the CORRECTNESS_r{N}.json snapshots on disk —
+    never hand-kept, so the table cannot drift from the evidence."""
+    import glob
+    import os
+    import re
+
+    from datalake_breweries_two_spark import entry_queries
+
+    best: dict[str, tuple[int, int]] = {}  # name -> (status_rank, round)
+    # status ranks: 2 = full oracle pass, 1 = rows-only run, 0 = failure
+    for path in sorted(glob.glob(os.path.join(args.repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
+        try:
+            with open(path) as f:
+                snap = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(snap, dict):
+            continue
+        for name, res in snap.items():
+            if not isinstance(res, dict):
+                continue
+            if res.get("err") == "no_oracle":
+                rank = 1
+            elif res.get("err"):
+                rank = 0
+            elif (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ):
+                rank = 2
+            else:
+                rank = 0
+            prev = best.get(name)
+            # keep the FIRST round a status was earned; upgrade on better rank
+            if prev is None or rank > prev[0]:
+                best[name] = (rank, rnd)
+
+    oracles = set(entry_queries.ORACLE_SQL)
+    label = {2: "pass", 1: "ran", 0: "FAIL"}
+    counts = {"pass": 0, "ran": 0, "FAIL": 0, "local": 0}
+    print("| query | oracle | driver status |")
+    print("|---|---|---|")
+    for name in entry_queries.QUERIES:
+        kind = "duckdb" if name in oracles else "rows-only"
+        if name in best:
+            rank, rnd = best[name]
+            status = f"{label[rank]}-r{rnd}"
+            counts[label[rank]] += 1
+        else:
+            status = "local"
+            counts["local"] += 1
+        print(f"| {name} | {kind} | {status} |")
+    summary = {
+        "registry": len(entry_queries.QUERIES),
+        "with_oracle": len(oracles),
+        "driver_pass": counts["pass"],
+        "driver_rows_only_run": counts["ran"],
+        "driver_fail": counts["FAIL"],
+        "local_only": counts["local"],
+    }
+    print(json.dumps(summary, sort_keys=True), file=sys.stderr)
+    return 1 if counts["FAIL"] else 0
+
+
 def cmd_run_medallion(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -157,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("name")
     aq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     aq.set_defaults(fn=cmd_audit_query)
+
+    au = sub.add_parser("audit")
+    au.add_argument("--repo-dir", default="/root/repo")
+    au.set_defaults(fn=cmd_audit)
 
     rm = sub.add_parser("run-medallion")
     rm.add_argument("--bronze-dir", required=True)

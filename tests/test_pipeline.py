@@ -284,3 +284,30 @@ def test_bench_reference_covers_headline():
     assert not missing, f"headline queries without a quiet-host ref: {missing}"
     stale = [n for n in bench.QUIET_HOST_REF_SEC if n not in bench.HEADLINE]
     assert not stale, f"refs for queries no longer in headline: {stale}"
+
+
+def test_cli_audit_accounting_matches_artifacts(capsys):
+    """The `audit` verb must enumerate the registry exactly once, derive
+    statuses only from CORRECTNESS_r*.json evidence, and exit 0 while no
+    driver failure exists on disk."""
+    import json as _json
+
+    from datalake_breweries_two_spark.__main__ import main
+
+    rc = main(["audit", "--repo-dir", os.path.join(os.path.dirname(__file__), "..")])
+    out = capsys.readouterr()
+    assert rc == 0
+    rows = [l for l in out.out.splitlines() if l.startswith("| q_")]
+    import __spark_entry__ as e
+
+    assert len(rows) == len(e.queries())
+    summary = _json.loads(out.err.strip().splitlines()[-1])
+    assert summary["registry"] == len(e.queries())
+    assert summary["with_oracle"] == len(e.oracle_sql())
+    assert summary["driver_fail"] == 0
+    assert (
+        summary["driver_pass"]
+        + summary["driver_rows_only_run"]
+        + summary["local_only"]
+        == summary["registry"]
+    )

@@ -5301,8 +5301,11 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         F.col("_rev").cast("double").alias("revenue"),
+        # try_divide: a region whose revenue sums to zero has no defined
+        # shares — NULL on both engines (Spark ANSI would otherwise throw
+        # DIVIDE_BY_ZERO on the decimal division; DuckDB yields NULL).
         F.round(
-            (F.col("_rev") / F.sum("_rev").over(w)).cast("double"), 6
+            F.try_divide(F.col("_rev"), F.sum("_rev").over(w)).cast("double"), 6
         ).alias("region_share"),
     )
 
@@ -6196,8 +6199,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
     n = F.col("n_orders").cast("double")
+    # try_divide: a group whose values sum to zero has no defined
+    # concentration — NULL on both engines (Spark ANSI would otherwise
+    # throw DIVIDE_BY_ZERO even for doubles; DuckDB yields NULL).
     gini = (
-        2.0 * F.col("_ix").cast("double") / (n * F.col("_sx").cast("double"))
+        F.try_divide(
+            2.0 * F.col("_ix").cast("double"), n * F.col("_sx").cast("double")
+        )
         - (n + 1.0) / n
     )
     return agg.select(
@@ -6361,12 +6369,19 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w).alias("ca"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).over(w).alias("cb"),
     )
+    # try_divide: if one population is absent (n=0) its CDF is undefined —
+    # the statistic degrades to NULL on both engines rather than Spark
+    # throwing ANSI DIVIDE_BY_ZERO while DuckDB yields NULL.
     return cum.crossJoin(F.broadcast(counts)).agg(
         F.round(
             F.max(
                 F.abs(
-                    F.col("ca").cast("double") / F.col("n_a").cast("double")
-                    - F.col("cb").cast("double") / F.col("n_b").cast("double")
+                    F.try_divide(
+                        F.col("ca").cast("double"), F.col("n_a").cast("double")
+                    )
+                    - F.try_divide(
+                        F.col("cb").cast("double"), F.col("n_b").cast("double")
+                    )
                 )
             ),
             6,
@@ -6452,9 +6467,14 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o1") + F.col("o2")).alias("tt"),
     )
     j = table.crossJoin(F.broadcast(totals))
+    # try_divide: a zero expected count (one time-half empty, e.g. a
+    # single-event table) NULLs that cell on both engines — Spark ANSI
+    # would otherwise throw DIVIDE_BY_ZERO where DuckDB yields NULL.
     e1 = (F.col("o1") + F.col("o2")) * F.col("t1") / F.col("tt")
     e2 = (F.col("o1") + F.col("o2")) * F.col("t2") / F.col("tt")
-    cell = (F.col("o1") - e1) ** 2 / e1 + (F.col("o2") - e2) ** 2 / e2
+    cell = F.try_divide((F.col("o1") - e1) ** 2, e1) + F.try_divide(
+        (F.col("o2") - e2) ** 2, e2
+    )
     return j.agg(
         F.round(F.sum(cell), 6).alias("chi2"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
@@ -6502,11 +6522,16 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ±Infinity — the metric must stay usable exactly when drift is
     # extreme. greatest() of an exact int division is bit-identical
     # cross-engine, so the floor preserves oracle parity.
+    # try_divide: an entirely-absent population (t=0) yields NULL shares,
+    # which greatest() ignores on BOTH engines — so each bin floors to
+    # 1e-6 instead of Spark throwing ANSI DIVIDE_BY_ZERO.
     pa = F.greatest(
-        F.col("na").cast("double") / F.col("ta").cast("double"), F.lit(1e-6)
+        F.try_divide(F.col("na").cast("double"), F.col("ta").cast("double")),
+        F.lit(1e-6),
     )
     pb = F.greatest(
-        F.col("nb").cast("double") / F.col("tb").cast("double"), F.lit(1e-6)
+        F.try_divide(F.col("nb").cast("double"), F.col("tb").cast("double")),
+        F.lit(1e-6),
     )
     term = (pa - pb) * F.log(pa / pb)
     return j.agg(

@@ -271,7 +271,7 @@ def events_ts_layout(path: str, sample: int | None = None) -> str:
         if not files:
             return "native"
     if sample is not None and len(files) > sample:
-        step = (len(files) - 1) / (sample - 1)
+        step = (len(files) - 1) / max(1, sample - 1)
         files = [files[i] for i in sorted({round(k * step) for k in range(sample)})]
     layouts = {f: _ts_layout_of_file(f) for f in files}
     distinct = set(layouts.values())

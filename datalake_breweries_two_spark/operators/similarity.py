@@ -27,13 +27,17 @@ from datalake_breweries_two_spark.operators.semistructured import dot_product, v
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (
+    # try_divide: an all-zero vector has no direction, so its cosine with
+    # anything is NULL (matching DuckDB's x/0 -> NULL) rather than Spark
+    # ANSI throwing DIVIDE_BY_ZERO; similarity filters then drop the pair.
+    return F.try_divide(
+        dot_product(a, b),
         F.sqrt(
             F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
         )
         * F.sqrt(
             F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-        )
+        ),
     )
 
 

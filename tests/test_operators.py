@@ -2458,3 +2458,26 @@ def test_object_store_conf_round_trips_through_live_session(
                 hconf.unset(hk)
             else:
                 hconf.set(hk, old)
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """An all-zero embedding has no direction: its cosine must be NULL
+    (DuckDB's x/0 semantics) and sink below every real score in the
+    top-k, not throw ANSI DIVIDE_BY_ZERO."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # zero vector
+        (3, [0.6, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = cosine_topk_bruteforce(emb, [1.0, 0.0], k=3).collect()
+    by_id = {r["vec_id"]: r["cosine"] for r in got}
+    assert by_id[1] == 1.0
+    assert by_id[2] is None            # NULL, not a crash / not Infinity
+    assert by_id[3] == 0.6
+    # NULLS LAST under desc on both engines: the zero vector ranks last
+    assert [r["vec_id"] for r in got] == [1, 3, 2]

@@ -135,8 +135,10 @@ def test_spark_entry_adapter_contract(spark):
     assert set(o) <= set(q), "oracle declared for unregistered query"
 
     # rotation ORDER: the driver snapshots a bounded prefix, so every
-    # not-yet-driver-checked oracle-backed query must sort before the
-    # rows-only ones, which sort before anything already checked
+    # not-yet-driver-checked query must sort before anything already
+    # checked, and the priority rows-only interleave must land INSIDE
+    # the prefix (so rows-only entries are not starved forever behind a
+    # >prefix-sized oracle-backed backlog)
     import glob
     import json
 
@@ -144,15 +146,24 @@ def test_spark_entry_adapter_contract(spark):
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         checked.update(json.load(open(path)))
 
-    def bucket(name: str) -> int:
-        if name not in checked:
-            return 0 if name in o else 1
-        return 2
-
-    buckets = [bucket(n) for n in q]
-    assert buckets == sorted(buckets), (
-        "rotation must front-load unchecked oracle-backed queries"
+    names = list(q)
+    unchecked_flags = [n not in checked for n in names]
+    assert unchecked_flags == sorted(unchecked_flags, reverse=True), (
+        "rotation must front-load ALL not-yet-driver-checked queries"
     )
+    prefix = names[: mod._DRIVER_PREFIX]
+    for rows_only_name in mod._ROWS_ONLY_INTERLEAVE:
+        if rows_only_name in checked or rows_only_name not in set(names):
+            continue
+        assert rows_only_name in prefix, (
+            f"{rows_only_name}: priority rows-only entry fell out of the "
+            "driver prefix"
+        )
+    # and the prefix never wastes a slot on an already-checked query
+    # while unchecked ones remain
+    n_unchecked = sum(unchecked_flags)
+    for name in prefix[: min(len(prefix), n_unchecked)]:
+        assert name not in checked
 
     flagship = mod.entry(spark)
     assert flagship.count() >= 0

@@ -407,17 +407,28 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per group: stddev/variance/corr/covar.
     Rounded to 4 decimals — the estimators are FP-order-sensitive, rounding
-    makes the result partition-count-independent in practice."""
+    makes the result partition-count-independent in practice. corr is
+    assembled from division-free co-moments via try_divide (identical
+    math) because Spark 4's corr THROWS ANSI DIVIDE_BY_ZERO on a
+    zero-variance group where DuckDB returns NULL — see
+    operators/aggregates.py corr_matrix."""
     li = _t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    corr_safe = F.try_divide(
+        F.regr_sxy(price, qty), F.sqrt(F.regr_sxx(price, qty) * F.regr_syy(price, qty))
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp(F.col("l_quantity")), 4).alias("sd_qty"),
         F.round(F.var_samp(F.col("l_discount")), 4).alias("var_disc"),
-        F.round(F.corr(F.col("l_quantity"), F.col("l_extendedprice")), 4).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.covar_samp(F.col("l_quantity"), F.col("l_extendedprice")), 4).alias(
-            "covar_qty_price"
-        ),
+        # + 0.0: negative-zero normalization for the signed estimators
+        # (see operators/aggregates.py corr_matrix)
+        (F.round(corr_safe, 4) + F.lit(0.0)).alias("corr_qty_price"),
+        (
+            F.round(
+                F.covar_samp(F.col("l_quantity"), F.col("l_extendedprice")), 4
+            )
+            + F.lit(0.0)
+        ).alias("covar_qty_price"),
     )
 
 
@@ -2284,8 +2295,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 4) AS sd_qty,
                round(var_samp(l_discount), 4) AS var_disc,
-               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+               round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qty_price
         FROM lineitem GROUP BY l_returnflag
     """,
     "q_percentiles": """
@@ -3665,7 +3676,7 @@ ORACLE_SQL["q_token_entropy"] = """
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_tokens,
            round(ln(sum(c)) - CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6)))
-                                   AS DOUBLE) / sum(c), 4) AS entropy_nats
+                                   AS DOUBLE) / sum(c), 4) + 0.0 AS entropy_nats
     FROM counts GROUP BY doc_id
 """
 
@@ -5156,17 +5167,17 @@ ORACLE_SQL["q_sql_tpch_q21"] = """
 ORACLE_SQL["q_corr_matrix"] = """
     SELECT l_returnflag,
            count(*) AS n_rows,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_l_quantity_l_extendedprice,
-           round(corr(l_extendedprice, l_discount), 4) AS corr_l_extendedprice_l_discount,
-           round(corr(l_quantity, l_discount), 4) AS corr_l_quantity_l_discount
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_l_quantity_l_extendedprice,
+           round(corr(l_extendedprice, l_discount), 4) + 0.0 AS corr_l_extendedprice_l_discount,
+           round(corr(l_quantity, l_discount), 4) + 0.0 AS corr_l_quantity_l_discount
     FROM lineitem
     GROUP BY l_returnflag
 """
 
 ORACLE_SQL["q_linreg_by_group"] = """
     SELECT c_mktsegment,
-           round(regr_slope(o_totalprice, c_acctbal), 4) AS slope,
-           round(regr_intercept(o_totalprice, c_acctbal), 4) AS intercept,
+           round(regr_slope(o_totalprice, c_acctbal), 4) + 0.0 AS slope,
+           round(regr_intercept(o_totalprice, c_acctbal), 4) + 0.0 AS intercept,
            regr_count(o_totalprice, c_acctbal) AS n_obs
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -5240,8 +5251,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.try_divide(
         F.regr_sxy(rx, ry), F.sqrt(F.regr_sxx(rx, ry) * F.regr_syy(rx, ry))
     )
+    # + 0.0: negative-zero normalization (see corr_matrix)
     return ranked.groupBy("l_returnflag").agg(
-        F.round(rho, 4).alias("spearman_qty_price"),
+        (F.round(rho, 4) + F.lit(0.0)).alias("spearman_qty_price"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
 
@@ -5325,7 +5337,7 @@ ORACLE_SQL["q_spearman_corr"] = """
     )
     SELECT l_returnflag,
            round(regr_sxy(rx, ry)
-                 / sqrt(regr_sxx(rx, ry) * regr_syy(rx, ry)), 4)
+                 / sqrt(regr_sxx(rx, ry) * regr_syy(rx, ry)), 4) + 0.0
                AS spearman_qty_price,
            count(*) AS n_rows
     FROM ranked
@@ -6208,8 +6220,10 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - (n + 1.0) / n
     )
+    # + 0.0: negative-zero normalization — a perfectly equal distribution's
+    # FP residual can round to -0.0 on DuckDB but 0.0 on Spark
     return agg.select(
-        "c_mktsegment", "n_orders", F.round(gini, 6).alias("gini")
+        "c_mktsegment", "n_orders", (F.round(gini, 6) + F.lit(0.0)).alias("gini")
     )
 
 
@@ -6285,7 +6299,7 @@ ORACLE_SQL["q_gini"] = """
            round(2.0 * CAST(_ix AS DOUBLE)
                      / (CAST(n_orders AS DOUBLE) * CAST(_sx AS DOUBLE))
                  - (CAST(n_orders AS DOUBLE) + 1.0) / CAST(n_orders AS DOUBLE),
-                 6) AS gini
+                 6) + 0.0 AS gini
     FROM agg
 """
 
@@ -6332,8 +6346,10 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_sxy(F.col("ln_freq"), F.col("ln_rank")),
         F.regr_sxx(F.col("ln_freq"), F.col("ln_rank")),
     )
+    # + 0.0: negative-zero normalization (see operators/aggregates.py
+    # corr_matrix) — a flat vocabulary's slope can round to -0.0
     return ranked.agg(
-        F.round(slope, 4).alias("zipf_slope"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("zipf_slope"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
     )
 
@@ -6406,7 +6422,7 @@ ORACLE_SQL["q_zipf_slope"] = """
                ln(CAST(n AS DOUBLE)) AS ln_freq
         FROM vocab
     )
-    SELECT round(regr_sxy(ln_freq, ln_rank) / regr_sxx(ln_freq, ln_rank), 4)
+    SELECT round(regr_sxy(ln_freq, ln_rank) / regr_sxx(ln_freq, ln_rank), 4) + 0.0
                AS zipf_slope,
            count(*) AS vocab_size
     FROM ranked

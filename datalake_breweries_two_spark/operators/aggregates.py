@@ -253,15 +253,22 @@ def corr_matrix(
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for x, y in pairs:
         aggs.append(
-            F.round(
-                F.try_divide(
-                    F.regr_sxy(F.col(y), F.col(x)),
-                    F.sqrt(
-                        F.regr_sxx(F.col(y), F.col(x))
-                        * F.regr_syy(F.col(y), F.col(x))
+            # + 0.0 normalizes IEEE negative zero: Spark's round (BigDecimal)
+            # never emits -0.0 but DuckDB's preserves the sign, so a
+            # near-zero negative correlation rounding to zero would
+            # hash-mismatch (-0.0 vs 0.0) without it
+            (
+                F.round(
+                    F.try_divide(
+                        F.regr_sxy(F.col(y), F.col(x)),
+                        F.sqrt(
+                            F.regr_sxx(F.col(y), F.col(x))
+                            * F.regr_syy(F.col(y), F.col(x))
+                        ),
                     ),
-                ),
-                4,
+                    4,
+                )
+                + F.lit(0.0)
             ).alias(f"corr_{x}_{y}")
         )
     return df.groupBy(group_col).agg(*aggs)
@@ -285,8 +292,10 @@ def linreg_by_group(
     y, x = F.col(y_col), F.col(x_col)
     slope = F.try_divide(F.regr_sxy(y, x), F.regr_sxx(y, x))
     intercept = F.regr_avgy(y, x) - slope * F.regr_avgx(y, x)
+    # + 0.0: negative-zero normalization (see corr_matrix) — a flat fit's
+    # slope can round to -0.0 on DuckDB but 0.0 on Spark
     return df.groupBy(group_col).agg(
-        F.round(slope, 4).alias("slope"),
-        F.round(intercept, 4).alias("intercept"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 4) + F.lit(0.0)).alias("intercept"),
         F.regr_count(y, x).cast("long").alias("n_obs"),
     )

@@ -471,7 +471,14 @@ def token_entropy(
     return per_doc.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
-        F.round(
-            F.log(F.col("n")) - F.col("sum_clnc").cast("double") / F.col("n"), 4
+        # + 0.0 normalizes IEEE negative zero: a single-token doc's H is
+        # ln(n) - n*ln(n)/n = 0 up to the 6dp component rounding, and the
+        # engines disagree on the SIGN of that rounded zero (-0.0 vs 0.0)
+        (
+            F.round(
+                F.log(F.col("n")) - F.col("sum_clnc").cast("double") / F.col("n"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("entropy_nats"),
     )

@@ -47,6 +47,8 @@ BATTERY = [
     "q_psi",
     "q_event_transitions",
     "q_percent_of_total",
+    "q_stats_agg",       # raw corr previously threw ANSI DIVIDE_BY_ZERO here
+    "q_token_entropy",   # single-token doc: the -0.0 vs 0.0 rounding case
 ]
 
 _TS = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -87,6 +89,8 @@ def edge_dir(tmp_path_factory):
         (3, "c3", 1, 1.0, "SINGLE"),
         (4, "c4", 2, 0.0, "ZERO"),
         (5, "c5", 2, 2.0, "ZERO"),
+        (6, "c6", 0, 3.0, "EQ"),   # all-equal order values: gini exactly 0,
+        (7, "c7", 0, 3.0, "EQ"),   # the -0.0 vs 0.0 rounding trap
     ])
 
     # ALL status 'F': the 'O' population is entirely absent -> KS NULL,
@@ -102,6 +106,8 @@ def edge_dir(tmp_path_factory):
         (4, 4, "F", 0.0, _TS, "3-MEDIUM"),
         (5, 5, "F", 0.0, _TS, "3-MEDIUM"),
         (6, 1, "F", 100.0, _TS, "1-URGENT"),
+        (7, 6, "F", 100.0, _TS, "2-HIGH"),
+        (8, 7, "F", 100.0, _TS, "2-HIGH"),
     ])
 
     # Z: single-element group; C: constant quantity AND price
@@ -132,11 +138,17 @@ def edge_dir(tmp_path_factory):
         ("props", pa.string()),
     ]), [(1, _TS, 1, "click", 1.0, "{}")])
 
-    # one-token corpus: a single (rank, freq) point -> zipf slope NULL
+    # one-token corpus: a single (rank, freq) point -> zipf slope NULL;
+    # the repeated-token doc's entropy is exactly 0 (the -0.0 trap);
+    # empty and whitespace-only docs must drop cleanly everywhere
     _write(d, "documents", pa.schema([
         ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
         ("source", pa.string()), ("n_chars", pa.int64()),
-    ]), [(1, "aaa aaa aaa", "en", "web", 11)])
+    ]), [
+        (1, "aaa aaa aaa", "en", "web", 11),
+        (2, "", "en", "web", 0),
+        (3, "   ", "xx", "pdf", 3),
+    ])
 
     return d
 
@@ -192,6 +204,13 @@ def test_degenerate_results_are_null_not_crash(spark, edge_dir):
     gini = {r["c_mktsegment"]: r["gini"]
             for r in QUERIES["q_gini"](spark, edge_dir).collect()}
     assert gini["ZERO"] is None
+    # all-equal distribution: exactly +0.0, never IEEE negative zero
+    assert gini["EQ"] == 0.0 and repr(gini["EQ"]) != "-0.0"
+
+    ent = {r["doc_id"]: r["entropy_nats"]
+           for r in QUERIES["q_token_entropy"](spark, edge_dir).collect()}
+    assert set(ent) == {1}          # empty/whitespace docs dropped
+    assert ent[1] == 0.0 and repr(ent[1]) != "-0.0"
 
     ks = QUERIES["q_ks_test"](spark, edge_dir).collect()[0]
     assert ks["ks_stat"] is None and ks["n_b"] == 0

@@ -1652,7 +1652,14 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # bounded 1-row probe; fall back to the lowest vec_id if the corpus
+    # has no vec 0 (deterministic either way, never a None deref)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        qrow = emb.orderBy(F.col("vec_id").asc()).first()
+    if qrow is None:
+        raise ValueError("embeddings table is empty — nothing to search")
+    qvec = [float(x) for x in qrow["embedding"]]
     # cache key = corpus path + mtime: a regenerated corpus invalidates the
     # staged index automatically
     src = os.path.join(sf_dir, "embeddings.parquet")

@@ -58,6 +58,8 @@ def kmeans_1d(
     x = F.col(value_col).cast("double")
     pts = points.select(x.alias("x"))
     row = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    if row["lo"] is None or row["hi"] is None:
+        raise ValueError(f"{value_col}: no non-NULL points to cluster")
     lo, hi = float(row["lo"]), float(row["hi"])
     # mid-bin init over the exact data range — deterministic, no RNG; the
     # oracle recomputes the identical IEEE expression lo + (j+0.5)*(hi-lo)/k

@@ -160,6 +160,11 @@ def write_zorder(
         F.min(col_b).alias("bmin"),
         F.max(col_b).alias("bmax"),
     ).first()
+    if row["amin"] is None or row["bmin"] is None:
+        raise ValueError(
+            f"z-order layout needs non-NULL ({col_a}, {col_b}) bounds — "
+            "the input relation is empty or all-NULL on a key"
+        )
 
     def scaled(col: str, lo, hi):
         span = float(hi - lo) or 1.0

@@ -153,6 +153,8 @@ def stage_time_ordered_stream(
     lo, hi = ev.agg(
         F.min(F.unix_micros(F.col("ts"))), F.max(F.unix_micros(F.col("ts")))
     ).first()
+    if lo is None or hi is None:
+        raise ValueError(f"{src_parquet}: events table is empty — nothing to slice")
     span = max(hi - lo, 1)
     for i in range(n_slices):
         lo_us = lo + span * i // n_slices

@@ -2481,3 +2481,16 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     assert by_id[3] == 0.6
     # NULLS LAST under desc on both engines: the zero vector ranks last
     assert [r["vec_id"] for r in got] == [1, 3, 2]
+
+
+def test_empty_input_raises_clear_errors(spark):
+    """Operators that probe data bounds must fail with a CLEAR message on
+    empty/all-NULL input (an agg().first() of NULLs previously surfaced
+    as a TypeError far from the cause)."""
+    import pytest as _pytest
+
+    from datalake_breweries_two_spark.operators.clustering import kmeans_1d
+
+    empty = spark.createDataFrame([], "x double")
+    with _pytest.raises(ValueError, match="no non-NULL points"):
+        kmeans_1d(empty, value_col="x", k=3)

@@ -46,10 +46,21 @@ def write_parquet(
     """Partitioned parquet write (reference K2/K3 shape). Partition columns
     become hive-style dirs → free partition pruning for readers. Choose
     partition keys with bounded cardinality (state, date), never high-
-    cardinality ids — millions of tiny dirs kill the FS at 100 TB."""
+    cardinality ids — millions of tiny dirs kill the FS at 100 TB.
+
+    Overwrite is pinned to STATIC partition-overwrite per write: this is
+    the FULL-REFRESH path, so a partition absent from ``df`` must be
+    dropped, not silently preserved — the session-level dynamic default
+    (set for the incremental path) would otherwise leak in and leave
+    stale partitions behind whenever the upstream data loses a partition
+    value (exactly how a regenerated corpus once left a ghost partition
+    in the medallion silver layer). Incremental writers use
+    :func:`write_partitioned_dynamic` explicitly."""
     writer = df.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        writer = writer.option("partitionOverwriteMode", "static").partitionBy(
+            *partition_by
+        )
     writer.parquet(path)
 
 

@@ -2494,3 +2494,30 @@ def test_empty_input_raises_clear_errors(spark):
     empty = spark.createDataFrame([], "x double")
     with _pytest.raises(ValueError, match="no non-NULL points"):
         kmeans_1d(empty, value_col="x", k=3)
+
+
+def test_write_parquet_full_refresh_drops_stale_partitions(spark, tmp_path):
+    """The full-refresh writer must replace the WHOLE table even under the
+    session's dynamic partition-overwrite default: a partition value that
+    disappears from the upstream data may not survive as a ghost hive
+    partition (this exact leak once inflated the medallion gold
+    aggregate after a dataset switch)."""
+    from datalake_breweries_two_spark.sources import lake
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "part"]
+    )
+    lake.write_parquet(v1, path, partition_by=["part"])
+    # upstream loses partition 'b'
+    v2 = spark.createDataFrame([(3, "a")], ["id", "part"])
+    lake.write_parquet(v2, path, partition_by=["part"])
+    got = [(r["id"], r["part"]) for r in spark.read.parquet(path).collect()]
+    assert got == [(3, "a")], f"ghost partition survived: {got}"
+    # the incremental writer keeps the other partitions by design
+    lake.write_parquet(v1, path, partition_by=["part"])
+    lake.write_partitioned_dynamic(
+        spark.createDataFrame([(9, "a")], ["id", "part"]), path, ["part"]
+    )
+    got = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
+    assert got == [(2, "b"), (9, "a")]

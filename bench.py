@@ -321,13 +321,13 @@ QUIET_HOST_REF_SEC = {
     "q_gini": 0.5,
     "q_benford": 0.38,
     "q_zipf_slope": 0.33,
-    "q_ks_test": 0.5,
+    "q_ks_test": 1.29,  # r5: distributed prefix-sum CDF (structural)
     "q_chi_square": 0.71,
     "q_psi": 1.72,
     "q_incremental_join": 0.76,
     "q_dedup_keep_latest": 0.32,
     "q_top_percent": 0.75,
-    "q_sequence_gaps": 0.5,
+    "q_sequence_gaps": 1.05,  # r5: partitioned lag + boundary pass (structural)
     "q_listagg": 0.49,
     "q_histogram_2d": 0.32,
 }

@@ -6364,14 +6364,18 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between finished ('F') and
     open ('O') orders' value distributions — the drift test a training
-    pipeline runs between data snapshots. D = max |CDF_a - CDF_b| over a
-    RANGE-framed cumulative count (ties share one cumulative value, so
-    the result is independent of tie order — a ROWS frame would not be).
+    pipeline runs between data snapshots. D = max |CDF_a - CDF_b|, with
+    ties sharing one cumulative value by construction (counts are
+    pre-aggregated PER DISTINCT VALUE, so one row per value).
     Counts are exact integers; each CDF is one exact division; the max of
     |differences| is deterministic cross-engine, rounded for safety.
-    Scale shape: one global range-sort of (value, tag) pairs — the same
-    exchange any exact-CDF computation needs — then a scalar aggregate."""
-    from pyspark.sql import Window
+    Scale shape: the full relation is reduced by a distributed per-value
+    hash aggregate FIRST (N rows → D distinct values), then the exact
+    CDFs come from operators/windows.py range_prefix_sums — the
+    distributed prefix-sum pattern whose only global window is over the
+    ~32 per-partition totals. No single-task 'No Partition Defined'
+    window ever sees the data."""
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
 
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
@@ -6384,13 +6388,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
     )
-    w = (
-        Window.orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    per_value = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("b"),
     )
-    cum = tagged.select(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).over(w).alias("ca"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).over(w).alias("cb"),
+    cum = range_prefix_sums(per_value, "v", ["a", "b"]).select(
+        F.col("cum_a").alias("ca"), F.col("cum_b").alias("cb")
     )
     # try_divide: if one population is absent (n=0) its CDF is undefined —
     # the statistic degrades to NULL on both engines rather than Spark
@@ -6725,11 +6728,16 @@ def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection in a dense key sequence — the completeness check for
-    ingest pipelines (missing orderkey ranges = lost batches). lag over
-    the ordered DISTINCT keys; rows where the step exceeds 1 report each
-    missing range as [gap_start, gap_end]. The only exchange is the
-    range-sort of the deduped key column (not the payload); a synthetic
-    10%-deletion makes the check non-vacuous on the clean testdata."""
+    ingest pipelines (missing orderkey ranges = lost batches). Each
+    missing range reports as [gap_start, gap_end]; a synthetic
+    10%-deletion makes the check non-vacuous on the clean testdata.
+
+    Scale shape: consecutive-key pairs come from a RANGE-partitioned
+    per-partition lag (P parallel sorted scans of the deduped key column
+    — never a single-task global window), plus a boundary pass pairing
+    each partition's min with the previous partition's max through a
+    window over the ~32 per-partition bounds rows. Exactly the gaps the
+    global lag would find, with no 'No Partition Defined' bottleneck."""
     from pyspark.sql import Window
 
     keys = (
@@ -6738,12 +6746,34 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    w = Window.orderBy("o_orderkey")
-    stepped = keys.select(
+    kp = keys.repartitionByRange(32, F.col("o_orderkey")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy("o_orderkey")
+    # one upstream pass: the unfiltered windowed frame feeds both the
+    # intra-partition pairs and the per-partition bounds (lazy checkpoint
+    # because spark_partition_id blocks exchange reuse across branches)
+    win = kp.select(
+        "_pid",
         F.col("o_orderkey"),
-        F.lag("o_orderkey").over(w).alias("_prev"),
-    ).filter(
-        F.col("_prev").isNotNull() & (F.col("o_orderkey") - F.col("_prev") > 1)
+        F.lag("o_orderkey").over(w_in).alias("_prev"),
+    ).localCheckpoint(eager=False)
+    intra = win.filter(F.col("_prev").isNotNull())
+    bounds = win.groupBy("_pid").agg(
+        F.min("o_orderkey").alias("_pmin"), F.max("o_orderkey").alias("_pmax")
+    )
+    w_b = Window.orderBy("_pid")  # ~32 rows: the only global window
+    cross = (
+        bounds.select(
+            F.col("_pmin").alias("o_orderkey"),
+            F.lag("_pmax").over(w_b).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+    )
+    stepped = (
+        intra.select("o_orderkey", "_prev")
+        .unionByName(cross.select("o_orderkey", "_prev"))
+        .filter(F.col("o_orderkey") - F.col("_prev") > 1)
     )
     return stepped.select(
         (F.col("_prev") + 1).alias("gap_start"),

@@ -142,3 +142,79 @@ def range_frame_count(
         .rangeBetween(-radius, radius)
     )
     return df.select("*", F.count(F.lit(1)).over(w).alias("n_neighbors"))
+
+
+def range_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    n_parts: int = 32,
+) -> DataFrame:
+    """EXACT global running sums over ``order_col`` without a global
+    single-task window — the distributed prefix-sum pattern.
+
+    An unpartitioned ``Window.orderBy(...)`` funnels the whole relation
+    through ONE task (Spark even warns "No Partition Defined"); at 100 TB
+    that is the plan's death. This operator gets the same exact result
+    with bounded parallelism loss:
+
+      1. range-repartition by ``order_col`` (the same exchange a global
+         sort would pay, but evaluated in parallel partitions);
+      2. per-partition running sums via a window PARTITIONED by
+         ``spark_partition_id()`` — P concurrent sorted scans;
+      3. per-partition totals (P rows) get their own running sum through
+         a tiny P-row global window, becoming each partition's offset;
+      4. broadcast-join the offsets back and add.
+
+    Rows with equal ``order_col`` values must be pre-aggregated by the
+    caller if tie-sharing semantics are needed (one row per key makes
+    rows-frame == range-frame); this also shrinks the shuffled relation
+    to the distinct-key cardinality. Output: the input columns plus
+    ``cum_<col>`` for each requested sum.
+
+    Determinism: range boundaries are sampled, so PARTITION SIZES vary
+    run to run, but each row's cumulative value is partition-invariant —
+    offsets always equal the exact sum of everything ordered before the
+    partition.
+    """
+    parts = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # lazy localCheckpoint: `local` feeds BOTH the output rows and the
+    # per-partition totals below; without it Spark duplicates the whole
+    # upstream subtree per branch (spark_partition_id is flagged
+    # nondeterministic, which blocks exchange reuse)
+    local = parts.select(
+        "*", *[F.sum(c).over(w_in).alias(f"_local_{c}") for c in sum_cols]
+    ).localCheckpoint(eager=False)
+    # each partition's total = the running sum at its LAST key (order_col
+    # is unique per row by the caller contract) — derived from `local`
+    # instead of re-aggregating the input, so there is one upstream pass
+    totals = local.groupBy("_pid").agg(
+        *[
+            F.expr(f"max_by(_local_{c}, {order_col})").alias(f"_tot_{c}")
+            for c in sum_cols
+        ]
+    )
+    offsets = totals.select(
+        "_pid",
+        *[
+            (F.sum(f"_tot_{c}").over(Window.orderBy("_pid")) - F.col(f"_tot_{c}"))
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            F.col(f"_local_{c}") + F.coalesce(F.col(f"_off_{c}"), F.lit(0)),
+        )
+    return out.drop(
+        "_pid", *[f"_local_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+    )

@@ -243,13 +243,13 @@ SHUFFLE_BUDGET = {
     "q_gini": 1,                # segment-keyed rank window + agg share one exchange
     "q_benford": 3,             # digit agg + single-row total + share projection
     "q_zipf_slope": 2,          # token agg + small-vocab rank/regression
-    "q_ks_test": 2,             # global range-sort + scalar aggregate
+    "q_ks_test": 4,             # per-value agg + range + pid window + tiny P-row offsets (distributed prefix-sum, r5)
     "q_chi_square": 6,          # median scalar + contingency agg + margins + final
     "q_psi": 6,                 # decile-edge agg + bin agg + margins + final
     "q_incremental_join": 1,    # anti+union are broadcast/narrow; one final agg
     "q_dedup_keep_latest": 1,   # one partial-agg max_by groupBy, no window
     "q_top_percent": 1,         # one segment-keyed cume_dist window + agg
-    "q_sequence_gaps": 2,       # key distinct + global range-sort lag
+    "q_sequence_gaps": 2,       # key distinct + range partition; boundary pass is a P-row window (r5)
     "q_listagg": 2,             # distinct pair agg + ordered string agg
     "q_histogram_2d": 1,        # one partial-aggregated 2D bin count
     # ---- r4: budgets frozen for every remaining bench headline query,

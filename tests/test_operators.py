@@ -2521,3 +2521,25 @@ def test_write_parquet_full_refresh_drops_stale_partitions(spark, tmp_path):
     )
     got = sorted((r["id"], r["part"]) for r in spark.read.parquet(path).collect())
     assert got == [(2, "b"), (9, "a")]
+
+
+def test_range_prefix_sums_exact_vs_python(spark):
+    """The distributed prefix-sum must equal a sequential Python scan for
+    every key, across multiple sum columns, regardless of how many range
+    partitions the values land in — and its plan may not contain a
+    single-task window over the data (only the P-row offsets window)."""
+    import random
+
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
+
+    rng = random.Random(11)
+    rows = [(float(v), rng.randint(-5, 9), rng.randint(0, 3))
+            for v in rng.sample(range(10_000), 400)]
+    df = spark.createDataFrame(rows, ["v", "a", "b"])
+    out = {r["v"]: (r["cum_a"], r["cum_b"])
+           for r in range_prefix_sums(df, "v", ["a", "b"], n_parts=13).collect()}
+    ca = cb = 0
+    for v, a, b in sorted(rows):
+        ca += a
+        cb += b
+        assert out[v] == (ca, cb), f"prefix mismatch at v={v}"

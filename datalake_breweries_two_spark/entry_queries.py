@@ -2808,11 +2808,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderstatus
     """,
     "q_resample_ffill": """
-        WITH bounds AS (
-            SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
-            FROM events
+        WITH obs AS (
+            -- non-observations (NULL ts or NULL value) excluded up front,
+            -- mirroring operators/timeseries.py resample_ffill
+            SELECT * FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         ),
-        keys AS (SELECT DISTINCT user_id FROM events),
+        bounds AS (
+            SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+            FROM obs
+        ),
+        keys AS (SELECT DISTINCT user_id FROM obs),
         grid AS (
             SELECT k.user_id, b.d0 + i.i * INTERVAL 1 DAY AS slot
             FROM keys k
@@ -2825,7 +2830,7 @@ ORACLE_SQL: dict[str, str] = {
                    arg_max(value,
                            CAST(floor(epoch(ts)) AS BIGINT) * 1000000000 + event_id
                    ) AS slot_value
-            FROM events GROUP BY user_id, date_trunc('day', ts)
+            FROM obs GROUP BY user_id, date_trunc('day', ts)
         )
         SELECT g.user_id, g.slot,
                last_value(s.slot_value IGNORE NULLS) OVER (
@@ -3270,7 +3275,8 @@ ORACLE_SQL: dict[str, str] = {
                       + (len(p) - len(replace(p, ' et ', ''))) / 4
                       + (len(p) - len(replace(p, ' les ', ''))) / 5
                       + (len(p) - len(replace(p, ' des ', ''))) / 5 AS INT) AS s_fr
-            FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents)
+            FROM (SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS p
+                  FROM documents)
         )
         SELECT doc_id,
                CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
@@ -3387,7 +3393,10 @@ def _kmeans_oracle_sql(k: int, iters: int, col: str, table: str) -> str:
         f"WITH b AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,"
         f" max(CAST({col} AS DOUBLE)) AS hi FROM {table}),",
         f"c0 AS (SELECT {init} FROM b),",
-        f"p AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table}),",
+        # WHERE mirrors kmeans_1d's NULL-point exclusion: a NULL value has
+        # no cluster assignment
+        f"p AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table}"
+        f" WHERE {col} IS NOT NULL),",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -3988,8 +3997,11 @@ ORACLE_SQL["q_streaming_dedup"] = """
 """
 
 ORACLE_SQL["q_streaming_enrich"] = """
+    -- WHERE mirrors the stream-dim INNER join: a NULL user matches no
+    -- dimension row, so it contributes to no tier
     SELECT CAST(user_id % 4 AS INT) AS tier, count(event_id) AS n
-    FROM events GROUP BY CAST(user_id % 4 AS INT)
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY CAST(user_id % 4 AS INT)
 """
 
 ORACLE_SQL["q_streaming_interval_join"] = """
@@ -4030,7 +4042,9 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sorted CSV columns so the result hashes identically on engines
     without Spark's map type. One (user, type) agg, one user agg: two
     bounded-key shuffles."""
-    ev = _t(spark, sf_dir, "events")
+    # a map key may not be NULL (Spark raises NULL_MAP_KEY): untyped
+    # events contribute no map entry, symmetrically in the oracle
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     cnt = ev.groupBy("user_id", "event_type").agg(F.count("event_id").alias("cnt"))
     m = cnt.groupBy("user_id").agg(
         F.map_from_entries(
@@ -4067,7 +4081,8 @@ ORACLE_SQL["q_lateral_topk_join"] = """
 ORACLE_SQL["q_map_ops"] = """
     WITH c AS (
         SELECT user_id, event_type, count(event_id) AS cnt
-        FROM events GROUP BY user_id, event_type
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
     )
     SELECT user_id,
            coalesce(string_agg(CASE WHEN cnt >= 5 THEN event_type END, ','
@@ -4114,7 +4129,9 @@ ORACLE_SQL["q_gdpr_delete"] = """
            count(event_id) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
-    WHERE user_id % 10 != 0
+    -- NULL-user rows are NOT in the forget set (the delete pass is an
+    -- anti-join on key equality, which never matches NULL): they survive
+    WHERE user_id IS NULL OR user_id % 10 != 0
     GROUP BY user_id
 """
 
@@ -4763,10 +4780,16 @@ def q_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+        # pandas 'count' counts NON-NULL values of the named column, so
+        # counting the group column itself would report 0 for the NULL
+        # group — count this always-present marker to get SQL's count(*)
+        F.lit(1).alias("one"),
     )
     pdf = orders.pandas_api(index_col="o_orderkey")
-    g = pdf.groupby("o_orderstatus").agg(
-        n_orders=("o_orderstatus", "count"), total_dec=("price_dec", "sum")
+    # dropna=False: pandas' groupby default silently DROPS NULL group
+    # keys where SQL GROUP BY keeps them as a group — pin SQL semantics
+    g = pdf.groupby("o_orderstatus", dropna=False).agg(
+        n_orders=("one", "count"), total_dec=("price_dec", "sum")
     )
     out = g.to_spark(index_col="o_orderstatus")
     return out.select(
@@ -5244,8 +5267,15 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     single shuffle any per-group window costs."""
     from pyspark.sql import Window
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_extendedprice"
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        # a rank correlation is defined over complete (x, y) pairs; a NULL
+        # in either measure has no rank, and leaving it in would place it
+        # differently per engine (Spark ASC=NULLS FIRST, DuckDB=LAST)
+        .filter(
+            F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+        )
     )
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
@@ -5341,6 +5371,7 @@ ORACLE_SQL["q_spearman_corr"] = """
                CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
                     AS DOUBLE) AS ry
         FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     )
     SELECT l_returnflag,
            round(regr_sxy(rx, ry)
@@ -5516,11 +5547,16 @@ QUERIES["q_balanced_sample"] = q_balanced_sample
 
 ORACLE_SQL["q_group_split"] = """
     WITH assigned AS (
+        -- concat_ws semantics: a NULL group key is SKIPPED, so the draw
+        -- becomes md5(seed alone) — all NULL-source docs share one
+        -- deterministic split rather than nulling out of the CASE
         SELECT doc_id, source,
                CASE
-                 WHEN substr(md5(source || ':groupsplit-v1'), 1, 8) < 'cccccccc'
+                 WHEN substr(md5(coalesce(source || ':groupsplit-v1',
+                                          'groupsplit-v1')), 1, 8) < 'cccccccc'
                    THEN 'train'
-                 WHEN substr(md5(source || ':groupsplit-v1'), 1, 8) < 'e6666666'
+                 WHEN substr(md5(coalesce(source || ':groupsplit-v1',
+                                          'groupsplit-v1')), 1, 8) < 'e6666666'
                    THEN 'val'
                  ELSE 'test'
                END AS split
@@ -5840,6 +5876,10 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_windows.read_events_stream(spark, stage_dir)
     per_day = (
         stream.withWatermark("ts", "10 minutes")
+        # DAU counts identified users on real days: a NULL user is no
+        # user (dropDuplicates would otherwise count it as one), and a
+        # NULL ts has no day
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             F.col("user_id"),
             F.col("ts"),
@@ -5861,6 +5901,7 @@ ORACLE_SQL["q_streaming_dau"] = """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            count(DISTINCT user_id) AS dau
     FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1
 """
 
@@ -6203,7 +6244,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single final division is the only FP op, rounded to 6dp."""
     from pyspark.sql import Window
 
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        # concentration is defined over OBSERVED values only; a NULL value
+        # has no rank, and leaving it in would shift every other rank
+        # differently per engine (Spark ASC=NULLS FIRST, DuckDB=LAST)
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_custkey")
@@ -6296,6 +6344,7 @@ ORACLE_SQL["q_gini"] = """
                    PARTITION BY c_mktsegment
                    ORDER BY o_totalprice, o_custkey) AS DECIMAL(18,0)) AS i
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice IS NOT NULL
     ),
     agg AS (
         SELECT c_mktsegment,

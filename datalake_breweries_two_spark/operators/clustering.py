@@ -56,7 +56,9 @@ def kmeans_1d(
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1; got k={k}, iters={iters}")
     x = F.col(value_col).cast("double")
-    pts = points.select(x.alias("x"))
+    # NULL values have no cluster: excluded up front (they would form a
+    # NULL-assignment group whose NULL mean crashes the iteration collect)
+    pts = points.select(x.alias("x")).filter(F.col("x").isNotNull())
     row = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
     if row["lo"] is None or row["hi"] is None:
         raise ValueError(f"{value_col}: no non-NULL points to cluster")

@@ -184,6 +184,9 @@ def centroid_seeds(
     funnel even the 16-row post-limit frame through a single partition."""
     rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
+        # a NULL vector can seed nothing (and would crash the driver-side
+        # float() enumeration)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .collect()
@@ -222,7 +225,11 @@ def ivf_assign(
     query probes partition-pruned scans.
     """
     seeds = _seeds_df(embeddings, centroid_seeds(embeddings, n_centroids, id_col, vec_col))
-    joined = embeddings.crossJoin(F.broadcast(seeds))
+    # NULL vectors are unindexable: they have no nearest centroid, and at
+    # probe time they could never score — excluded from the corpus here
+    joined = embeddings.filter(F.col(vec_col).isNotNull()).crossJoin(
+        F.broadcast(seeds)
+    )
     dist = F.aggregate(
         F.zip_with(
             F.col(vec_col), F.col("centroid_vec"), lambda x, y: (x - y) * (x - y)

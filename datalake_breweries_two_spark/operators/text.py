@@ -70,8 +70,11 @@ def text_quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-based language ID: score = stopword-marker hits per language,
     argmax with deterministic tie-break on language code; 'und' when no
-    marker hits. Pure expression tree → codegen, no UDF."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    marker hits (a NULL text scores 0 -> 'und', never a NULL score).
+    Pure expression tree → codegen, no UDF."""
+    padded = F.concat(
+        F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" ")
+    )
     scores = [
         F.struct(
             sum(

@@ -46,6 +46,13 @@ def resample_ffill(
     floor-to-epoch-multiple slotting — rejected explicitly rather than
     silently producing a misaligned grid.
     """
+    # A row with no timestamp cannot be slotted, and a NULL value is a
+    # non-observation (engines even disagree on whether max_by/arg_max may
+    # SELECT a NULL value, so keeping them would be engine-divergent):
+    # both are excluded up front, symmetrically with the oracle SQL.
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     parts = step.strip().split()
     valid_units = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
     if len(parts) != 2 or parts[0] != "1" or parts[1].rstrip("s") not in valid_units:

@@ -12,6 +12,10 @@ Scale profile:
     take a top-k off 100 TB.
   * Every ordering carries a unique tie-breaker key so results are
     deterministic (oracle-hash requirement, SURVEY.md §5).
+  * Every ASCENDING ordering pins NULLS LAST: Spark's ASC default is
+    NULLS FIRST but DuckDB's (and Postgres') is NULLS LAST, so a nullable
+    order column would silently rank NULL rows differently cross-engine.
+    DESC defaults to NULLS LAST on both engines already.
 """
 
 from __future__ import annotations
@@ -24,8 +28,8 @@ def rank_in_group(
     df: DataFrame, part_key: str, order_col: str, tiebreak: str, desc: bool = True
 ) -> DataFrame:
     """row_number + rank + dense_rank per group, deterministic via tiebreak."""
-    oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    w = Window.partitionBy(part_key).orderBy(oc, F.col(tiebreak).asc())
+    oc = F.col(order_col).desc() if desc else F.col(order_col).asc_nulls_last()
+    w = Window.partitionBy(part_key).orderBy(oc, F.col(tiebreak).asc_nulls_last())
     return df.select(
         "*",
         F.row_number().over(w).alias("rn"),
@@ -41,7 +45,7 @@ def top_k_per_group(
     key; at scale pre-aggregate or pre-filter the frame first if only a tiny
     fraction can be in any top-k."""
     w = Window.partitionBy(part_key).orderBy(
-        F.col(order_col).desc(), F.col(tiebreak).asc()
+        F.col(order_col).desc(), F.col(tiebreak).asc_nulls_last()
     )
     return (
         df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -50,7 +54,7 @@ def top_k_per_group(
 
 def global_top_k(df: DataFrame, order_col: str, tiebreak: str, k: int) -> DataFrame:
     """Global top-k via TakeOrderedAndProject (per-task heaps, driver merge)."""
-    return df.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc()).limit(k)
+    return df.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc_nulls_last()).limit(k)
 
 
 def running_sum(
@@ -64,7 +68,7 @@ def running_sum(
     """
     w = (
         Window.partitionBy(part_key)
-        .orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+        .orderBy(F.col(order_col).asc_nulls_last(), F.col(tiebreak).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.select(
@@ -81,7 +85,7 @@ def lag_delta(
 ) -> DataFrame:
     """Per-group lag + delta vs previous row (sessionization building block)."""
     w = Window.partitionBy(part_key).orderBy(
-        F.col(order_col).asc(), F.col(tiebreak).asc()
+        F.col(order_col).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()
     )
     prev = F.lag(F.col(value_col)).over(w)
     return df.select(
@@ -99,7 +103,7 @@ def lead_ntile_pct(
     percent_rank is integer-rank arithmetic so the double is identical
     across engines (rounded anyway for hash hygiene)."""
     w = Window.partitionBy(part_key).orderBy(
-        F.col(order_col).asc(), F.col(tiebreak).asc()
+        F.col(order_col).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()
     )
     return df.select(
         "*",
@@ -118,7 +122,7 @@ def first_last_in_group(
     'current value'."""
     w = (
         Window.partitionBy(part_key)
-        .orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+        .orderBy(F.col(order_col).asc_nulls_last(), F.col(tiebreak).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return df.select(
@@ -138,7 +142,7 @@ def range_frame_count(
     callers convert monetary doubles to cents first."""
     w = (
         Window.partitionBy(part_key)
-        .orderBy(F.col(order_col_int).asc())
+        .orderBy(F.col(order_col_int).asc_nulls_last())
         .rangeBetween(-radius, radius)
     )
     return df.select("*", F.count(F.lit(1)).over(w).alias("n_neighbors"))

@@ -210,7 +210,10 @@ def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -
     the transaction log. At 100 TB: partition the base by a pruning key and
     semi-join-prune the rewrite to touched partitions, so the join reads
     the update set + affected partitions, never the whole table. Column
-    sets must match; both sides' key columns must be non-null.
+    sets must match. Keys join NULL-SAFELY: a NULL key is one mergeable
+    key value like any other (update-side presence is detected via an
+    explicit marker column, never via the key's own nullness — detecting
+    it by key would turn a NULL-key upsert into an all-NULL row).
     """
     from pyspark.sql import functions as F  # local: keep module import light
 
@@ -218,13 +221,16 @@ def merge_upsert(base: "DataFrame", updates: "DataFrame", key_cols: list[str]) -
     assert set(base.columns) == set(updates.columns), "schemas must match"
     # prefix the update side so self-derived updates (base and updates from
     # the same scan) never hit Spark's ambiguous-self-join analyzer error
-    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    u = updates.select(
+        [F.col(c).alias(f"_u_{c}") for c in updates.columns]
+        + [F.lit(1).alias("_u__present")]
+    )
     cond = None
     for k in key_cols:
         c = F.col(k).eqNullSafe(F.col(f"_u_{k}"))
         cond = c if cond is None else (cond & c)
     joined = base.join(u, cond, "full_outer")
-    matched = F.col(f"_u_{key_cols[0]}").isNotNull()
+    matched = F.col("_u__present").isNotNull()
     out_cols = [
         F.coalesce(F.col(f"_u_{k}"), F.col(k)).alias(k) for k in key_cols
     ] + [

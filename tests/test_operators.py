@@ -2543,3 +2543,22 @@ def test_range_prefix_sums_exact_vs_python(spark):
         ca += a
         cb += b
         assert out[v] == (ca, cb), f"prefix mismatch at v={v}"
+
+
+def test_merge_upsert_null_key(spark):
+    """A NULL key is one mergeable key value: an update for it must
+    REPLACE the base row (null-safe match), not degrade to an all-NULL
+    insert — the exact failure a streaming NULL-group upsert hit."""
+    from datalake_breweries_two_spark.sources.lake import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0)], "k int, v double"
+    )
+    updates = spark.createDataFrame(
+        [(None, 7.0), (2, 20.0)], "k int, v double"
+    )
+    got = sorted(
+        ((r["k"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()),
+        key=str,
+    )
+    assert got == sorted([(1, 10.0), (2, 20.0), (None, 7.0)], key=str)

@@ -1,22 +1,33 @@
-"""Full-registry degenerate-lake sweep: run EVERY oracle-backed query on a
-deliberately degenerate lake (zero-variance / single-element / all-ties
-groups, all-zero segments, absent populations, single-row events, empty /
-one-token documents, zero-vector embeddings), reporting Spark crashes,
-DuckDB crashes, and cross-engine mismatches.
+"""Full-registry adversarial-lake sweeps: run EVERY oracle-backed query on
+a deliberately hostile lake, reporting Spark crashes, DuckDB crashes, and
+cross-engine mismatches.
 
-This is the discovery tool behind tests/test_stat_edges.py (which pins
-the statistical battery's edges permanently); run it after adding queries
-or changing rounding/division discipline:
+Two profiles (pass as argv[1]; default runs BOTH):
 
-    python tools/degenerate_sweep.py
+  degenerate — zero-variance / single-element / all-ties groups, all-zero
+               segments, one population absent, single-row events, empty /
+               one-token documents, zero-vector embeddings.
+  nulls      — NULLs in every measure/key/text column: NULL group keys,
+               NULL join keys, NULL order/window keys, NULL text, NULL
+               embeddings.
 
-Expected output on a healthy tree: OK=203, one SPARK CRASH for
-q_medallion_e2e (its min-rows quality gate REJECTING the 1-row bronze is
-the gate working as designed), zero mismatches. Known divergence classes
-it has caught: ANSI DIVIDE_BY_ZERO on double division (DuckDB yields
-NULL), and IEEE negative zero from round() (Spark's BigDecimal round
-never emits -0.0; DuckDB's preserves the sign).
+This is the discovery tool behind tests/test_stat_edges.py; run it after
+adding queries or changing rounding/division/ordering discipline:
+
+    python tools/degenerate_sweep.py [degenerate|nulls]
+
+Expected on a healthy tree: OK=203 per profile, one SPARK CRASH for
+q_medallion_e2e (its min-rows/null-column quality gate REJECTING the
+hostile bronze is the gate working as designed), zero mismatches.
+Divergence classes caught so far: ANSI DIVIDE_BY_ZERO on double division
+(DuckDB yields NULL); IEEE negative zero from round(); NULL sort position
+(Spark ASC=NULLS FIRST vs DuckDB NULLS LAST); pandas groupby dropping
+NULL keys; concat_ws skipping NULLs where || nullifies; merge-upsert
+matched-detection via key nullness; map keys may not be NULL.
 """
+import sys, os, glob, tempfile
+sys.path.insert(0, "/root/repo")
+
 import sys, os, glob, tempfile, traceback
 sys.path.insert(0, "/root/repo")
 import datetime as dt
@@ -33,82 +44,148 @@ def w(d, name, schema, rows):
     t = pa.Table.from_arrays([pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema)
     pq.write_table(t, os.path.join(d, f"{name}.parquet"))
 
-d = tempfile.mkdtemp(prefix="degen_")
-w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]), [(0,"R0"),(1,"R1")])
-w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
-  [(0,"N0",0),(1,"N1",0),(2,"N2",1)])
-w(d, "customer", pa.schema([("c_custkey", pa.int64()),("c_name", pa.string()),("c_nationkey", pa.int32()),
-  ("c_acctbal", pa.float64()),("c_mktsegment", pa.string())]),
-  [(1,"c1",0,5.0,"SV"),(2,"c2",0,5.0,"SV"),(3,"c3",1,1.0,"SINGLE"),(4,"c4",2,0.0,"ZERO"),(5,"c5",2,2.0,"ZERO")])
-w(d, "supplier", pa.schema([("s_suppkey", pa.int64()),("s_name", pa.string()),("s_nationkey", pa.int32()),
-  ("s_acctbal", pa.float64())]), [(1,"s1",0,0.0)])   # single supplier, zero balance
-w(d, "part", pa.schema([("p_partkey", pa.int64()),("p_name", pa.string()),("p_brand", pa.string()),
-  ("p_type", pa.string()),("p_size", pa.int32()),("p_retailprice", pa.float64())]),
-  [(1,"green part","B1","T1",1,0.0)])                # single part, zero price
-w(d, "orders", pa.schema([("o_orderkey", pa.int64()),("o_custkey", pa.int64()),("o_orderstatus", pa.string()),
-  ("o_totalprice", pa.float64()),("o_orderdate", ts),("o_orderpriority", pa.string())]),
-  [(1,1,"F",100.0,_TS,"1-URGENT"),(2,2,"F",200.0,_TS,"2-HIGH"),(3,3,"F",50.0,_TS,"3-MEDIUM"),
-   (4,4,"F",0.0,_TS,"3-MEDIUM"),(5,5,"F",0.0,_TS,"3-MEDIUM"),(6,1,"F",100.0,_TS,"1-URGENT")])
-w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()),("l_partkey", pa.int64()),("l_suppkey", pa.int64()),
-  ("l_linenumber", pa.int32()),("l_quantity", pa.float64()),("l_extendedprice", pa.float64()),
-  ("l_discount", pa.float64()),("l_tax", pa.float64()),("l_returnflag", pa.string()),
-  ("l_linestatus", pa.string()),("l_shipdate", ts)]),
-  [(1,1,1,1,7.0,70.0,0.0,0.0,"Z","O",_TS),
-   (2,1,1,1,3.0,30.0,0.0,0.0,"C","O",_TS),(2,1,1,2,3.0,30.0,0.0,0.0,"C","O",_TS),
-   (2,1,1,3,3.0,30.0,0.0,0.0,"C","O",_TS),
-   (3,1,1,1,5.0,55.0,0.0,0.0,"T","O",_TS),(3,1,1,2,5.0,55.0,0.0,0.0,"T","O",_TS),
-   (3,1,1,3,5.0,55.0,0.0,0.0,"T","O",_TS),(3,1,1,4,5.0,55.0,0.0,0.0,"T","O",_TS)])
-w(d, "events", pa.schema([("event_id", pa.int64()),("ts", ts),("user_id", pa.int64()),
-  ("event_type", pa.string()),("value", pa.float64()),("props", pa.string())]),
-  [(1,_TS,1,"click",1.0,"{}")])
-w(d, "documents", pa.schema([("doc_id", pa.int64()),("text", pa.string()),("lang", pa.string()),
-  ("source", pa.string()),("n_chars", pa.int64())]),
-  [(1,"aaa aaa aaa","en","web",11),
-   (2,"","en","web",0),                    # empty text
-   (3,"   ","xx","pdf",3)])               # whitespace-only
-w(d, "embeddings", pa.schema([("vec_id", pa.int64()),("embedding", pa.list_(pa.float32())),("label", pa.int32())]),
-  [(1,[1.0]+[0.0]*63,0),(2,[0.0]*64,1),(3,[0.5]*64,0)])   # includes a zero vector
 
-from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.sql.legacy.parquet.nanosAsLong", "false")
-         .config("spark.ui.enabled", "false").getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
+def build_degenerate(d):
+    w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]), [(0,"R0"),(1,"R1")])
+    w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
+      [(0,"N0",0),(1,"N1",0),(2,"N2",1)])
+    w(d, "customer", pa.schema([("c_custkey", pa.int64()),("c_name", pa.string()),("c_nationkey", pa.int32()),
+      ("c_acctbal", pa.float64()),("c_mktsegment", pa.string())]),
+      [(1,"c1",0,5.0,"SV"),(2,"c2",0,5.0,"SV"),(3,"c3",1,1.0,"SINGLE"),(4,"c4",2,0.0,"ZERO"),(5,"c5",2,2.0,"ZERO")])
+    w(d, "supplier", pa.schema([("s_suppkey", pa.int64()),("s_name", pa.string()),("s_nationkey", pa.int32()),
+      ("s_acctbal", pa.float64())]), [(1,"s1",0,0.0)])   # single supplier, zero balance
+    w(d, "part", pa.schema([("p_partkey", pa.int64()),("p_name", pa.string()),("p_brand", pa.string()),
+      ("p_type", pa.string()),("p_size", pa.int32()),("p_retailprice", pa.float64())]),
+      [(1,"green part","B1","T1",1,0.0)])                # single part, zero price
+    w(d, "orders", pa.schema([("o_orderkey", pa.int64()),("o_custkey", pa.int64()),("o_orderstatus", pa.string()),
+      ("o_totalprice", pa.float64()),("o_orderdate", ts),("o_orderpriority", pa.string())]),
+      [(1,1,"F",100.0,_TS,"1-URGENT"),(2,2,"F",200.0,_TS,"2-HIGH"),(3,3,"F",50.0,_TS,"3-MEDIUM"),
+       (4,4,"F",0.0,_TS,"3-MEDIUM"),(5,5,"F",0.0,_TS,"3-MEDIUM"),(6,1,"F",100.0,_TS,"1-URGENT")])
+    w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()),("l_partkey", pa.int64()),("l_suppkey", pa.int64()),
+      ("l_linenumber", pa.int32()),("l_quantity", pa.float64()),("l_extendedprice", pa.float64()),
+      ("l_discount", pa.float64()),("l_tax", pa.float64()),("l_returnflag", pa.string()),
+      ("l_linestatus", pa.string()),("l_shipdate", ts)]),
+      [(1,1,1,1,7.0,70.0,0.0,0.0,"Z","O",_TS),
+       (2,1,1,1,3.0,30.0,0.0,0.0,"C","O",_TS),(2,1,1,2,3.0,30.0,0.0,0.0,"C","O",_TS),
+       (2,1,1,3,3.0,30.0,0.0,0.0,"C","O",_TS),
+       (3,1,1,1,5.0,55.0,0.0,0.0,"T","O",_TS),(3,1,1,2,5.0,55.0,0.0,0.0,"T","O",_TS),
+       (3,1,1,3,5.0,55.0,0.0,0.0,"T","O",_TS),(3,1,1,4,5.0,55.0,0.0,0.0,"T","O",_TS)])
+    w(d, "events", pa.schema([("event_id", pa.int64()),("ts", ts),("user_id", pa.int64()),
+      ("event_type", pa.string()),("value", pa.float64()),("props", pa.string())]),
+      [(1,_TS,1,"click",1.0,"{}")])
+    w(d, "documents", pa.schema([("doc_id", pa.int64()),("text", pa.string()),("lang", pa.string()),
+      ("source", pa.string()),("n_chars", pa.int64())]),
+      [(1,"aaa aaa aaa","en","web",11),
+       (2,"","en","web",0),                    # empty text
+       (3,"   ","xx","pdf",3)])               # whitespace-only
+    w(d, "embeddings", pa.schema([("vec_id", pa.int64()),("embedding", pa.list_(pa.float32())),("label", pa.int32())]),
+      [(1,[1.0]+[0.0]*63,0),(2,[0.0]*64,1),(3,[0.5]*64,0)])   # includes a zero vector
 
-def duck():
-    con = duckdb.connect()
-    for p in glob.glob(d + "/*.parquet"):
-        con.execute(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')")
-    return con
+def build_nulls(d):
+    w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+      [(0, "R0"), (1, None)])
+    w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
+      [(0, "N0", 0), (1, None, 0), (2, "N2", 1)])
+    w(d, "customer", pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int32()),
+      ("c_acctbal", pa.float64()), ("c_mktsegment", pa.string())]),
+      [(1, "c1", 0, 5.0, "A"), (2, None, 0, None, "A"), (3, "c3", 1, 1.0, None),
+       (4, "c4", 2, None, None), (5, "c5", None, 2.0, "B")])
+    w(d, "supplier", pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()), ("s_nationkey", pa.int32()),
+      ("s_acctbal", pa.float64())]), [(1, "s1", 0, None), (2, None, 1, 3.0)])
+    w(d, "part", pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+      ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+      [(1, "alpha part", "B1", "T1", 1, 10.0), (2, None, None, "T2", None, None)])
+    w(d, "orders", pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+      ("o_totalprice", pa.float64()), ("o_orderdate", ts), ("o_orderpriority", pa.string())]),
+      [(1, 1, "F", 100.0, _TS, "1-URGENT"),
+       (2, 2, "O", None, _TS, "2-HIGH"),         # NULL price
+       (3, 3, "F", 50.0, None, "3-MEDIUM"),      # NULL date
+       (4, 4, "O", 70.0, _TS, None),             # NULL priority
+       (5, 5, None, 20.0, _TS, "5-LOW"),         # NULL status
+       (6, None, "F", 10.0, _TS, "5-LOW")])      # NULL custkey
+    w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+      ("l_linenumber", pa.int32()), ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+      ("l_discount", pa.float64()), ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
+      ("l_linestatus", pa.string()), ("l_shipdate", ts)]),
+      [(1, 1, 1, 1, 7.0, 70.0, 0.1, 0.0, "A", "O", _TS),
+       (1, 2, 1, 2, None, 30.0, 0.0, 0.0, "A", "O", _TS),        # NULL qty
+       (2, 1, 2, 1, 3.0, None, 0.05, 0.0, "N", "F", _TS),        # NULL price
+       (3, 2, 2, 1, 2.0, 20.0, None, None, None, "F", None),     # NULL flag/discount/date
+       (4, 1, 1, 1, 4.0, 40.0, 0.0, 0.0, "B", None, _TS)])
+    w(d, "events", pa.schema([("event_id", pa.int64()), ("ts", ts), ("user_id", pa.int64()),
+      ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]),
+      [(1, _TS, 1, "click", 1.0, "{}"),
+       (2, _TS + dt.timedelta(seconds=30), 1, None, None, None),   # NULL type/value/props
+       (3, _TS + dt.timedelta(seconds=60), 2, "view", 2.0, '{"k": null}'),
+       (4, _TS + dt.timedelta(seconds=90), None, "click", None, "{}")])  # NULL user
+    w(d, "documents", pa.schema([("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+      ("source", pa.string()), ("n_chars", pa.int64())]),
+      [(1, "hello world hello", "en", "web", 17),
+       (2, None, "en", "web", None),            # NULL text
+       (3, "solo token", None, None, 10)])
+    w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
+      [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, None), (2, None, 1)])   # NULL vector + NULL label
 
-spark_crash, duck_crash, mismatch, ok = [], [], [], []
-for name in sorted(ORACLE_SQL):
-    try:
-        sdf = QUERIES[name](spark, d)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-    except Exception as ex:
-        spark_crash.append((name, f"{type(ex).__name__}: {str(ex)[:140]}"))
-        continue
-    con = duck()
-    try:
-        res = con.execute(ORACLE_SQL[name])
-        dcols = [x[0] for x in res.description]
-        drows = res.fetchall()
-    except Exception as ex:
-        duck_crash.append((name, f"{type(ex).__name__}: {str(ex)[:140]}"))
-        con.close(); continue
-    con.close()
-    if sorted(scols) != sorted(dcols) or len(srows) != len(drows) or \
-       _row_multiset(srows, scols) != _row_multiset(drows, dcols):
-        mismatch.append((name, len(srows), len(drows)))
-    else:
-        ok.append(name)
+def run_profile(profile: str) -> int:
+    from pyspark.sql import SparkSession
+    from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
+    from tests.test_oracle_parity import _row_multiset
 
-print(f"\nOK={len(ok)} SPARK_CRASH={len(spark_crash)} DUCK_CRASH={len(duck_crash)} MISMATCH={len(mismatch)}")
-for tag, lst in [("SPARK", spark_crash), ("DUCK", duck_crash)]:
-    for n, e in lst: print(f"{tag} CRASH {n}: {e}")
-for n, a, b in mismatch: print(f"MISMATCH {n}: spark_rows={a} duck_rows={b}")
-spark.stop()
+    d = tempfile.mkdtemp(prefix=f"{profile}_")
+    (build_degenerate if profile == "degenerate" else build_nulls)(d)
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def duck():
+        import duckdb
+        con = duckdb.connect()
+        for p in glob.glob(d + "/*.parquet"):
+            con.execute(
+                f"CREATE VIEW {os.path.basename(p)[:-8]} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+        return con
+
+    spark_crash, duck_crash, mismatch, ok = [], [], [], []
+    for name in sorted(ORACLE_SQL):
+        try:
+            sdf = QUERIES[name](spark, d)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            spark_crash.append((name, f"{type(ex).__name__}: {str(ex)[:130]}"))
+            continue
+        con = duck()
+        try:
+            res = con.execute(ORACLE_SQL[name])
+            dcols = [x[0] for x in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            duck_crash.append((name, f"{type(ex).__name__}: {str(ex)[:130]}"))
+            con.close(); continue
+        con.close()
+        if sorted(scols) != sorted(dcols) or len(srows) != len(drows) or \
+           _row_multiset(srows, scols) != _row_multiset(drows, dcols):
+            mismatch.append((name, len(srows), len(drows)))
+        else:
+            ok.append(name)
+
+    print(f"\n[{profile}] OK={len(ok)} SPARK_CRASH={len(spark_crash)} "
+          f"DUCK_CRASH={len(duck_crash)} MISMATCH={len(mismatch)}")
+    for tag, lst in [("SPARK", spark_crash), ("DUCK", duck_crash)]:
+        for n, e in lst:
+            print(f"[{profile}] {tag} CRASH {n}: {e}")
+    for n, a, b in mismatch:
+        print(f"[{profile}] MISMATCH {n}: spark_rows={a} duck_rows={b}")
+    bad = len(mismatch) + len(duck_crash) + sum(
+        1 for n, _ in spark_crash if n != "q_medallion_e2e"
+    )
+    return bad
+
+
+if __name__ == "__main__":
+    profiles = sys.argv[1:] or ["degenerate", "nulls"]
+    raise SystemExit(min(1, sum(run_profile(p) for p in profiles)))

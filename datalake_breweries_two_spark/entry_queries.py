@@ -5101,6 +5101,7 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq_audit,
         duplicate_key_count,
         fk_orphan_count,
+        non_finite_count,
         predicate_violation_count,
     )
 
@@ -5135,6 +5136,12 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             predicate_violation_count(
                 lineitem, (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
             ),
+        ),
+        # NaN/Inf corrupt every decimal-exact aggregate downstream (both
+        # this engine and DuckDB/Postgres RAISE on them) — gate here first
+        (
+            "orders_totalprice_finite",
+            non_finite_count(orders, "o_totalprice"),
         ),
     ]
     return dq_audit(checks)
@@ -5250,6 +5257,13 @@ ORACLE_SQL["q_dq_audit"] = """
            coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
                              THEN 1 ELSE 0 END), 0) = 0
     FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_finite',
+           coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                             THEN 1 ELSE 0 END), 0),
+           coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
 """
 
 

@@ -167,6 +167,25 @@ def predicate_violation_count(df: DataFrame, violation: "F.Column") -> DataFrame
     )
 
 
+def non_finite_count(df: DataFrame, numeric_col: str) -> DataFrame:
+    """Single-row count of NaN / ±Infinity values in a double column.
+
+    Exact-money aggregation (the engine's decimal-sum discipline) RAISES
+    on non-finite input by design — and so does DuckDB, Postgres's
+    numeric, and every decimal type — so a pipeline must gate on this
+    check BEFORE the aggregate, not try_cast the corruption into silent
+    NULLs downstream. NULLs are not counted here (they have their own
+    null-count check); only genuinely non-finite doubles.
+    """
+    c = F.col(numeric_col)
+    non_finite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return df.agg(
+        F.coalesce(
+            F.sum(F.when(non_finite, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violations")
+    )
+
+
 def dq_audit(checks: list[tuple[str, DataFrame]]) -> DataFrame:
     """Union the named single-row check counts into one (check, n_violations)
     relation and flag each row. The composite stays ONE declarative plan —

@@ -2562,3 +2562,19 @@ def test_merge_upsert_null_key(spark):
         key=str,
     )
     assert got == sorted([(1, 10.0), (2, 20.0), (None, 7.0)], key=str)
+
+
+def test_non_finite_count_detects_nan_inf(spark):
+    """The DQ gate for non-finite doubles: NaN and +-Inf count, NULLs do
+    not (they belong to the null-count check) — this is the check a
+    pipeline runs BEFORE decimal-exact aggregation, which (like DuckDB
+    and Postgres numeric) RAISES on non-finite input by design."""
+    from datalake_breweries_two_spark.operators.quality import non_finite_count
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "x double",
+    )
+    assert non_finite_count(df, "x").collect()[0]["n_violations"] == 3
+    empty = spark.createDataFrame([], "x double")
+    assert non_finite_count(empty, "x").collect()[0]["n_violations"] == 0

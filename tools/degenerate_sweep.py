@@ -24,6 +24,14 @@ Divergence classes caught so far: ANSI DIVIDE_BY_ZERO on double division
 (Spark ASC=NULLS FIRST vs DuckDB NULLS LAST); pandas groupby dropping
 NULL keys; concat_ws skipping NULLs where || nullifies; merge-upsert
 matched-detection via key nullness; map keys may not be NULL.
+
+A third (unshipped) probe put NaN/±Infinity into the monetary columns:
+BOTH engines raise throughout (Spark ANSI decimal/bigint casts, DuckDB
+decimal conversions and moment aggregates alike) — non-finite money is
+ill-formed input everywhere, so the engine's answer is the DQ layer's
+`non_finite_count` gate (q_dq_audit `orders_totalprice_finite`), run
+BEFORE decimal aggregation, never a try_cast that would launder the
+corruption into silent NULLs.
 """
 import sys, os, glob, tempfile
 sys.path.insert(0, "/root/repo")

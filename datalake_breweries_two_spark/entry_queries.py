@@ -3239,7 +3239,8 @@ ORACLE_SQL: dict[str, str] = {
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS mean_token_len,
                round(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1), 4) AS punct_ratio,
-               round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in|that|it|for)\\b'))
+               round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','is','a','in','that','it','for')))
                    / greatest(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS stopword_ratio,
                round(len(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(len(text), 1), 4) AS upper_ratio

@@ -51,9 +51,17 @@ def text_quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = whitespace_token_count(text_col)
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    # whitespace-token MEMBERSHIP, not a \b regex: \b's notion of a word
+    # boundary around non-ASCII (combining marks, CJK) differs between
+    # Java regex and RE2/utf8proc, so the regex count diverges
+    # cross-engine on unicode text — and token membership is also the
+    # definition consistent with the n_tokens denominator
     n_stop = F.size(
-        F.regexp_extract_all(
-            F.lower(t), F.lit(r"\b(the|and|of|to|is|a|in|that|it|for)\b"), F.lit(0)
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            lambda x: x.isin(
+                "the", "and", "of", "to", "is", "a", "in", "that", "it", "for"
+            ),
         )
     )
     return docs.select(

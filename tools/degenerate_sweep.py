@@ -2,7 +2,7 @@
 a deliberately hostile lake, reporting Spark crashes, DuckDB crashes, and
 cross-engine mismatches.
 
-Two profiles (pass as argv[1]; default runs BOTH):
+Three profiles (pass as argv[1:]; default runs ALL):
 
   degenerate — zero-variance / single-element / all-ties groups, all-zero
                segments, one population absent, single-row events, empty /
@@ -10,11 +10,15 @@ Two profiles (pass as argv[1]; default runs BOTH):
   nulls      — NULLs in every measure/key/text column: NULL group keys,
                NULL join keys, NULL order/window keys, NULL text, NULL
                embeddings.
+  unicode    — hostile TEXT: Turkish dotted-I casefolding, eszett-vs-SS,
+               Cyrillic case, CJK, emoji + ZWJ sequences, ligatures, NFD
+               combining marks (divergence class: \\b word boundaries
+               around non-ASCII differ between Java regex and RE2).
 
 This is the discovery tool behind tests/test_stat_edges.py; run it after
 adding queries or changing rounding/division/ordering discipline:
 
-    python tools/degenerate_sweep.py [degenerate|nulls]
+    python tools/degenerate_sweep.py [degenerate|nulls|unicode]
 
 Expected on a healthy tree: OK=203 per profile, one SPARK CRASH for
 q_medallion_e2e (its min-rows/null-column quality gate REJECTING the
@@ -23,9 +27,12 @@ Divergence classes caught so far: ANSI DIVIDE_BY_ZERO on double division
 (DuckDB yields NULL); IEEE negative zero from round(); NULL sort position
 (Spark ASC=NULLS FIRST vs DuckDB NULLS LAST); pandas groupby dropping
 NULL keys; concat_ws skipping NULLs where || nullifies; merge-upsert
-matched-detection via key nullness; map keys may not be NULL.
+matched-detection via key nullness; map keys may not be NULL; \\b word
+boundaries around combining marks (Java regex vs RE2) — stopword counts
+now use whitespace-token membership instead.
 
-A third (unshipped) probe put NaN/±Infinity into the monetary columns:
+A fourth probe (unshipped — it has no expectation to pin) put
+NaN/±Infinity into the monetary columns:
 BOTH engines raise throughout (Spark ANSI decimal/bigint casts, DuckDB
 decimal conversions and moment aggregates alike) — non-finite money is
 ill-formed input everywhere, so the engine's answer is the DQ layer's
@@ -34,9 +41,6 @@ BEFORE decimal aggregation, never a try_cast that would launder the
 corruption into silent NULLs.
 """
 import sys, os, glob, tempfile
-sys.path.insert(0, "/root/repo")
-
-import sys, os, glob, tempfile, traceback
 sys.path.insert(0, "/root/repo")
 import datetime as dt
 import duckdb
@@ -134,13 +138,66 @@ def build_nulls(d):
     w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
       [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, None), (2, None, 1)])   # NULL vector + NULL label
 
+
+def build_unicode(d):
+    # benign relational tables (from the degenerate profile's shapes, made
+    # non-degenerate), hostile TEXT: casefolding traps (Turkish dotted I,
+    # German eszett-vs-SS, Cyrillic case), CJK, emoji + ZWJ sequences,
+    # ligatures, NFD combining marks
+    w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+      [(0, "R0"), (1, "R1")])
+    w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
+      [(0, "N0", 0), (1, "N1", 0), (2, "N2", 1)])
+    w(d, "customer", pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int32()),
+      ("c_acctbal", pa.float64()), ("c_mktsegment", pa.string())]),
+      [(1, "M\u00fcller", 0, 1.0, "Stra\u00dfe"), (2, "M\u00dcLLER", 0, 2.0, "STRASSE"),
+       (3, "mueller", 1, 3.0, "strasse"), (4, "\u0130pek", 2, 4.0, "\u0131\u015f\u0131k"),
+       (5, "ipek", 2, 5.0, "I\u015eIK")])
+    w(d, "supplier", pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()), ("s_nationkey", pa.int32()),
+      ("s_acctbal", pa.float64())]), [(1, "s\u00f8ren", 0, 2.0), (2, "S\u00d8REN", 1, 3.0)])
+    w(d, "part", pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+      ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+      [(1, "caf\u00e9 grinder", "B1", "T1", 1, 10.0), (2, "na\u00efve widget", "B2", "T2", 2, 20.0)])
+    w(d, "orders", pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+      ("o_totalprice", pa.float64()), ("o_orderdate", ts), ("o_orderpriority", pa.string())]),
+      [(1, 1, "F", 100.0, _TS, "1-URGENT"), (2, 2, "O", 200.0, _TS, "2-HIGH"),
+       (3, 3, "F", 50.0, _TS, "3-MEDIUM"), (4, 4, "O", 70.0, _TS, "4-NOT SPECIFIED"),
+       (5, 5, "F", 20.0, _TS, "5-LOW"), (6, 1, "O", 10.0, _TS, "1-URGENT")])
+    w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+      ("l_linenumber", pa.int32()), ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+      ("l_discount", pa.float64()), ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
+      ("l_linestatus", pa.string()), ("l_shipdate", ts)]),
+      [(1, 1, 1, 1, 7.0, 70.0, 0.1, 0.0, "A", "O", _TS),
+       (2, 1, 1, 1, 3.0, 30.0, 0.0, 0.0, "A", "O", _TS),
+       (3, 2, 2, 1, 2.0, 20.0, 0.05, 0.0, "B", "F", _TS),
+       (4, 2, 1, 1, 4.0, 40.0, 0.0, 0.0, "B", "F", _TS)])
+    w(d, "events", pa.schema([("event_id", pa.int64()), ("ts", ts), ("user_id", pa.int64()),
+      ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]),
+      [(1, _TS, 1, "click", 1.0, "{}"),
+       (2, _TS + dt.timedelta(seconds=30), 1, "k\u00f6p", 2.0, '{"note": "\u00fcber"}'),
+       (3, _TS + dt.timedelta(seconds=60), 2, "view", 3.0, "{}")])
+    w(d, "documents", pa.schema([("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+      ("source", pa.string()), ("n_chars", pa.int64())]),
+      [(1, "\u00dcber die Stra\u00dfe ging ein GROSSES Kind", "de", "web", 38),
+       (2, "\u0130stanbul'da I\u015eIK ve \u0131\u015f\u0131k birlikte", "tr", "web", 33),
+       (3, "caf\u00e9 na\u00efve r\u00e9sum\u00e9 d\u00e9j\u00e0-vu \u00e9l\u00e8ve", "fr", "web", 31),
+       (4, "\u65e5\u672c\u8a9e \u30c6\u30ad\u30b9\u30c8 \u306e \u30c8\u30fc\u30af\u30f3 \u5206\u5272", "ja", "pdf", 17),
+       (5, "emoji \U0001f44d\U0001f3fd family \U0001f468\u200d\U0001f469\u200d\U0001f467\u200d\U0001f466 test \u2728", "en", "web", 24),
+       (6, "\u0414\u0412\u0410 \u0421\u041b\u041e\u0412\u0410 \u0434\u0432\u0430 \u0441\u043b\u043e\u0432\u0430", "ru", "web", 19),
+       (7, "\ufb01nancial \ufb02ow ligatures", "en", "pdf", 22),
+       (8, "a\u0301ccent combining a\u0301ccent", "en", "web", 24),
+       (9, "the cat and the dog sat in the yard for a while", "en", "web", 47)])
+    w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
+      [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, 1), (2, [0.25]*64, 0)])
+
 def run_profile(profile: str) -> int:
     from pyspark.sql import SparkSession
     from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
     from tests.test_oracle_parity import _row_multiset
 
     d = tempfile.mkdtemp(prefix=f"{profile}_")
-    (build_degenerate if profile == "degenerate" else build_nulls)(d)
+    {"degenerate": build_degenerate, "nulls": build_nulls,
+     "unicode": build_unicode}[profile](d)
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
@@ -195,5 +252,5 @@ def run_profile(profile: str) -> int:
 
 
 if __name__ == "__main__":
-    profiles = sys.argv[1:] or ["degenerate", "nulls"]
+    profiles = sys.argv[1:] or ["degenerate", "nulls", "unicode"]
     raise SystemExit(min(1, sum(run_profile(p) for p in profiles)))

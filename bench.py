@@ -320,7 +320,7 @@ QUIET_HOST_REF_SEC = {
     "q_mad": 0.67,
     "q_gini": 0.5,
     "q_benford": 0.38,
-    "q_zipf_slope": 0.33,
+    "q_zipf_slope": 0.93,  # r5: distributed vocabulary rank (structural)
     "q_ks_test": 1.29,  # r5: distributed prefix-sum CDF (structural)
     "q_chi_square": 0.71,
     "q_psi": 1.72,

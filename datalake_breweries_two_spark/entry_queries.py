@@ -6397,20 +6397,27 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(freq) on ln(rank) over the frequency-ranked vocabulary (natural
     text ~ -1; a synthetic uniform vocabulary reads near 0 — exactly what
     a corpus-health check should surface). Token counts are exact; ranks
-    are integer row_numbers (count desc, token tie-break); the co-moment
-    regression runs over ln() of exact integers, so the only cross-engine
-    noise is libm ulps, absorbed by the 4dp round. One explode + one
-    token aggregate + a single-partition rank of the (small) vocabulary."""
-    from pyspark.sql import Window
+    are exact integer positions (count desc, token tie-break); the
+    co-moment regression runs over ln() of exact integers, so the only
+    cross-engine noise is libm ulps, absorbed by the 4dp round. One
+    explode + one token aggregate; the frequency rank comes from
+    operators/windows.py range_prefix_sums (prefix-count of ones over the
+    composite ordering) — at corpus scale the vocabulary is itself huge
+    (Heaps' law still reaches 1e8+ types), so no single-task rank window
+    ever sees it."""
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
 
     docs = _t(spark, sf_dir, "documents").select("text")
     tokens = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.length("token") > 0)
     vocab = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = vocab.select(
-        F.log(F.row_number().over(w).cast("double")).alias("ln_rank"),
+    ranked = range_prefix_sums(
+        vocab.withColumn("_one", F.lit(1)),
+        [F.col("n").desc(), F.col("token").asc()],
+        ["_one"],
+    ).select(
+        F.log(F.col("cum__one").cast("double")).alias("ln_rank"),
         F.log(F.col("n").cast("double")).alias("ln_freq"),
     )
     slope = F.try_divide(

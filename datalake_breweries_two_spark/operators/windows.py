@@ -150,11 +150,11 @@ def range_frame_count(
 
 def range_prefix_sums(
     df: DataFrame,
-    order_col: str,
+    order_col: "str | list",
     sum_cols: list[str],
     n_parts: int = 32,
 ) -> DataFrame:
-    """EXACT global running sums over ``order_col`` without a global
+    """EXACT global running sums over an ordering without a global
     single-task window — the distributed prefix-sum pattern.
 
     An unpartitioned ``Window.orderBy(...)`` funnels the whole relation
@@ -162,49 +162,53 @@ def range_prefix_sums(
     that is the plan's death. This operator gets the same exact result
     with bounded parallelism loss:
 
-      1. range-repartition by ``order_col`` (the same exchange a global
+      1. range-repartition by the ordering (the same exchange a global
          sort would pay, but evaluated in parallel partitions);
-      2. per-partition running sums via a window PARTITIONED by
-         ``spark_partition_id()`` — P concurrent sorted scans;
-      3. per-partition totals (P rows) get their own running sum through
-         a tiny P-row global window, becoming each partition's offset;
+      2. per-partition running sums + whole-partition totals via windows
+         PARTITIONED by ``spark_partition_id()`` — P concurrent sorted
+         scans sharing one exchange;
+      3. the distinct (partition, totals) rows — P of them — get their
+         own running sum through a tiny P-row global window, becoming
+         each partition's offset;
       4. broadcast-join the offsets back and add.
 
-    Rows with equal ``order_col`` values must be pre-aggregated by the
-    caller if tie-sharing semantics are needed (one row per key makes
-    rows-frame == range-frame); this also shrinks the shuffled relation
-    to the distinct-key cardinality. Output: the input columns plus
-    ``cum_<col>`` for each requested sum.
+    ``order_col``: a column name, a Column expression (e.g.
+    ``F.col("n").desc()``), or a list of them — the composite ordering
+    must be a TOTAL order (no duplicate composite keys): under ties a
+    ROWS-frame running sum is not well defined on any engine. Ranking is
+    the ``sum_cols=["<ones column>"]`` special case. Output: the input
+    columns plus ``cum_<col>`` for each requested sum.
 
     Determinism: range boundaries are sampled, so PARTITION SIZES vary
     run to run, but each row's cumulative value is partition-invariant —
     offsets always equal the exact sum of everything ordered before the
     partition.
     """
-    parts = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (order_col if isinstance(order_col, list) else [order_col])
+    ]
+    parts = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_in = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_all = Window.partitionBy("_pid")
     # lazy localCheckpoint: `local` feeds BOTH the output rows and the
-    # per-partition totals below; without it Spark duplicates the whole
+    # per-partition offsets below; without it Spark duplicates the whole
     # upstream subtree per branch (spark_partition_id is flagged
     # nondeterministic, which blocks exchange reuse)
     local = parts.select(
-        "*", *[F.sum(c).over(w_in).alias(f"_local_{c}") for c in sum_cols]
+        "*",
+        *[F.sum(c).over(w_in).alias(f"_local_{c}") for c in sum_cols],
+        *[F.sum(c).over(w_all).alias(f"_tot_{c}") for c in sum_cols],
     ).localCheckpoint(eager=False)
-    # each partition's total = the running sum at its LAST key (order_col
-    # is unique per row by the caller contract) — derived from `local`
-    # instead of re-aggregating the input, so there is one upstream pass
-    totals = local.groupBy("_pid").agg(
-        *[
-            F.expr(f"max_by(_local_{c}, {order_col})").alias(f"_tot_{c}")
-            for c in sum_cols
-        ]
-    )
+    totals = local.select(
+        "_pid", *[f"_tot_{c}" for c in sum_cols]
+    ).distinct()
     offsets = totals.select(
         "_pid",
         *[
@@ -220,5 +224,8 @@ def range_prefix_sums(
             F.col(f"_local_{c}") + F.coalesce(F.col(f"_off_{c}"), F.lit(0)),
         )
     return out.drop(
-        "_pid", *[f"_local_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+        "_pid",
+        *[f"_local_{c}" for c in sum_cols],
+        *[f"_tot_{c}" for c in sum_cols],
+        *[f"_off_{c}" for c in sum_cols],
     )

@@ -155,6 +155,20 @@ def stage_time_ordered_stream(
     ).first()
     if lo is None or hi is None:
         raise ValueError(f"{src_parquet}: events table is empty — nothing to slice")
+    if lo < 0:
+        # Spark initializes every stream's watermark at 1970-01-01 (epoch
+        # 0), so PRE-EPOCH event times are below the watermark before the
+        # first batch even runs and are SILENTLY dropped by every
+        # watermarked stateful operator (found by a temporal-edge probe:
+        # a 1969 event vanished from tumbling/dedup state while the batch
+        # analogue kept it). Refuse loudly rather than replay a stream
+        # that can never match its batch oracle.
+        raise ValueError(
+            f"{src_parquet}: events before 1970-01-01 UTC (min epoch-us "
+            f"{lo}) cannot replay through watermarked stateful operators "
+            "— Spark's initial watermark is epoch 0; filter or re-base "
+            "pre-epoch rows first"
+        )
     span = max(hi - lo, 1)
     for i in range(n_slices):
         lo_us = lo + span * i // n_slices

@@ -2578,3 +2578,30 @@ def test_non_finite_count_detects_nan_inf(spark):
     assert non_finite_count(df, "x").collect()[0]["n_violations"] == 3
     empty = spark.createDataFrame([], "x double")
     assert non_finite_count(empty, "x").collect()[0]["n_violations"] == 0
+
+
+def test_stream_stager_refuses_pre_epoch_events(spark, tmp_path):
+    """Spark's stream watermark starts at epoch 0, so a pre-1970 event is
+    late before the first batch runs and every watermarked stateful
+    operator silently drops it — the staging harness must refuse such
+    input loudly instead of replaying a stream that can never match its
+    batch oracle."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datalake_breweries_two_spark.streaming.windows import (
+        stage_time_ordered_stream,
+    )
+
+    src = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 23, 59, 59), 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1), 1, "view", 2.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(src)
+    with _pytest.raises(ValueError, match="1970-01-01"):
+        stage_time_ordered_stream(spark, src, str(tmp_path / "staged"))

@@ -31,8 +31,14 @@ matched-detection via key nullness; map keys may not be NULL; \\b word
 boundaries around combining marks (Java regex vs RE2) — stopword counts
 now use whitespace-token membership instead.
 
-A fourth probe (unshipped — it has no expectation to pin) put
-NaN/±Infinity into the monetary columns:
+A temporal-edge probe (unshipped) found that Spark initializes every
+stream's WATERMARK at epoch 0, so pre-1970 event times are silently
+dropped by all watermarked stateful operators while their batch oracles
+keep them — the stream-staging harness now refuses pre-epoch events
+loudly (streaming/windows.py), and a 230-year span also showed the
+resample oracle's 3700-day grid cap (test scaffolding, documented
+there). A NaN/±Infinity probe (also unshipped — no expectation to pin)
+put non-finite values into the monetary columns:
 BOTH engines raise throughout (Spark ANSI decimal/bigint casts, DuckDB
 decimal conversions and moment aggregates alike) — non-finite money is
 ill-formed input everywhere, so the engine's answer is the DQ layer's

@@ -116,8 +116,22 @@ def cmd_audit(args: argparse.Namespace) -> int:
 
     from datalake_breweries_two_spark import entry_queries
 
+    def _rank(res: dict) -> int:
+        # status ranks: 2 = full oracle pass, 1 = rows-only run, 0 = failure
+        if res.get("err") == "no_oracle":
+            return 1
+        if res.get("err"):
+            return 0
+        if (
+            res.get("rows_match")
+            and res.get("schema_match")
+            and res.get("hash_match")
+        ):
+            return 2
+        return 0
+
     best: dict[str, tuple[int, int]] = {}  # name -> (status_rank, round)
-    # status ranks: 2 = full oracle pass, 1 = rows-only run, 0 = failure
+    latest: dict[str, tuple[int, int]] = {}  # name -> (status_rank, round)
     for path in sorted(glob.glob(os.path.join(args.repo_dir, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else -1
@@ -131,48 +145,77 @@ def cmd_audit(args: argparse.Namespace) -> int:
         for name, res in snap.items():
             if not isinstance(res, dict):
                 continue
-            if res.get("err") == "no_oracle":
-                rank = 1
-            elif res.get("err"):
-                rank = 0
-            elif (
-                res.get("rows_match")
-                and res.get("schema_match")
-                and res.get("hash_match")
-            ):
-                rank = 2
-            else:
-                rank = 0
+            rank = _rank(res)
             prev = best.get(name)
             # keep the FIRST round a status was earned; upgrade on better rank
             if prev is None or rank > prev[0]:
                 best[name] = (rank, rnd)
+            lprev = latest.get(name)
+            if lprev is None or rnd >= lprev[1]:
+                latest[name] = (rank, rnd)
+
+    # Waivers: a driver FAIL whose fix already landed but awaits its
+    # re-check round stays visible in the table yet does not flip the
+    # exit code — ONLY when WAIVERS.json documents it with a reason.
+    waivers: dict[str, str] = {}
+    try:
+        with open(os.path.join(args.repo_dir, "WAIVERS.json")) as f:
+            raw = json.load(f)
+        if isinstance(raw, dict):
+            waivers = {
+                k: v for k, v in raw.items() if isinstance(v, str) and v.strip()
+            }
+    except (OSError, ValueError):
+        pass
 
     oracles = set(entry_queries.ORACLE_SQL)
     label = {2: "pass", 1: "ran", 0: "FAIL"}
     counts = {"pass": 0, "ran": 0, "FAIL": 0, "local": 0}
-    print("| query | oracle | driver status |")
-    print("|---|---|---|")
+    regressed: list[str] = []
+    unwaived_fail: list[str] = []
+    stale_waivers: list[str] = []
+    print("| query | oracle | best | latest |")
+    print("|---|---|---|---|")
     for name in entry_queries.QUERIES:
         kind = "duckdb" if name in oracles else "rows-only"
         if name in best:
             rank, rnd = best[name]
+            lrank, lrnd = latest[name]
             status = f"{label[rank]}-r{rnd}"
-            counts[label[rank]] += 1
+            lstatus = f"{label[lrank]}-r{lrnd}"
+            # the LATEST evidence decides health: a query that passed in
+            # r3 but failed in r5 is a regression, not a pass
+            if lrank == 0 and rank > 0:
+                regressed.append(name)
+                lstatus += " REGRESSED"
+            counts[label[0 if lrank == 0 else rank]] += 1
+            if lrank == 0:
+                if name in waivers:
+                    lstatus += " (waived)"
+                else:
+                    unwaived_fail.append(name)
+            elif name in waivers:
+                stale_waivers.append(name)
         else:
-            status = "local"
+            status, lstatus = "local", "-"
             counts["local"] += 1
-        print(f"| {name} | {kind} | {status} |")
+            if name in waivers:
+                stale_waivers.append(name)
+        print(f"| {name} | {kind} | {status} | {lstatus} |")
+    for name in stale_waivers:
+        print(f"# stale waiver (query not failing): {name}", file=sys.stderr)
     summary = {
         "registry": len(entry_queries.QUERIES),
         "with_oracle": len(oracles),
         "driver_pass": counts["pass"],
         "driver_rows_only_run": counts["ran"],
         "driver_fail": counts["FAIL"],
+        "driver_fail_waived": counts["FAIL"] - len(unwaived_fail),
+        "regressed": regressed,
         "local_only": counts["local"],
     }
     print(json.dumps(summary, sort_keys=True), file=sys.stderr)
-    return 1 if counts["FAIL"] else 0
+    return 1 if unwaived_fail else 0
 
 
 def cmd_run_medallion(args: argparse.Namespace) -> int:

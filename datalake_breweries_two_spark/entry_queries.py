@@ -1846,9 +1846,29 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets — rows-only."""
+    """Embedding-cosine near-dup pairs via BANDED LSH, on a corpus with
+    PLANTED duplicates: the synthetic embeddings table is random (max
+    natural pair cosine ≈0.5 at sf0.01 — r5 recorded 0 rows), so the
+    query augments it with scaled copies (×1.5, id+1000000) of the
+    vec_id<20 rows. A scaled copy is exactly parallel (cosine 1.0) and
+    sign(v·plane) is scale-invariant, so every planted pair agrees on
+    every band — LSH recall for true duplicates is exactly 1 and the
+    approximate path's output EQUALS the exact quadratic oracle at
+    threshold 0.95, making this hash-checkable end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        emb.unionByName(twins), threshold=0.95, n_planes=12, n_bands=4
     )
 
 
@@ -3320,6 +3340,30 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Exact quadratic recompute of the banded-LSH near-dup query: valid as a
+# full hash oracle because (a) planted scaled copies are caught by LSH
+# with recall exactly 1 (sign(v·plane) is scale-invariant) and (b) no
+# natural pair in the synthetic corpus approaches the 0.95 threshold
+# (max ≈0.5), so approximate output == exact output deterministically.
+ORACLE_SQL["q_embedding_near_dup"] = """
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(v, x -> x * 1.5)
+        FROM base WHERE vec_id < 20
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.95
+"""
+
 ORACLE_SQL["q_quantize_embeddings"] = """
     WITH x AS (
         SELECT vec_id,
@@ -4539,7 +4583,7 @@ QUERIES["q_udtf_chunk"] = q_udtf_chunk
 ORACLE_SQL["q_variant_extract"] = """
     SELECT event_type,
            count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
     FROM events GROUP BY event_type
 """
@@ -5169,10 +5213,10 @@ ORACLE_SQL["q_sql_tpch_q4"] = """
 
 ORACLE_SQL["q_sql_tpch_q12"] = """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5237,31 +5281,31 @@ ORACLE_SQL["q_dq_audit"] = """
        OR NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
     UNION ALL
     SELECT 'orders_orderkey_unique',
-           coalesce(sum(n), 0), coalesce(sum(n), 0) = 0
+           CAST(coalesce(sum(n), 0) AS BIGINT), coalesce(sum(n), 0) = 0
     FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
     UNION ALL
     SELECT 'lineitem_line_unique',
-           coalesce(sum(n), 0), coalesce(sum(n), 0) = 0
+           CAST(coalesce(sum(n), 0) AS BIGINT), coalesce(sum(n), 0) = 0
     FROM (SELECT count(*) AS n FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
     UNION ALL
     SELECT 'orders_totalprice_positive',
-           coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
-                             THEN 1 ELSE 0 END), 0),
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
            coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
                              THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'lineitem_discount_range',
-           coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
-                             THEN 1 ELSE 0 END), 0),
+           CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
            coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 OR l_discount IS NULL
                              THEN 1 ELSE 0 END), 0) = 0
     FROM lineitem
     UNION ALL
     SELECT 'orders_totalprice_finite',
-           coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
-                             THEN 1 ELSE 0 END), 0),
+           CAST(coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
            coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
                              THEN 1 ELSE 0 END), 0) = 0
     FROM orders
@@ -5596,7 +5640,7 @@ ORACLE_SQL["q_balanced_sample"] = """
         SELECT min(n) AS f FROM (
             SELECT count(*) AS n FROM embeddings GROUP BY label)
     )
-    SELECT label, count(*) AS n_rows, sum(vec_id) AS id_checksum
+    SELECT label, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_checksum
     FROM ranked, floor_n
     WHERE rk <= f
     GROUP BY label
@@ -5821,25 +5865,25 @@ ORACLE_SQL["q_skew_report"] = """
          k3 AS (SELECT count(*) AS _n FROM lineitem GROUP BY l_partkey),
          k4 AS (SELECT count(*) AS _n FROM orders GROUP BY o_custkey)
     SELECT 'lineitem.l_orderkey' AS key_name, count(*) AS n_keys,
-           sum(_n) AS total_rows, max(_n) AS max_rows,
+           CAST(sum(_n) AS BIGINT) AS total_rows, max(_n) AS max_rows,
            CAST(quantile_disc(_n, 0.5) AS BIGINT) AS p50_rows,
            CAST(quantile_disc(_n, 0.99) AS BIGINT) AS p99_rows,
            round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2) AS skew_ratio
     FROM k1
     UNION ALL
-    SELECT 'lineitem.l_suppkey', count(*), sum(_n), max(_n),
+    SELECT 'lineitem.l_suppkey', count(*), CAST(sum(_n) AS BIGINT), max(_n),
            CAST(quantile_disc(_n, 0.5) AS BIGINT),
            CAST(quantile_disc(_n, 0.99) AS BIGINT),
            round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
     FROM k2
     UNION ALL
-    SELECT 'lineitem.l_partkey', count(*), sum(_n), max(_n),
+    SELECT 'lineitem.l_partkey', count(*), CAST(sum(_n) AS BIGINT), max(_n),
            CAST(quantile_disc(_n, 0.5) AS BIGINT),
            CAST(quantile_disc(_n, 0.99) AS BIGINT),
            round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
     FROM k3
     UNION ALL
-    SELECT 'orders.o_custkey', count(*), sum(_n), max(_n),
+    SELECT 'orders.o_custkey', count(*), CAST(sum(_n) AS BIGINT), max(_n),
            CAST(quantile_disc(_n, 0.5) AS BIGINT),
            CAST(quantile_disc(_n, 0.99) AS BIGINT),
            round(CAST(max(_n) AS DOUBLE) / quantile_disc(_n, 0.5), 2)
@@ -6448,8 +6492,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ever sees the data."""
     from datalake_breweries_two_spark.operators.windows import range_prefix_sums
 
+    # NULL totalprice has no CDF position (matches the NULL-measure
+    # exclusion in q_gini/q_spearman_corr); without this Spark's NULLS
+    # FIRST vs DuckDB's NULLS LAST puts NULL counts at opposite CDF ends.
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").isNotNull()
     )
     tagged = orders.select(
         F.col("o_totalprice").alias("v"),
@@ -6513,6 +6561,7 @@ ORACLE_SQL["q_ks_test"] = """
     WITH tagged AS (
         SELECT o_totalprice AS v, (o_orderstatus = 'F') AS is_a
         FROM orders WHERE o_orderstatus IN ('F', 'O')
+          AND o_totalprice IS NOT NULL
     ),
     counts AS (
         SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,

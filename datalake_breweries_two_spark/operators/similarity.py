@@ -81,19 +81,34 @@ def _hyperplane(dim: int, plane_id: int) -> list[float]:
     return out
 
 
-def random_hyperplane_signature(
-    embeddings: DataFrame, n_planes: int = 16, vec_col: str = "embedding", dim: int = 64
-) -> DataFrame:
-    """Sign-of-dot-product LSH signature (cosine LSH): bit b = 1 iff
-    v·plane_b ≥ 0. Signature computed as one long — a narrow projection."""
+def _signature_expr(
+    vec_col: str, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
+    """Sign-of-dot-product LSH signature as a pure Column expression:
+    bit b = 1 iff v·plane_b ≥ 0, packed into one long. ``plane_offset``
+    selects a disjoint run of the deterministic plane sequence so
+    independent signature BANDS can share the machinery."""
     bits = []
     for b in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, b)])
+        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, plane_offset + b)])
         bits.append(
             F.when(dot_product(F.col(vec_col), plane) >= 0, F.lit(2**b).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
-    return embeddings.withColumn("lsh_sig", sum(bits))
+    return sum(bits)
+
+
+def random_hyperplane_signature(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    plane_offset: int = 0,
+) -> DataFrame:
+    """DataFrame form of :func:`_signature_expr` — a narrow projection."""
+    return embeddings.withColumn(
+        "lsh_sig", _signature_expr(vec_col, n_planes, dim, plane_offset)
+    )
 
 
 def cosine_topk_lsh(
@@ -147,21 +162,53 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-signature equi-join for
-    candidates (identical signature ⇒ small angle with high probability),
-    exact cosine verify. The equi-join on the signature is the only shuffle;
-    no quadratic corpus blowup."""
-    signed = random_hyperplane_signature(embeddings, n_planes, vec_col, dim)
-    a = signed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("lsh_sig")
+    """Embedding-cosine near-duplicate pairs via BANDED cosine LSH.
+
+    Each of the ``n_bands`` bands is an independent ``n_planes``-bit
+    hyperplane signature (disjoint deterministic plane runs); a pair is a
+    candidate iff it agrees on AT LEAST ONE band — the standard
+    band/bucket construction that lifts recall from p^r to 1-(1-p^r)^b
+    for match probability p = 1-θ/π. Candidates then get an exact cosine
+    verify, so precision is exact by construction; banding only affects
+    recall.
+
+    Scale shape: the per-band (id, band, sig) projection is NARROW (no
+    vectors ride the explode); one (band, sig) equi-join produces pair
+    ids, a distinct dedups pairs found by multiple bands, and only then
+    are the two vectors re-attached by id equi-joins for the verify —
+    candidate volume, not corpus volume, pays the vector shuffle. Exactly
+    parallel vectors (scaled copies) agree on EVERY band because the
+    sign of v·plane is scale-invariant, so recall for true duplicates
+    is 1 regardless of banding."""
+    sig_cols = [
+        _signature_expr(vec_col, n_planes, dim, plane_offset=band * n_planes)
+        for band in range(n_bands)
+    ]
+    # one narrow row per (id, band): posexplode over the per-band sigs
+    banded = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.array(*sig_cols)).alias("band", "sig"),
     )
-    b = signed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("lsh_sig")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand_ids = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    cands = a.join(b, "lsh_sig").filter(F.col("id_a") < F.col("id_b"))
-    scored = cands.select(
-        "id_a", "id_b", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    scored = (
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
+        )
     )
     return scored.filter(F.col("cosine") >= threshold)
 

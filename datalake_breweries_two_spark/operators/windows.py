@@ -184,8 +184,15 @@ def range_prefix_sums(
     offsets always equal the exact sum of everything ordered before the
     partition.
     """
+    # String names normalize to asc_nulls_last — the module invariant
+    # (every ASCENDING ordering pins NULLS LAST to match DuckDB's ASC
+    # default); bare column names otherwise inherit Spark's NULLS FIRST
+    # and any nullable order key diverges from its oracle. Callers
+    # passing Column expressions must pin null ordering themselves; the
+    # SAME expressions feed repartitionByRange and the windows so the
+    # range exchange and the per-partition sort can never disagree.
     order_exprs = [
-        F.col(c) if isinstance(c, str) else c
+        F.col(c).asc_nulls_last() if isinstance(c, str) else c
         for c in (order_col if isinstance(order_col, list) else [order_col])
     ]
     parts = df.repartitionByRange(n_parts, *order_exprs).withColumn(

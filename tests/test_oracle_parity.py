@@ -33,6 +33,58 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _arrow_class(t) -> str:
+    """Coarse cross-engine type class for a DuckDB Arrow output type.
+
+    The driver's value-hash STRINGIFIES cells, so types whose string
+    forms differ (Decimal('3') vs 3, 1.5 vs Decimal('1.50'), date vs
+    timestamp) hash-mismatch even when the math is identical — DuckDB
+    HUGEINT (= arrow decimal128(38,0), the type of an uncast sum(int))
+    vs Spark bigint caused the only 3 driver failures in r5. Classes
+    below group exactly the types that stringify identically."""
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    return f"other:{t}"
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    return f"other:{dt}"
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -66,11 +118,29 @@ def test_oracle_match(spark, name):
         res = con.execute(ORACLE_SQL[name])
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
+        # Arrow-level type parity (r5 lesson: fetchall() launders HUGEINT
+        # through Python int, hiding type skew the driver's stringifying
+        # hash catches — re-run the oracle for its raw Arrow schema)
+        duck_schema = con.execute(ORACLE_SQL[name]).arrow().schema
     finally:
         con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    )
+    spark_types = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+    duck_types = {
+        f.name: _arrow_class(f.type) for f in duck_schema
+    }
+    skew = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if c in duck_types and spark_types[c] != duck_types[c]
+    }
+    assert not skew, (
+        f"{name}: cross-engine output type skew (spark, duckdb): {skew} — "
+        "the driver hash stringifies these differently; cast the oracle "
+        "(or the Spark side) so the type classes agree"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
@@ -121,3 +191,27 @@ def test_comparator_detects_differences():
     assert _norm_cell(float("nan")) == "NaN"
     assert _norm_cell(None) == "NULL"
     assert _norm_cell(True) == "1"
+
+
+def test_type_parity_catches_uncast_hugeint_sum():
+    """The r5 driver failures in miniature: an uncast `sum(int)` DuckDB
+    oracle types HUGEINT (arrow decimal128(38,0)) while Spark's sum(int)
+    is bigint — the class functions MUST disagree on that pair (and agree
+    once the oracle casts to BIGINT), else the new schema gate is vacuous."""
+    from pyspark.sql import types as T
+
+    con = duckdb.connect()
+    try:
+        uncast = con.execute("SELECT sum(x) AS s FROM (VALUES (1),(2)) t(x)")
+        uncast_t = uncast.arrow().schema.field("s").type
+        cast = con.execute(
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)"
+        )
+        cast_t = cast.arrow().schema.field("s").type
+    finally:
+        con.close()
+
+    spark_sum = _spark_class(T.LongType())
+    assert _arrow_class(uncast_t) == "decimal"
+    assert _arrow_class(uncast_t) != spark_sum
+    assert _arrow_class(cast_t) == spark_sum == "int"

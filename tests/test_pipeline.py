@@ -165,6 +165,29 @@ def test_spark_entry_adapter_contract(spark):
     for name in prefix[: min(len(prefix), n_unchecked)]:
         assert name not in checked
 
+    # failed-then-fixed queries (latest driver record is a FAIL) must be
+    # pinned for RE-check: inside the prefix (when it has room after the
+    # unchecked block) and ahead of every passing checked query
+    status = mod._driver_status()
+    rechecks = [n for n in names if n in checked and mod._is_fail(status[n])]
+    if rechecks and n_unchecked + len(rechecks) <= mod._DRIVER_PREFIX:
+        for name in rechecks:
+            assert name in prefix, (
+                f"{name}: failed query fell out of the re-check prefix"
+            )
+    first_pass_idx = next(
+        (
+            i
+            for i, n in enumerate(names)
+            if n in checked and not mod._is_fail(status[n])
+        ),
+        len(names),
+    )
+    for name in rechecks:
+        assert names.index(name) < first_pass_idx, (
+            f"{name}: failed query sorted behind a passing one"
+        )
+
     flagship = mod.entry(spark)
     assert flagship.count() >= 0
     assert len(flagship.columns) >= 2
@@ -315,10 +338,19 @@ def test_cli_audit_accounting_matches_artifacts(capsys):
     summary = _json.loads(out.err.strip().splitlines()[-1])
     assert summary["registry"] == len(e.queries())
     assert summary["with_oracle"] == len(e.oracle_sql())
-    assert summary["driver_fail"] == 0
+    # tripwire: any UNWAIVED driver failure (or a regression of a
+    # previously-passing query) must turn the suite red; a failure whose
+    # fix landed and is documented in WAIVERS.json is tolerated until the
+    # driver's re-check round replaces the evidence
+    assert summary["driver_fail"] == summary["driver_fail_waived"], (
+        "unwaived driver failures on disk — fix them or document the "
+        "pending fix in WAIVERS.json"
+    )
+    assert summary["regressed"] == []
     assert (
         summary["driver_pass"]
         + summary["driver_rows_only_run"]
+        + summary["driver_fail"]
         + summary["local_only"]
         == summary["registry"]
     )

@@ -77,9 +77,18 @@ _ROWS_ONLY_INTERLEAVE = [
     "q_rolling_fingerprint",
     "q_sample_seeded",
     "q_theta_overlap",
+    # r6 additions (tokenizer-aware dedup tier + ANN recall harness)
+    "q_token_dedup_near",
+    "q_ann_recall",
 ]
 
 _DRIVER_PREFIX = 50  # the driver snapshots roughly this many per round
+
+# Checked queries whose verification contract changed since their last
+# driver record and must be re-run under the new contract: r6 upgraded
+# q_embedding_near_dup from rows-only (0 rows on the random corpus) to a
+# full hash oracle over a planted-duplicate corpus.
+_UPGRADE_RECHECK = ["q_embedding_near_dup"]
 
 # Oracle-backed queries the round-5 verdict calls out by name as the
 # round-6 verification bar (the last never-driver-checked oracle-backed
@@ -131,11 +140,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fixed-oracle re-checks: latest driver record failed — pin them
         # right after the unchecked block so the driver re-verifies the
         # fix while keeping every never-checked query ahead of them.
-        rechecks = [
-            q
-            for q in registry
-            if q in checked and q not in placed and _is_fail(status[q])
-        ]
+        # _UPGRADE_RECHECK: checked queries whose contract since CHANGED
+        # (e.g. rows-only → full oracle) ride the same re-check slot.
+        rechecks = sorted(
+            (
+                q
+                for q in registry
+                if q in checked
+                and q not in placed
+                and (_is_fail(status[q]) or q in _UPGRADE_RECHECK)
+            ),
+            key=lambda q: 0 if _is_fail(status[q]) else 1,
+        )  # stable: true failures ahead of contract upgrades
         placed |= set(tail_unchecked) | set(rechecks)
         tail_checked = [q for q in registry if q in checked and q not in placed]
         ordered = head + rows_priority + tail_unchecked + rechecks + tail_checked

@@ -75,9 +75,13 @@ HEADLINE = [
     "q_dedup_near_verified",
     "q_dedup_near",
     "q_ngram_jaccard",
+    "q_token_jaccard",
+    "q_token_dedup_near",
+    "q_ann_recall",
     "q_cosine_topk",
     "q_cosine_pairs",
     "q_ivf_search",
+    "q_embedding_near_dup",
     "q_data_profile",
     "q_outliers_zscore",
     "q_incremental_agg",
@@ -199,7 +203,9 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_exact": 0.22,
     "q_dedup_near": 2.25,
     "q_dedup_near_verified": 2.38,
+    "q_embedding_near_dup": 1.9,
     "q_equi_depth_bins": 0.22,
+    "q_ann_recall": 5.3,
     "q_exchange_reuse": 0.22,
     "q_exists_subquery": 0.4,
     "q_funnel": 0.25,
@@ -227,6 +233,8 @@ QUIET_HOST_REF_SEC = {
     "q_moving_avg_time": 0.27,
     "q_nested_rollup": 0.42,
     "q_ngram_jaccard": 0.71,
+    "q_token_jaccard": 1.0,
+    "q_token_dedup_near": 2.3,
     "q_outliers_zscore": 0.46,
     "q_pack_sequences": 0.45,
     "q_pagerank": 3.75,

@@ -57,6 +57,30 @@ def dedup_exact_keep_first(docs: DataFrame, subset: list[str]) -> DataFrame:
 # Shingling (shared by MinHash / Jaccard)
 # --------------------------------------------------------------------------
 
+# BPE-ish tokenizer regex (same class split as text.py's
+# bpe_ish_token_count): letter runs, digit runs, single punctuation marks.
+# ASCII classes only so Java regex (Spark) and RE2 (DuckDB oracles) agree.
+_BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _tokens_expr(text_col: str, tokenizer: str) -> Column:
+    """Token array for a document under the named tokenizer.
+
+    ``whitespace``: lower + trim + split on runs of whitespace (the
+    original shingler — an empty/whitespace-only doc yields one ""
+    token, preserved for backward compatibility with existing oracles).
+    ``bpe``: lower + BPE-ish regex extraction — punctuation splits from
+    words, so "don't stop." and "don' t stop ." shingle identically; an
+    empty doc yields ZERO tokens (the doc simply has no shingle set)."""
+    if tokenizer == "whitespace":
+        return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if tokenizer == "bpe":
+        return F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_BPE_TOKEN_RE), F.lit(0)
+        )
+    raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+
+
 def _word_shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles as an array<string> — JVM-side:
     split → sequence → transform(slice+join) → array_distinct."""
@@ -76,7 +100,11 @@ def shingle_docs(
 
 
 def shingle_docs_exploded(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """DISTINCT (id, shingle) rows — the hot-path shingler.
 
@@ -86,11 +114,17 @@ def shingle_docs_exploded(
     docs (< n tokens) contribute one truncated shingle, matching
     ``_word_shingles``'s slice-truncation semantics.
 
+    ``tokenizer="bpe"`` switches to the BPE-ish regex tokenization
+    (:data:`_BPE_TOKEN_RE`) — the tokenizer-aware dedup tier: shingles are
+    n-grams of word pieces, so punctuation/spacing variants of the same
+    sentence dedup together. Docs with zero tokens (empty text) have no
+    shingles under bpe.
+
     Shuffle profile: one exchange on id (window) + one on (id, shingle)
     (distinct); both carry short strings, and the downstream minhash agg
     reuses the distinct's partitioning.
     """
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokens = _tokens_expr(text_col, tokenizer)
     ex = docs.select(F.col(id_col), F.posexplode(tokens).alias("pos", "token"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
@@ -439,6 +473,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets: explode shingles → self-join on
     shingle → |∩| per pair → |∪| from per-doc set sizes.
@@ -451,7 +486,7 @@ def ngram_jaccard_pairs(
     # eager localCheckpoint: both sides of the self-join re-derive the
     # shingling otherwise; checkpoint (not persist) so nothing leaks into
     # the session CacheManager across queries
-    sized = shingle_docs_exploded(docs, text_col, id_col, n).withColumn(
+    sized = shingle_docs_exploded(docs, text_col, id_col, n, tokenizer).withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int")
     )
     exploded = sized.select(
@@ -487,6 +522,7 @@ def near_duplicates_verified(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """The full tiered near-dup pipeline as it runs at 100 TB:
     MinHash+LSH proposes candidate pairs (sub-quadratic), then EXACT n-gram
@@ -503,9 +539,9 @@ def near_duplicates_verified(
     # checkpoint the exploded shingle table ONCE: both the signature
     # pipeline and the shingle-set agg consume it, and the window+distinct
     # shingler is the expensive common prefix (at 100 TB: a parquet stage)
-    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n).localCheckpoint(
-        eager=True
-    )
+    shingled = shingle_docs_exploded(
+        docs, text_col, id_col, shingle_n, tokenizer
+    ).localCheckpoint(eager=True)
     # (id, shingle-set array) via codegen'd shingler + one collect_set agg —
     # the array form lets the verify tier be a per-pair array_intersect
     # instead of a shingle self-join

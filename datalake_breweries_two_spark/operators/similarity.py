@@ -387,6 +387,197 @@ def cosine_pairs_exact(
     )
 
 
+def ann_recall_curves(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    lsh_budgets: tuple = (16, 64),
+    ivf_probes: tuple = (1, 4),
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantified-recall harness: recall@k of each approximate ANN tier
+    against the exact brute-force top-k, averaged over ``n_queries``
+    deterministic query vectors (lowest ``xxhash64(id)`` — the same
+    bounded-collect class as centroid seeding). Returns one row per
+    (method, param): ``('brute', k)`` = 1.0 by definition (the sanity
+    row), ``('lsh', budget)`` per candidate budget, ``('ivf', n_probe)``
+    per probe count.
+
+    MULTI-QUERY, SINGLE-PLAN per tier (the batch-scoring shape a 100 TB
+    evaluation would use): all queries broadcast against one corpus scan;
+    per-query top-k via qid-partitioned windows; every (budget / probe)
+    config rides the SAME scored relation as an exploded config column,
+    so adding configs adds rows to a tiny frame, not corpus scans. The
+    only driver-side collects are the n_queries query vectors and the
+    n_centroids seeds — both bounded. All tie-breaks are id-ordered, so
+    the curves are deterministic."""
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_queries)
+        .collect()
+    )
+    queries = sorted(
+        ((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows),
+        key=lambda t: t[0],
+    )
+    dim = len(queries[0][1]) if queries else 64
+
+    # query-side LSH signatures + per-query centroid probe ranks are
+    # driver-side math over already-collected bounded rows
+    n_planes = 16
+    planes = [_hyperplane(dim, b) for b in range(n_planes)]
+    seeds = centroid_seeds(embeddings, n_centroids, id_col, vec_col)
+
+    def _qsig(qv: list) -> int:
+        s = 0
+        for b, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(qv, plane)) >= 0:
+                s |= 1 << b
+        return s
+
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, qv, _qsig(qv)) for qid, qv in queries],
+            T.StructType([
+                T.StructField("qid", T.LongType()),
+                T.StructField("qv", T.ArrayType(T.DoubleType())),
+                T.StructField("qsig", T.LongType()),
+            ]),
+        )
+    )
+    probe_rank_rows = []
+    for qid, qv in queries:
+        ranked = sorted(
+            seeds,
+            key=lambda s: (sum((x - y) ** 2 for x, y in zip(s[1], qv)), s[0]),
+        )
+        probe_rank_rows += [
+            (qid, cid, r + 1) for r, (cid, _) in enumerate(ranked)
+        ]
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            probe_rank_rows,
+            T.StructType([
+                T.StructField("qid", T.LongType()),
+                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("crank", T.IntegerType()),
+            ]),
+        )
+    )
+
+    cos = F.round(_cosine(F.col(vec_col), F.col("qv")), 6)
+    w_truth = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    # exact ground truth: one corpus scan scores ALL queries (broadcast);
+    # checkpoint because every tier's recall joins back against it
+    truth = (
+        embeddings.crossJoin(qdf)
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+        .localCheckpoint(eager=True)
+    )
+    denom = truth.groupBy("qid").agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def _avg_recall(hits: DataFrame, method: str, params_df: DataFrame) -> DataFrame:
+        """hits: (qid, param, id) candidate top-k rows → (method, param,
+        recall) averaged over queries."""
+        matched = hits.join(truth, ["qid", id_col]).groupBy("qid", "param").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        # left join from the full (qid × param) grid so zero-hit configs
+        # (even ones with zero CANDIDATES, e.g. an empty probed cluster)
+        # average in as 0, not absent
+        grid = qdf.select("qid").crossJoin(params_df)
+        per_q = (
+            grid.join(matched, ["qid", "param"], "left")
+            .join(F.broadcast(denom), "qid")
+            .select(
+                "param",
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("r"),
+            )
+        )
+        return per_q.groupBy("param").agg(
+            F.round(F.avg("r"), 4).alias("recall")
+        ).select(F.lit(method).alias("method"), F.col("param").cast("int"), "recall")
+
+    # ---- LSH tier: hamming-rank once, every budget filters the same frame
+    max_budget = max(lsh_budgets)
+    signed = embeddings.withColumn(
+        "lsh_sig", _signature_expr(vec_col, n_planes, dim)
+    )
+    w_h = Window.partitionBy("qid").orderBy(F.col("hamm").asc(), F.col(id_col).asc())
+    lsh_cand = (
+        signed.crossJoin(qdf)
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qv"),
+            F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("qsig"))).alias("hamm"),
+        )
+        .withColumn("rn_h", F.row_number().over(w_h))
+        .filter(F.col("rn_h") <= max_budget)
+        .select("qid", id_col, cos.alias("cosine"), "rn_h")
+    )
+    budgets_df = F.broadcast(
+        spark.createDataFrame([(int(b),) for b in lsh_budgets], "param int")
+    )
+    w_lsh = Window.partitionBy("qid", "param").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    lsh_hits = (
+        lsh_cand.join(budgets_df, F.col("rn_h") <= F.col("param"))
+        .withColumn("rn", F.row_number().over(w_lsh))
+        .filter(F.col("rn") <= k)
+        .select("qid", "param", id_col)
+    )
+
+    # ---- IVF tier: assign once, every n_probe filters the centroid rank
+    max_probe = max(ivf_probes)
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    ivf_cand = (
+        assigned.join(probe_df, "centroid_id")
+        .filter((F.col("crank") <= max_probe) & (F.col(id_col) != F.col("qid")))
+        .join(qdf.drop("qsig"), "qid")
+        .select("qid", F.col(id_col), cos.alias("cosine"), "crank")
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame([(int(p),) for p in ivf_probes], "param int")
+    )
+    ivf_hits = (
+        ivf_cand.join(probes_df, F.col("crank") <= F.col("param"))
+        .withColumn("rn", F.row_number().over(w_lsh))
+        .filter(F.col("rn") <= k)
+        .select("qid", "param", id_col)
+    )
+
+    brute = spark.createDataFrame(
+        [("brute", int(k), 1.0)],
+        T.StructType([
+            T.StructField("method", T.StringType()),
+            T.StructField("param", T.IntegerType()),
+            T.StructField("recall", T.DoubleType()),
+        ]),
+    )
+    return (
+        brute.unionByName(_avg_recall(lsh_hits, "lsh", budgets_df))
+        .unionByName(_avg_recall(ivf_hits, "ivf", probes_df))
+        .orderBy("method", "param")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -84,13 +84,16 @@ def audit_plan(
     max_wide_exchanges: int | None = None,
     allow_nested_loop: bool = False,
     allow_global_sort: bool = False,
+    allow_unpartitioned_window: bool = False,
 ) -> list[Finding]:
     """Audit a DataFrame's physical plan; returns findings (empty = clean).
 
     ``max_wide_exchanges``: budget for shuffle exchanges (Exchange minus
     BroadcastExchange) — pass the number the operator's design promises.
-    ``allow_nested_loop`` / ``allow_global_sort``: acknowledge a documented
-    bounded cross join or an intentional full ordering.
+    ``allow_nested_loop`` / ``allow_global_sort`` /
+    ``allow_unpartitioned_window``: acknowledge a documented bounded cross
+    join, an intentional full ordering, or a window over a provably tiny
+    frame that is NOT the ``_pid`` boundary pattern.
     """
     plan = _plan_string(df)
     findings: list[Finding] = []
@@ -144,6 +147,39 @@ def audit_plan(
                     "limit-k so Spark plans TakeOrderedAndProject",
                 )
             )
+
+    # Unpartitioned Window: a `Window [...]` node with no partition spec
+    # funnels its whole input through ONE task ("No Partition Defined" in
+    # the Spark log) — the plan shape that killed q_ks_test-class queries
+    # at scale before the r5 prefix-sum rewrite. EXEMPT: windows ordered
+    # by `_pid` — operators/windows.py range_prefix_sums's boundary frame,
+    # whose input is the post-aggregate per-partition totals (O(#parts)
+    # rows by construction), so a real regression stands out instead of
+    # the benign boundary window crying wolf on every audit.
+    if not allow_unpartitioned_window:
+        for line in plan.splitlines():
+            node = re.sub(r"^[\s+\-:*()0-9]*", "", line)
+            if not node.startswith("Window "):
+                continue
+            # partitioned windows print 3 top-level groups
+            # (`[exprs], [part], [order]`), unpartitioned only 2
+            if node.count("], [") != 1:
+                continue
+            order_spec = node.rsplit("], [", 1)[1]
+            if "_pid#" in order_spec:
+                continue  # range_prefix_sums boundary: O(#partitions) rows
+            findings.append(
+                Finding(
+                    "unpartitioned_window",
+                    WARN,
+                    "Window with no PARTITION BY funnels the whole relation "
+                    "through one task — partition the window, or compute "
+                    "exact global running values with the distributed "
+                    "prefix-sum pattern (operators/windows.py "
+                    "range_prefix_sums)",
+                )
+            )
+            break  # one finding per plan is enough signal
 
     # Filter evaluated above a parquet scan that pushed NO filters at all:
     # the predicate never reached the reader, so the scan is full-table.

@@ -554,6 +554,71 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
 
 
+def test_ann_recall_curves_invariants(spark):
+    """The recall harness must satisfy the exactness invariants: a
+    candidate budget covering the whole corpus makes LSH recall 1, probing
+    every centroid makes IVF recall 1, and recall is monotone in the
+    budget/probe parameter (all values in [0, 1])."""
+    docs = load_table(spark, "embeddings", SF_SMOKE)
+    n = docs.count()
+    rep = {
+        (r["method"], r["param"]): r["recall"]
+        for r in similarity.ann_recall_curves(
+            docs,
+            n_queries=2,
+            k=5,
+            lsh_budgets=(8, n),
+            ivf_probes=(1, 4),
+            n_centroids=4,
+        ).collect()
+    }
+    assert rep[("brute", 5)] == 1.0
+    assert rep[("lsh", n)] == 1.0, "full candidate budget must reach recall 1"
+    assert rep[("ivf", 4)] == 1.0, "probing every centroid must reach recall 1"
+    assert 0.0 <= rep[("lsh", 8)] <= rep[("lsh", n)]
+    assert 0.0 <= rep[("ivf", 1)] <= rep[("ivf", 4)]
+
+
+def test_token_dedup_tiered_subset_of_exact(spark):
+    """Tokenizer-aware tier (BPE-ish token 2-gram shingles): every pair
+    surviving LSH→verify must appear in the exact token-Jaccard ground
+    truth with the same score, and the tokenizer must actually differ
+    from whitespace shingling (punctuation variants dedup together)."""
+    from datalake_breweries_two_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=2, threshold=0.3, tokenizer="bpe"
+        ).collect()
+    }
+    tiered = dedup.near_duplicates_verified(
+        docs, shingle_n=2, num_hashes=32, bands=8, threshold=0.3, tokenizer="bpe"
+    ).collect()
+    assert len(tiered) > 0
+    for r in tiered:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"tiered invented pair {key}"
+        assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
+
+    # tokenizer-awareness: a punctuation/spacing variant pair is identical
+    # under BPE-ish tokens but diverges under whitespace tokens
+    pair = spark.createDataFrame(
+        [
+            (1, "don't stop believing, hold on."),
+            (2, "don' t stop believing ,hold on ."),
+        ],
+        "doc_id long, text string",
+    )
+    bpe = dedup.ngram_jaccard_pairs(pair, n=2, threshold=0.0, tokenizer="bpe").collect()
+    assert len(bpe) == 1 and bpe[0]["jaccard"] == 1.0
+    ws = dedup.ngram_jaccard_pairs(
+        pair, n=2, threshold=0.0, tokenizer="whitespace"
+    ).collect()
+    assert not ws or ws[0]["jaccard"] < 1.0
+
+
 def test_embedding_near_dup_detects_planted_pairs(spark):
     """r5 verdict: q_embedding_near_dup had zero positive evidence (0 rows
     on the random corpus). Plant known near-duplicates — exact scaled
@@ -2336,6 +2401,34 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
     a.write.parquet(src)
     df = spark.read.parquet(src).filter("pmod(id, 7) = 3 OR id IS NULL")
     assert "filter_not_pushed" in rules(audit_plan(df))
+
+    # unpartitioned window: one-task funnel — flagged...
+    from pyspark.sql import Window
+
+    w_bad = Window.orderBy("id")
+    assert "unpartitioned_window" in rules(
+        audit_plan(a.select(F.sum("id").over(w_bad).alias("s")))
+    )
+    # ...but a PARTITIONED window is not...
+    w_ok = Window.partitionBy("k").orderBy("id")
+    assert "unpartitioned_window" not in rules(
+        audit_plan(a.select(F.sum("id").over(w_ok).alias("s")))
+    )
+    # ...and the range_prefix_sums boundary window (ordered by _pid over
+    # the post-aggregate per-partition totals, O(#partitions) rows by
+    # construction) is EXEMPT, so the benign pattern the r5 bench logged
+    # "No Partition Defined" warnings for no longer cries wolf (r5
+    # verdict item 6) — while the acknowledge flag still works
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
+
+    pfx = range_prefix_sums(a.withColumn("one", F.lit(1)), "id", ["one"], n_parts=4)
+    assert "unpartitioned_window" not in rules(audit_plan(pfx))
+    assert "unpartitioned_window" not in rules(
+        audit_plan(
+            a.select(F.sum("id").over(w_bad).alias("s")),
+            allow_unpartitioned_window=True,
+        )
+    )
 
     # the engine's own plans are clean under their declared budgets
     assert audit_plan(q_gold_agg(spark, SF_SMOKE), max_wide_exchanges=1) == []

@@ -294,9 +294,13 @@ SHUFFLE_BUDGET = {
     "q_dedup_near_verified": 5, # band agg + pair distinct + verify joins
     "q_dedup_near": 2,
     "q_ngram_jaccard": 1,
+    "q_token_jaccard": 1,
+    "q_token_dedup_near": 5,  # same tiered shape as q_dedup_near_verified
+    "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames
     "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
     "q_cosine_pairs": 0,        # bounded broadcast self-join
     "q_ivf_search": 0,          # partition-pruned index probe
+    "q_embedding_near_dup": 4,  # band equi-join + pair distinct + 2 re-attach
     "q_data_profile": 2,
     "q_outliers_zscore": 1,
     "q_incremental_agg": 2,     # delta agg + merge with snapshot

@@ -194,7 +194,7 @@ SHUFFLE_BUDGET = {
     "q_minmax_by": 1,
     "q_funnel": 1,              # user-keyed shuffle reused across stages
     "q_sessionize": 1,          # one user-keyed window
-    "q_cohort_retention": 3,    # first-seen agg + user-day distinct + rollup
+    "q_cohort_retention": 2,    # r6 single-pass: user-day-set agg + rollup
     "q_moving_avg_time": 2,     # daily agg + group-keyed window
     "q_snapshot_diff": 2,       # the key-partitioned full-outer join
     "q_cdc_apply": 8,           # diff (full-outer) + anti + merge composite

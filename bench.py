@@ -77,6 +77,9 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_token_jaccard",
     "q_token_dedup_near",
+    "q_token_dup_clusters",
+    "q_quality_funnel",
+    "q_asof_join_nearest",
     "q_ann_recall",
     "q_cosine_topk",
     "q_cosine_pairs",
@@ -235,6 +238,9 @@ QUIET_HOST_REF_SEC = {
     "q_ngram_jaccard": 0.71,
     "q_token_jaccard": 1.0,
     "q_token_dedup_near": 2.3,
+    "q_token_dup_clusters": 1.0,
+    "q_quality_funnel": 0.55,
+    "q_asof_join_nearest": 0.78,
     "q_outliers_zscore": 0.46,
     "q_pack_sequences": 0.45,
     "q_pagerank": 3.75,

@@ -542,6 +542,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (either direction, one key exchange): each click
+    matched to the user's purchase CLOSEST in time — backward preferred on
+    exact distance ties. NULL timestamps are excluded on both sides (a
+    row without a time has no distance; mirrors the oracle's NULL
+    comparison semantics)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join_nearest(
+        clicks,
+        purchases.withColumnRenamed("event_id", "p_event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["p_event_id", "value"],
+        tie_col="p_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("near_event_id"),
+        F.col("asof_value").alias("near_value"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (band) join: orders bucketed into static price bands via a
     broadcast non-equi join (zero shuffles on the fact side)."""
@@ -1785,6 +1814,30 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-AWARE duplicate clusters: exact BPE-ish token 2-gram
+    Jaccard pairs (≥0.3) → connected components → every clustered doc
+    labeled with its cluster's min doc_id (the canonical copy). The
+    tokenizer-aware twin of q_dedup_clusters: same transitive-closure
+    oracle (recursive CTE), pairs from token shingles, so punctuation
+    variants land in one cluster. BOUNDED to doc_id < 400 (same fence as
+    q_token_jaccard): token 2-grams are zipfian, so the corpus-wide exact
+    self-join explodes on common bigrams — measured OOM at sf0.1. The
+    scale path is unchanged: at 100 TB the SAME connected_components
+    consumes q_token_dedup_near's LSH-candidate pairs (frequency-bounded
+    buckets), never a corpus-wide exact join."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400),
+        n=2,
+        threshold=0.3,
+        tokenizer="bpe",
+    )
+    comps = dedup.connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — engine-specific hashing, rows-only."""
     return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
@@ -1926,6 +1979,15 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid assignment histogram — rows-only."""
     assigned = similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
     return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter acceptance funnel over documents — five
+    survivor counts (all → nonempty → ≥5 tokens → sane token length →
+    sane punctuation) from ONE conditional-sum aggregate over one scan;
+    every predicate is integer arithmetic (no FP), see
+    operators/text.py:quality_filter_funnel."""
+    return text.quality_filter_funnel(_t(spark, sf_dir, "documents"))
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2140,6 +2202,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_histogram": q_histogram,
     "q_sql_tpch_q1": q_sql_tpch_q1,
     "q_asof_join": q_asof_join,
+    "q_asof_join_nearest": q_asof_join_nearest,
     "q_range_join": q_range_join,
     "q_skew_join_salted": q_skew_join_salted,
     "q_grouping_sets": q_grouping_sets,
@@ -2205,6 +2268,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_token_jaccard": q_token_jaccard,
+    "q_token_dup_clusters": q_token_dup_clusters,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -2212,6 +2276,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_assign": q_ivf_assign,
     "q_ann_recall": q_ann_recall,
     "q_text_stats": q_text_stats,
+    "q_quality_funnel": q_quality_funnel,
     "q_text_quality": q_text_quality,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -2425,6 +2490,28 @@ ORACLE_SQL: dict[str, str] = {
                   AND date_trunc('microseconds', r.ts) <= date_trunc('microseconds', l.ts)
                 ORDER BY date_trunc('microseconds', r.ts) DESC, r.event_id DESC
                 LIMIT 1) AS asof_value
+        FROM l
+    """,
+    "q_asof_join_nearest": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click' AND ts IS NOT NULL),
+             r AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase' AND ts IS NOT NULL)
+        SELECT l.event_id, l.user_id,
+               (SELECT r.event_id FROM r
+                WHERE r.user_id = l.user_id
+                ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                         (r.ts <= l.ts) DESC,
+                         CASE WHEN r.ts <= l.ts THEN -r.event_id
+                              ELSE r.event_id END ASC
+                LIMIT 1) AS near_event_id,
+               (SELECT r.value FROM r
+                WHERE r.user_id = l.user_id
+                ORDER BY abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+                         (r.ts <= l.ts) DESC,
+                         CASE WHEN r.ts <= l.ts THEN -r.event_id
+                              ELSE r.event_id END ASC
+                LIMIT 1) AS near_value
         FROM l
     """,
     "q_range_join": """
@@ -3422,6 +3509,84 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE_SQL["q_quality_funnel"] = """
+    WITH flags AS (
+        SELECT
+            (length(trim(text)) > 0) AS p1,
+            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nt,
+            list_aggregate(list_transform(
+                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                x -> length(x)), 'sum') AS sum_len,
+            len(list_filter(
+                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                x -> NOT regexp_matches(x, '^[a-z0-9]'))) AS n_punct
+        FROM documents
+    ),
+    staged AS (
+        SELECT p1,
+               (p1 AND nt >= 5) AS p2,
+               (p1 AND nt >= 5 AND sum_len <= nt * 12) AS p3,
+               (p1 AND nt >= 5 AND sum_len <= nt * 12
+                   AND n_punct * 2 <= nt) AS p4
+        FROM flags
+    ),
+    agg AS (
+        SELECT count(*) AS c0,
+               CAST(coalesce(sum(CASE WHEN p1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+               CAST(coalesce(sum(CASE WHEN p2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+               CAST(coalesce(sum(CASE WHEN p3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+               CAST(coalesce(sum(CASE WHEN p4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4
+        FROM staged
+    )
+    SELECT 'all' AS stage, 0 AS stage_idx, c0 AS n_docs FROM agg
+    UNION ALL SELECT 'nonempty', 1, c1 FROM agg
+    UNION ALL SELECT 'min_tokens', 2, c2 FROM agg
+    UNION ALL SELECT 'token_len', 3, c3 FROM agg
+    UNION ALL SELECT 'punct', 4, c4 FROM agg
+"""
+
+ORACLE_SQL["q_token_dup_clusters"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+        WHERE doc_id < 400
+    ),
+    nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' ')
+               )) AS shingles
+        FROM nz
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+    ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS sz_a, b.set_size AS sz_b,
+               count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        WHERE round(n_inter / (sz_a + sz_b - n_inter), 4) >= 0.3
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+        SELECT s, d FROM sym
+        UNION
+        SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS canonical_id FROM reach GROUP BY s
+"""
 
 # Exact quadratic recompute of the banded-LSH near-dup query: valid as a
 # full hash oracle because (a) planted scaled copies are caught by LSH

@@ -132,6 +132,72 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row with the same
+    key minimizing ``|right.ts - left.ts|`` in EITHER direction — the
+    sensor-alignment / closest-quote shape. Ties between an equally-near
+    earlier and later row prefer the earlier (backward) one; equal-ts ties
+    within a direction keep each direction's own convention (backward:
+    highest ``tie_col``, forward: lowest — matching :func:`asof_join` and
+    :func:`asof_join_forward` exactly, so nearest == the better of the
+    two).
+
+    One tag+union with BOTH carries over the SAME key exchange: the
+    backward ``last(...)`` and forward ``first(...)`` windows share
+    ``partitionBy(key)``, so Catalyst plans one Exchange and two sorts —
+    still no pair expansion, still O(n log n) per key at any scale."""
+    lt = left.withColumn("_tag", F.lit(1))
+    rt_cols = list(dict.fromkeys([key_col, ts_col, tie_col, *right_cols]))
+    rt = right.select(*rt_cols).withColumn("_tag", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    payload = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
+    w_b = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").desc(), F.col(tie_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last(
+        F.when(F.col("_tag") == 0, payload), ignorenulls=True
+    ).over(w_b)
+    fwd = F.first(
+        F.when(F.col("_tag") == 0, payload), ignorenulls=True
+    ).over(w_f)
+    tagged = (
+        u.withColumn("_back", back)
+        .withColumn("_fwd", fwd)
+        .filter(F.col("_tag") == 1)
+    )
+    # unix_micros, not cast("long"): the cast truncates to SECONDS and
+    # sub-second differences would tie/flip the nearest choice
+    bdiff = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_back._rts"))
+    fdiff = F.unix_micros(F.col("_fwd._rts")) - F.unix_micros(F.col(ts_col))
+    chosen = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(bdiff <= fdiff, F.col("_back"))  # tie → backward
+        .otherwise(F.col("_fwd"))
+    )
+    out = tagged.withColumn("_near", chosen)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_near").getField(c).alias(f"asof_{c}") for c in right_cols],
+    )
+
+
 def range_join_bands(
     facts: DataFrame,
     bands: DataFrame,

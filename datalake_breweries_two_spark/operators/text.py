@@ -39,6 +39,55 @@ def bpe_ish_token_count(col: str) -> Column:
     )
 
 
+def quality_filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-by-stage survivor counts of a sequential quality-filter
+    pipeline — the acceptance-funnel report a training-data pipeline
+    emits after every corpus refresh. Stages (each implies the previous):
+
+      0 all          every document
+      1 nonempty     trim(text) is non-empty
+      2 min_tokens   ≥5 BPE-ish tokens
+      3 token_len    mean token length ≤ 12 chars (sum_len ≤ 12·n — an
+                     INTEGER comparison, no division anywhere)
+      4 punct        punctuation tokens ≤ half of all tokens (2·p ≤ n)
+
+    SINGLE PASS: all five counts are conditional sums in ONE aggregate
+    over one scan — no per-stage jobs, no shuffle of document text (the
+    only exchange carries five partial counters). Every predicate is
+    exact integer arithmetic, so the funnel is bit-identical on any
+    engine."""
+    t = F.lower(F.col(text_col))
+    toks = F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    nt = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.size(F.filter(toks, lambda x: ~x.rlike("^[a-z0-9]")))
+    p1 = F.length(F.trim(F.col(text_col))) > 0
+    p2 = p1 & (nt >= 5)
+    p3 = p2 & (sum_len <= nt * 12)
+    p4 = p3 & (n_punct * 2 <= nt)
+
+    def cnt(p) -> Column:
+        return F.coalesce(
+            F.sum(F.when(p, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(p1).alias("c1"),
+        cnt(p2).alias("c2"),
+        cnt(p3).alias("c3"),
+        cnt(p4).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'all', 0, c0, 'nonempty', 1, c1, 'min_tokens', 2, c2,"
+            " 'token_len', 3, c3, 'punct', 4, c4)"
+        ).alias("stage", "stage_idx", "n_docs")
+    )
+
+
 def text_quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features per document: length, token count, mean token
     length, punctuation ratio, stopword ratio, uppercase ratio.

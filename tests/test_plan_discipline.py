@@ -296,6 +296,9 @@ SHUFFLE_BUDGET = {
     "q_ngram_jaccard": 1,
     "q_token_jaccard": 1,
     "q_token_dedup_near": 5,  # same tiered shape as q_dedup_near_verified
+    "q_token_dup_clusters": 1,  # bounded pairs; CC labels read from checkpoint
+    "q_quality_funnel": 1,      # one conditional-sum aggregate
+    "q_asof_join_nearest": 1,   # one key exchange, two sorts
     "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames
     "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
     "q_cosine_pairs": 0,        # bounded broadcast self-join

@@ -84,11 +84,14 @@ _ROWS_ONLY_INTERLEAVE = [
 
 _DRIVER_PREFIX = 50  # the driver snapshots roughly this many per round
 
-# Checked queries whose verification contract changed since their last
-# driver record and must be re-run under the new contract: r6 upgraded
-# q_embedding_near_dup from rows-only (0 rows on the random corpus) to a
-# full hash oracle over a planted-duplicate corpus.
-_UPGRADE_RECHECK = ["q_embedding_near_dup"]
+def _is_upgrade(name: str, rec: dict, oracles) -> bool:
+    """A checked query whose verification contract since STRENGTHENED:
+    its latest driver record was rows-only (`err: no_oracle`) but the
+    registry now declares a DuckDB oracle for it (e.g. r6 upgraded
+    q_embedding_near_dup from rows-only to a full hash oracle over a
+    planted-duplicate corpus). Self-expiring: once the driver records an
+    oracle-checked result, the condition is false."""
+    return name in oracles and rec.get("err") == "no_oracle"
 
 # Oracle-backed queries the round-5 verdict calls out by name as the
 # round-6 verification bar (the last never-driver-checked oracle-backed
@@ -140,15 +143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Fixed-oracle re-checks: latest driver record failed — pin them
         # right after the unchecked block so the driver re-verifies the
         # fix while keeping every never-checked query ahead of them.
-        # _UPGRADE_RECHECK: checked queries whose contract since CHANGED
-        # (e.g. rows-only → full oracle) ride the same re-check slot.
+        # Contract upgrades (rows-only → full oracle) ride the same
+        # re-check slot and self-expire once oracle-checked.
         rechecks = sorted(
             (
                 q
                 for q in registry
                 if q in checked
                 and q not in placed
-                and (_is_fail(status[q]) or q in _UPGRADE_RECHECK)
+                and (_is_fail(status[q]) or _is_upgrade(q, status[q], oracles))
             ),
             key=lambda q: 0 if _is_fail(status[q]) else 1,
         )  # stable: true failures ahead of contract upgrades

@@ -1953,8 +1953,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # 8 planes × 2 bands: parallel-vector recall is 1 under ANY banding
+    # (the signatures are scale-invariant), and the smaller plane-literal
+    # expression tree keeps whole-stage codegen cheap — 12×4 planes
+    # measured 4.6 s of fresh-plan JIT at sf0.1 vs ~2 s for 8×2 with the
+    # identical (oracle-checked) output
     return similarity.embedding_near_dup_pairs(
-        emb.unionByName(twins), threshold=0.95, n_planes=12, n_bands=4
+        emb.unionByName(twins), threshold=0.95, n_planes=8, n_bands=2
     )
 
 

@@ -86,14 +86,33 @@ def cohort_retention(
     the set's min, and an explode + small (cohort, offset) aggregate
     finishes. One wide exchange on the user id instead of three
     (distinct + first-seen + final) and no join at any scale.
+
+    NULL semantics mirror the original join formulation (and the DuckDB
+    oracle) exactly — caught by the r6 nulls-profile sweep: a NULL user
+    id joins nothing (excluded up front), while a NULL event time still
+    contributes one DISTINCT (user, NULL) day whose offset is NULL —
+    ``collect_set`` silently drops NULL elements, so the NULL day rides
+    a separate has-null flag and is re-appended before the explode.
     """
-    per_user = events.groupBy(user_col).agg(
-        F.collect_set(F.to_date(F.col(ts_col))).alias("days")
+    day = F.to_date(F.col(ts_col))
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.collect_set(day).alias("days"),
+            F.max(F.when(day.isNull(), 1).otherwise(0)).alias("has_null_day"),
+        )
     )
+    all_days = F.when(
+        F.col("has_null_day") == 1,
+        F.concat(F.col("days"), F.array(F.lit(None).cast("date"))),
+    ).otherwise(F.col("days"))
     return (
         per_user.select(
+            # array_min skips NULL elements: a user with only NULL-time
+            # events has an empty set -> NULL cohort, matching min(ts)
             F.array_min("days").alias("cohort_day"),
-            F.explode("days").alias("day"),
+            F.explode(all_days).alias("day"),
         )
         .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))

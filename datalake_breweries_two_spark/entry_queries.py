@@ -1783,8 +1783,14 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli TABLESAMPLE with a fixed seed — per-row RNG stream is
     engine-specific, so rows-only check. At scale this is the standard
     corpus-subsampling primitive (no shuffle; sampling happens in the scan
-    stage)."""
-    return _t(spark, sf_dir, "orders").sample(0.1, seed=42).select(
+    stage).
+
+    API gotcha (caught by test_sample_seeded_deterministic_and_bounded):
+    ``sample(0.1, seed=42)`` — positional fraction in the withReplacement
+    slot plus a seed KEYWORD — silently drops the seed and samples with a
+    fresh RNG per call; only ``sample(fraction=..., seed=...)`` (or both
+    positional) plants the seed in the plan."""
+    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey"
     )
 

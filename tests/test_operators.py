@@ -554,6 +554,65 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
 
 
+def test_sample_seeded_deterministic_and_bounded(spark):
+    """q_sample_seeded's contract: the seeded Bernoulli sample must be (a)
+    a strict subset of the source, (b) IDENTICAL across two evaluations
+    with the same seed (reproducible corpus subsampling), (c) different
+    for a different seed, and (d) within a loose tolerance of the 10%
+    target rate."""
+    src = load_table(spark, "orders", SF_SMOKE).select("o_orderkey")
+    n = src.count()
+    # NOTE the kwargs: `sample(0.1, seed=42)` (positional fraction in the
+    # withReplacement slot) SILENTLY DROPS the seed — the bug this test
+    # originally caught in q_sample_seeded
+    s1 = {r[0] for r in src.sample(fraction=0.1, seed=42).collect()}
+    s2 = {r[0] for r in src.sample(fraction=0.1, seed=42).collect()}
+    s3 = {r[0] for r in src.sample(fraction=0.1, seed=43).collect()}
+    all_ids = {r[0] for r in src.collect()}
+    assert s1 == s2, "same seed must reproduce the same sample"
+    assert s1 <= all_ids
+    assert s1 != s3, "different seed must (overwhelmingly) differ"
+    assert 0.03 * n <= len(s1) <= 0.25 * n
+
+
+def test_rolling_fingerprint_equivalence_and_stability(spark):
+    """q_rolling_fingerprint's winnowing min-hash: identical texts share a
+    fingerprint, and the transform+array_min formulation must equal an
+    independent posexplode+groupBy-min recompute of the same shingle
+    hashes (two different plans, one definition)."""
+    from datalake_breweries_two_spark.operators.text import rolling_hash_fingerprint
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    fp = {
+        r["doc_id"]: r["robust_fingerprint"]
+        for r in rolling_hash_fingerprint(docs, window=16).collect()
+    }
+    # independent recompute: explode the shingle index, hash, group-min
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 16 + 1, F.lit(1)))
+    ref = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", "text", F.explode(idx).alias("i"))
+        .select(
+            "doc_id", F.xxhash64(F.col("text").substr(F.col("i"), F.lit(16))).alias("h")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp"))
+        .collect()
+    }
+    assert fp == ref, "array formulation diverges from exploded recompute"
+
+    # duplicate text ⇒ identical fingerprint (the dedup property)
+    pair = spark.createDataFrame(
+        [(1, "the exact same document text"), (2, "the exact same document text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["robust_fingerprint"]
+           for r in rolling_hash_fingerprint(pair, window=8).collect()}
+    assert out[1] == out[2]
+
+
 def test_ann_recall_curves_invariants(spark):
     """The recall harness must satisfy the exactness invariants: a
     candidate budget covering the whole corpus makes LSH recall 1, probing

@@ -2502,6 +2502,56 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
         raise AssertionError("expected PlanAuditError")
 
 
+def test_asof_nearest_bruteforce_randomized(spark):
+    """Nearest as-of vs a per-row Python brute force over a seeded random
+    lake dense with ties: candidates ranked by (abs time distance,
+    backward-preferred, direction-specific tie id — backward highest,
+    forward lowest), exactly the operator's composed convention."""
+    import datetime as dt
+    import random
+
+    from datalake_breweries_two_spark.operators.joins import asof_join_nearest
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    # coarse second grid so equal-ts and equal-distance ties are common
+    left_rows = [
+        (i, rng.randint(100, 104), t(rng.randint(0, 30)))
+        for i in range(60)
+    ]
+    right_rows = [
+        (rng.randint(100, 105), t(rng.randint(0, 30)), 900 + j, float(j))
+        for j in range(40)
+    ]
+    left = spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        right_rows, ["user_id", "ts", "p_event_id", "value"]
+    )
+    out = asof_join_nearest(
+        left, right, key_col="user_id", ts_col="ts",
+        right_cols=["p_event_id", "value"], tie_col="p_event_id",
+    )
+    got = {r["event_id"]: (r["asof_p_event_id"], r["asof_value"])
+           for r in out.collect()}
+
+    expected = {}
+    for eid, uid, lts in left_rows:
+        cands = [
+            (abs((rts - lts).total_seconds()),
+             0 if rts <= lts else 1,                   # backward preferred
+             -pid if rts <= lts else pid,              # back: highest id; fwd: lowest
+             pid, v)
+            for (ruid, rts, pid, v) in right_rows if ruid == uid
+        ]
+        if cands:
+            _, _, _, pid, v = min(cands)
+            expected[eid] = (pid, v)
+        else:
+            expected[eid] = (None, None)
+    assert got == expected
+
+
 def test_asof_forward_bruteforce_with_equal_ts(spark):
     """Forward as-of must pick the EARLIEST right row with ts >= left.ts,
     INCLUDING a right row at exactly-equal ts, ties at equal ts broken by

@@ -1820,6 +1820,29 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: only the NOVEL documents of a new
+    batch survive — batch rows (doc_id ≥ 300) LEFT-ANTI joined on the
+    exact content fingerprint (md5 of text) against the already-ingested
+    corpus (doc_id < 300). The cross-run dedup shape every recurring
+    crawl/ingest pipeline runs before appending to the lake.
+
+    Scale: one hash-keyed anti join — both sides shuffle on the
+    fingerprint only (16-byte keys + ids, never document text); no
+    broadcast assumption because the ingested corpus is the BIG side at
+    100 TB. NULL-text rows have a NULL fingerprint, which an anti join
+    KEEPS (null never equals null) — mirrored by NOT EXISTS, not NOT IN,
+    in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fingerprint")
+    )
+    prior = docs.filter(F.col("doc_id") < 300).select("fingerprint")
+    batch = docs.filter(F.col("doc_id") >= 300)
+    return batch.join(prior, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
 def q_token_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER-AWARE duplicate clusters: exact BPE-ish token 2-gram
     Jaccard pairs (≥0.3) → connected components → every clustered doc
@@ -2280,6 +2303,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_token_jaccard": q_token_jaccard,
     "q_token_dup_clusters": q_token_dup_clusters,
+    "q_incremental_ingest_dedup": q_incremental_ingest_dedup,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -3520,6 +3544,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE_SQL["q_incremental_ingest_dedup"] = """
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    SELECT b.doc_id, b.fingerprint
+    FROM fp b
+    WHERE b.doc_id >= 300
+      AND NOT EXISTS (SELECT 1 FROM fp p
+                      WHERE p.doc_id < 300
+                        AND p.fingerprint = b.fingerprint)
+"""
 
 ORACLE_SQL["q_quality_funnel"] = """
     WITH flags AS (

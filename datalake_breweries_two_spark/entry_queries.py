@@ -2015,6 +2015,14 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM — the statistical-LM quality signal for
+    ranking/filtering training documents (see
+    operators/text.py:bigram_logprob for the shared-stage plan shape)."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential quality-filter acceptance funnel over documents — five
     survivor counts (all → nonempty → ≥5 tokens → sane token length →
@@ -2312,6 +2320,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ann_recall": q_ann_recall,
     "q_text_stats": q_text_stats,
     "q_quality_funnel": q_quality_funnel,
+    "q_bigram_logprob": q_bigram_logprob,
     "q_text_quality": q_text_quality,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
@@ -3404,7 +3413,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_token_jaccard": """
         WITH toks AS (
             SELECT doc_id,
-                   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+                   regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
             FROM documents
             WHERE doc_id < 400
         ),
@@ -3545,6 +3554,37 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["q_bigram_logprob"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        WHERE len(t) >= 2
+    ),
+    bstat AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+    cstat AS (SELECT w1, count(*) AS cc FROM big GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(t) AS w FROM toks)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               ln(CAST(s.cb + 1 AS DOUBLE) / CAST(c.cc + v.v AS DOUBLE)) AS lp
+        FROM big b
+        JOIN bstat s USING (w1, w2)
+        JOIN cstat c USING (w1)
+        CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
 ORACLE_SQL["q_incremental_ingest_dedup"] = """
     WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
     SELECT b.doc_id, b.fingerprint
@@ -3559,12 +3599,12 @@ ORACLE_SQL["q_quality_funnel"] = """
     WITH flags AS (
         SELECT
             (length(trim(text)) > 0) AS p1,
-            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nt,
+            len(regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nt,
             list_aggregate(list_transform(
-                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
                 x -> length(x)), 'sum') AS sum_len,
             len(list_filter(
-                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
                 x -> NOT regexp_matches(x, '^[a-z0-9]'))) AS n_punct
         FROM documents
     ),
@@ -3594,7 +3634,7 @@ ORACLE_SQL["q_quality_funnel"] = """
 ORACLE_SQL["q_token_dup_clusters"] = """
     WITH RECURSIVE toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
         FROM documents
         WHERE doc_id < 400
     ),

@@ -71,12 +71,20 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
     token, preserved for backward compatibility with existing oracles).
     ``bpe``: lower + BPE-ish regex extraction — punctuation splits from
     words, so "don't stop." and "don' t stop ." shingle identically; an
-    empty doc yields ZERO tokens (the doc simply has no shingle set)."""
+    empty doc yields ZERO tokens (the doc simply has no shingle set).
+
+    Turkish dotted İ (U+0130) is pre-folded to plain "i" BEFORE lower:
+    Java's lower produces "i"+U+0307 (two codepoints, which the regex
+    then splits into an extra combining-mark token) while DuckDB's
+    utf8proc lower produces bare "i" — the one case-folding divergence
+    the unicode sweep surfaced (İstanbul tokenized 3-vs-1 ways)."""
     if tokenizer == "whitespace":
         return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if tokenizer == "bpe":
         return F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(_BPE_TOKEN_RE), F.lit(0)
+            F.lower(F.translate(F.col(text_col), "İ", "i")),
+            F.lit(_BPE_TOKEN_RE),
+            F.lit(0),
         )
     raise ValueError(f"unknown tokenizer: {tokenizer!r}")
 

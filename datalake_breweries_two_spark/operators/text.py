@@ -8,7 +8,7 @@ no Python in the hot path — so at 100 TB the cost is the scan itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -55,9 +55,11 @@ def quality_filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     over one scan — no per-stage jobs, no shuffle of document text (the
     only exchange carries five partial counters). Every predicate is
     exact integer arithmetic, so the funnel is bit-identical on any
-    engine."""
-    t = F.lower(F.col(text_col))
-    toks = F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    engine (tokenization shared with the dedup tier's ``_tokens_expr``,
+    including its Turkish-İ case-folding normalization)."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    toks = _tokens_expr(text_col, "bpe")
     nt = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -421,6 +423,63 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
         .filter(F.col("n_tokens") > 0)
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM — the classic statistical-LM quality
+    signal a training pipeline uses to rank/filter documents (gibberish
+    and boilerplate score far from the corpus mode).
+
+    score(d) = mean over d's bigrams of ln((c(w1,w2)+1) / (c(w1·)+V)),
+    with c(·) corpus bigram/context counts and V the distinct-token
+    vocabulary size. Exact integer counts; the only FP is ln + one mean,
+    rounded 4dp (libm-ulp discipline, same as zipf_slope).
+
+    Plan shape: BPE-ish tokenize → posexplode + per-doc lead window
+    builds the bigram relation ONCE (eager localCheckpoint — three
+    consumers: bigram stats, context stats, per-doc scoring — same
+    shared-stage discipline as bm25). Stats are hash aggregates keyed on
+    (w1,w2) / w1; the per-doc join is keyed the same, so output rows =
+    input bigrams (no blowup); hot bigrams ("of the") rely on partial
+    aggregation + AQE skew splitting. V and the corpus-wide scalars
+    broadcast."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(_tokens_expr(text_col, "bpe")).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tokens.select(
+            F.col(id_col), "w1", F.lead("w1").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    bstat = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cstat = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = tokens.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        big.join(bstat, ["w1", "w2"])
+        .join(cstat, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("cc") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
 
 

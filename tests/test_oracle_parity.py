@@ -93,7 +93,13 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # RAW repr, no rounding: the driver's value-hash stringifies
+        # cells as-is, so a 9dp-rounded compare here was MORE tolerant
+        # than the gate it replicates — a query whose float output isn't
+        # explicitly rounded (the repo convention) must fail locally
+        # exactly as it would fail the driver. Verified r6: raw-string
+        # equality holds for all 211 oracles at sf0.01.
+        return repr(v)
     return str(v)
 
 
@@ -186,8 +192,10 @@ def test_comparator_detects_differences():
     # the column-name set compare (simulate it here)
     assert sorted(["a", "b"]) != sorted(["a", "c"])
 
-    # float cell normalization: 9dp round unifies sub-noise, NaN is stable
-    assert _norm_cell(0.1234567891) == _norm_cell(0.12345678914)
+    # float cells compare RAW (driver-strict): sub-ulp differences that a
+    # rounded compare would hide must be flagged, NaN is stable
+    assert _norm_cell(0.1234567891) != _norm_cell(0.12345678914)
+    assert _norm_cell(0.25) == _norm_cell(0.25)
     assert _norm_cell(float("nan")) == "NaN"
     assert _norm_cell(None) == "NULL"
     assert _norm_cell(True) == "1"

@@ -80,6 +80,7 @@ HEADLINE = [
     "q_token_dup_clusters",
     "q_quality_funnel",
     "q_bigram_logprob",
+    "q_dedup_rate_report",
     "q_asof_join_nearest",
     "q_incremental_ingest_dedup",
     "q_ann_recall",
@@ -243,6 +244,7 @@ QUIET_HOST_REF_SEC = {
     "q_token_dup_clusters": 1.0,
     "q_quality_funnel": 0.55,
     "q_bigram_logprob": 1.3,
+    "q_dedup_rate_report": 1.0,
     "q_asof_join_nearest": 0.78,
     "q_incremental_ingest_dedup": 0.33,
     "q_outliers_zscore": 0.46,

@@ -1843,6 +1843,38 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup executive summary — the one-row corpus-health report a
+    pipeline emits after every refresh: total docs, exact-duplicate docs
+    (corpus-wide md5 fingerprint), exact-dup percentage, and the bounded
+    token-level near-dup pair count (same doc_id<400/0.3 fence as
+    q_token_jaccard). Two tiny aggregates broadcast-joined into one row;
+    the only corpus-wide work is a count-distinct on 16-byte
+    fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+    )
+    near = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 400), n=2, threshold=0.3, tokenizer="bpe"
+    ).agg(F.count(F.lit(1)).alias("near_dup_pairs_bounded"))
+    return exact.crossJoin(F.broadcast(near)).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("exact_dup_docs"),
+        # try_divide: an empty corpus has no dup rate (NULL on both
+        # engines) instead of Spark ANSI throwing on 0/0
+        F.round(
+            F.try_divide(
+                (F.col("n_docs") - F.col("n_distinct_texts")) * F.lit(100.0),
+                F.col("n_docs"),
+            ),
+            2,
+        ).alias("exact_dup_pct"),
+        "near_dup_pairs_bounded",
+    )
+
+
 def q_token_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER-AWARE duplicate clusters: exact BPE-ish token 2-gram
     Jaccard pairs (≥0.3) → connected components → every clustered doc
@@ -2312,6 +2344,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_jaccard": q_token_jaccard,
     "q_token_dup_clusters": q_token_dup_clusters,
     "q_incremental_ingest_dedup": q_incremental_ingest_dedup,
+    "q_dedup_rate_report": q_dedup_rate_report,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -3583,6 +3616,49 @@ ORACLE_SQL["q_bigram_logprob"] = """
            CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(lp), 4) AS avg_logprob
     FROM scored GROUP BY doc_id
+"""
+
+ORACLE_SQL["q_dedup_rate_report"] = """
+    WITH exact AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct_texts
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+        WHERE doc_id < 400
+    ),
+    nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' ')
+               )) AS shingles
+        FROM nz
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh),
+    ex AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS sz_a, b.set_size AS sz_b,
+               count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+    ),
+    near AS (
+        SELECT CAST(coalesce(sum(CASE WHEN round(n_inter / (sz_a + sz_b - n_inter), 4) >= 0.3
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS near_dup_pairs_bounded
+        FROM inter
+    )
+    SELECT n_docs,
+           n_docs - n_distinct_texts AS exact_dup_docs,
+           round(CAST(n_docs - n_distinct_texts AS DOUBLE) * 100.0 / n_docs, 2)
+               AS exact_dup_pct,
+           near_dup_pairs_bounded
+    FROM exact, near
 """
 
 ORACLE_SQL["q_incremental_ingest_dedup"] = """

@@ -299,6 +299,7 @@ SHUFFLE_BUDGET = {
     "q_token_dup_clusters": 1,  # bounded pairs; CC labels read from checkpoint
     "q_quality_funnel": 1,      # one conditional-sum aggregate
     "q_bigram_logprob": 6,      # bigram window + 2 stats aggs + per-doc joins + final agg
+    "q_dedup_rate_report": 4,   # md5 count-distinct + bounded pair count
     "q_asof_join_nearest": 1,   # one key exchange, two sorts
     "q_incremental_ingest_dedup": 2,  # fingerprint anti join (AQE may broadcast)
     "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames

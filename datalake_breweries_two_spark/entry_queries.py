@@ -46,7 +46,46 @@ from datalake_breweries_two_spark.streaming import windows as stream_windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_SCRATCH = "/root/repo/.scratch"
+# PER-PROCESS scratch root: staged streams / written lakes land under a
+# pid-unique dir. A fixed shared path let two concurrent engine processes
+# (e.g. the parity suite and the hostile-lake sweep) overwrite each
+# other's staged parquet mid-stream — observed r6 as a streaming query
+# reading the OTHER process's lake. Same-process queries still share and
+# overwrite their own stage dirs by design (each query re-stages).
+_SCRATCH_ROOT = "/root/repo/.scratch"
+_SCRATCH = os.path.join(_SCRATCH_ROOT, f"pid{os.getpid()}")
+
+
+def _clean_stale_scratch() -> None:
+    """Best-effort removal of scratch dirs whose owning process is gone
+    (and of the pre-pid shared layout), so rounds don't accumulate disk.
+    Live processes' dirs are never touched."""
+    import shutil
+
+    try:
+        entries = os.listdir(_SCRATCH_ROOT)
+    except OSError:
+        return
+    for name in entries:
+        path = os.path.join(_SCRATCH_ROOT, name)
+        if name.startswith("pid"):
+            try:
+                os.kill(int(name[3:]), 0)
+                continue  # owner still alive
+            except (ValueError, ProcessLookupError):
+                pass
+            except PermissionError:
+                continue  # alive, owned by someone else
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
+_clean_stale_scratch()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

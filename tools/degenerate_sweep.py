@@ -2,7 +2,7 @@
 a deliberately hostile lake, reporting Spark crashes, DuckDB crashes, and
 cross-engine mismatches.
 
-Three profiles (pass as argv[1:]; default runs ALL):
+Four profiles (pass as argv[1:]; default runs ALL):
 
   degenerate — zero-variance / single-element / all-ties groups, all-zero
                segments, one population absent, single-row events, empty /
@@ -14,13 +14,21 @@ Three profiles (pass as argv[1:]; default runs ALL):
                Cyrillic case, CJK, emoji + ZWJ sequences, ligatures, NFD
                combining marks (divergence class: \\b word boundaries
                around non-ASCII differ between Java regex and RE2).
+  extremes   — extreme magnitudes at the far interior of the documented
+               numeric domain: ~8e8 money / 1e-9 sub-cent values, int64
+               DIMENSION keys above 2^53, dates at 1901/2261, events far
+               in the future, an 8k-char document and a 5k-char single
+               token, ±1e30 embedding components (r6, productized from
+               the r5 one-off probe; see build_extremes for the three
+               cross-engine DOMAIN BOUNDARIES its wider first run
+               mapped).
 
 This is the discovery tool behind tests/test_stat_edges.py; run it after
 adding queries or changing rounding/division/ordering discipline:
 
-    python tools/degenerate_sweep.py [degenerate|nulls|unicode]
+    python tools/degenerate_sweep.py [degenerate|nulls|unicode|extremes]
 
-Expected on a healthy tree: OK=203 per profile, one SPARK CRASH for
+Expected on a healthy tree: OK = all-but-one per profile, one SPARK CRASH for
 q_medallion_e2e (its min-rows/null-column quality gate REJECTING the
 hostile bronze is the gate working as designed), zero mismatches.
 Divergence classes caught so far: ANSI DIVIDE_BY_ZERO on double division
@@ -196,6 +204,86 @@ def build_unicode(d):
     w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
       [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, 1), (2, [0.25]*64, 0)])
 
+def build_extremes(d):
+    # EXTREME magnitudes at the far INTERIOR of the engine's documented
+    # numeric domain (r6, productizing the r5 one-off probe): money to
+    # ~8e8 with sub-cent 1e-9 values, int64 DIMENSION keys above 2^53
+    # (exact in both engines, lossy in any float64 detour), dates at
+    # 1901 and 2261, events far in the FUTURE (narrow span at 2200 —
+    # pre-epoch is refused by the stream staging by design, and a
+    # multi-century span only probes the resample grid cap), one very
+    # long document and one very long single token, embedding components
+    # at ±1e30 and 1e-30 (norms ~1e61, far from double overflow).
+    #
+    # DOMAIN BOUNDARIES this profile's first (wider) run DISCOVERED and
+    # that now scope the fixture — each is a real cross-engine edge:
+    #   * decimal-exact-sums-surfaced-as-double are correctly rounded
+    #     ONLY while the scaled sum fits 2^53 (~9e11 at scale 4): Spark's
+    #     BigDecimal→double is correctly rounded, but DuckDB casts
+    #     decimal→double via scaled-int FP division and loses the last
+    #     bits (1e12+0.0001 → 1000000000000.0001 vs ...0000.0). Beyond
+    #     ~1e11-money sums, surface DECIMAL, not DOUBLE.
+    #   * DuckDB multiplies DECIMAL(18,4)×DECIMAL(18,4) in physical
+    #     int64 and overflows at ~1e12 operands (Spark auto-widens);
+    #     price×(1-discount) shapes need ≤~8e8 money or DECIMAL(30,4).
+    #   * o_orderkey rides q_minmax_by's documented exact int64 composite
+    #     key (price·100·1e8 + key): orderkey < 1e8 and price < 9e8 by
+    #     contract, so the >2^53 keys live on DIMENSION ids instead.
+    #   * events.props "k" is extracted with an INT contract
+    #     (q_json_extract): k stays within int32; BIGINT-ranged JSON
+    #     numbers belong to q_variant_extract's BIGINT surface.
+    big_id = 9007199254740993            # 2^53 + 1
+    far = dt.datetime(2200, 1, 1)
+    w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+      [(0, "R0"), (2147483647, "RMAX")])
+    w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
+      [(0, "N0", 0), (1, "N" * 500, 0), (2, "N2", 2147483647)])
+    w(d, "customer", pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int32()),
+      ("c_acctbal", pa.float64()), ("c_mktsegment", pa.string())]),
+      [(1, "c1", 0, 800000000.99, "HUGE"), (big_id, "c2", 0, -800000000.99, "HUGE"),
+       (3, "c3", 1, 1e-9, "TINY"), (4, "c4", 2, 0.0001, "TINY"), (5, "c5", 2, 123456.1234, "MID")])
+    w(d, "supplier", pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()), ("s_nationkey", pa.int32()),
+      ("s_acctbal", pa.float64())]), [(1, "s1", 0, 800000000.0), (big_id, "s2", 1, 1e-9)])
+    w(d, "part", pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+      ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+      [(1, "mega part " * 50, "B" * 100, "T1", 2147483647, 800000000.99),
+       (big_id, "nano part", "B2", "T2", 1, 1e-9)])
+    w(d, "orders", pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_orderstatus", pa.string()),
+      ("o_totalprice", pa.float64()), ("o_orderdate", ts), ("o_orderpriority", pa.string())]),
+      [(1, 1, "F", 800000000.99, dt.datetime(1901, 1, 1), "1-URGENT"),
+       (2, big_id, "O", 1e-9, dt.datetime(2261, 12, 31), "2-HIGH"),
+       (3, 3, "F", 123456.1234, _TS, "3-MEDIUM"),
+       (4, 4, "O", 0.0001, _TS, "3-MEDIUM"),
+       (5, 5, "F", 500000000.5, _TS, "5-LOW"),
+       (99999999, 1, "F", 1.0, _TS, "5-LOW")])
+    w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+      ("l_linenumber", pa.int32()), ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+      ("l_discount", pa.float64()), ("l_tax", pa.float64()), ("l_returnflag", pa.string()),
+      ("l_linestatus", pa.string()), ("l_shipdate", ts)]),
+      [(1, 1, 1, 1, 1000000.0, 800000000.99, 0.0, 0.0, "A", "O", dt.datetime(1901, 1, 1)),
+       (1, big_id, 1, 2, 1e-6, 1e-9, 1.0, 0.08, "A", "O", _TS),   # discount exactly 1
+       (2, 1, big_id, 1, 3.0, 123456.1234, 0.5, 0.0, "N", "F", dt.datetime(2261, 12, 31)),
+       (3, 1, 1, 1, 2147483647.0, 0.0001, 0.0, 0.0, "B", "F", _TS),
+       (99999999, 1, 1, 1, 5.0, 50.0, 0.05, 0.0, "B", "O", _TS)])
+    w(d, "events", pa.schema([("event_id", pa.int64()), ("ts", ts), ("user_id", pa.int64()),
+      ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]),
+      [(1, far, big_id, "click", 800000000.99, '{"k": 2147483647}'),
+       (2, far + dt.timedelta(seconds=30), big_id, "purchase", 1e-9, '{"k": 1}'),
+       (3, far + dt.timedelta(seconds=60), 2, "click", 8e8, "{}"),
+       (4, far + dt.timedelta(microseconds=1), 2, "view", 0.0001, '{"k": -2147483647}')])
+    long_doc = ("extreme token stress " * 400).strip()          # ~8.4k chars
+    long_token = "x" * 5000                                     # one 5k-char token
+    w(d, "documents", pa.schema([("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+      ("source", pa.string()), ("n_chars", pa.int64())]),
+      [(1, long_doc, "en", "web", len(long_doc)),
+       (2, long_token, "en", "web", 5000),
+       (3, "normal short text here", "en", "pdf", 22),
+       (big_id, "another normal document body", "en", "web", 28)])
+    w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
+      [(0, [1e30] * 64, 0), (1, [-1e30] * 64, 1), (2, [1e-30] * 64, 0),
+       (3, [1e30] + [0.0] * 63, 1), (big_id, [0.5] * 64, 0)])
+
+
 def run_profile(profile: str) -> int:
     from pyspark.sql import SparkSession
     from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
@@ -203,7 +291,7 @@ def run_profile(profile: str) -> int:
 
     d = tempfile.mkdtemp(prefix=f"{profile}_")
     {"degenerate": build_degenerate, "nulls": build_nulls,
-     "unicode": build_unicode}[profile](d)
+     "unicode": build_unicode, "extremes": build_extremes}[profile](d)
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
@@ -258,5 +346,5 @@ def run_profile(profile: str) -> int:
 
 
 if __name__ == "__main__":
-    profiles = sys.argv[1:] or ["degenerate", "nulls", "unicode"]
+    profiles = sys.argv[1:] or ["degenerate", "nulls", "unicode", "extremes"]
     raise SystemExit(min(1, sum(run_profile(p) for p in profiles)))

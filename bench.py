@@ -81,6 +81,11 @@ HEADLINE = [
     "q_quality_funnel",
     "q_bigram_logprob",
     "q_dedup_rate_report",
+    "q_corpus_mix",
+    "q_class_weights",
+    "q_token_shards",
+    "q_dup_ngram_fraction",
+    "q_pmi_collocations",
     "q_asof_join_nearest",
     "q_incremental_ingest_dedup",
     "q_ann_recall",
@@ -198,6 +203,11 @@ QUIET_HOST_REF_SEC = {
     "q_boilerplate_ngrams": 0.92,
     "q_cdc_apply": 1.21,
     "q_chunk_documents": 0.21,
+    "q_class_weights": 0.32,
+    "q_corpus_mix": 0.37,
+    "q_dup_ngram_fraction": 1.04,
+    "q_pmi_collocations": 0.86,
+    "q_token_shards": 0.99,
     "q_cohort_retention": 0.43,
     "q_collated_distinct": 0.11,
     "q_cosine_pairs": 0.28,

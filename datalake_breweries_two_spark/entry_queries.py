@@ -2103,6 +2103,45 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter_funnel(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct token bigrams shared with ANY other
+    document (ExactSubstr-lite boilerplate signal) — corpus-wide with no
+    quadratic join (see operators/text.py:dup_ngram_fraction)."""
+    return text.dup_ngram_fraction(_t(spark, sf_dir, "documents"))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (min count 5) — exact integer
+    counts, one rounded ln, total-order tie-break (see
+    operators/text.py:pmi_collocations)."""
+    return text.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture composition report per (source, lang): docs, BPE
+    token totals, and each cell's share of the corpus — one grouped
+    aggregate + a 1-row broadcast total (see
+    operators/text.py:corpus_mix_report)."""
+    return text.corpus_mix_report(_t(spark, sf_dir, "documents"))
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label inverse-frequency and sqrt-inverse training weights over
+    the embeddings labels (see operators/sampling.py:class_balance_weights)."""
+    return sampling.class_balance_weights(
+        _t(spark, sf_dir, "embeddings"), "label", "vec_id"
+    )
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard plan (~1000 BPE tokens per shard) via the
+    distributed prefix-sum pattern — the input-shard packing plan of a
+    training-data pipeline (see operators/sampling.py:token_budget_shards)."""
+    return sampling.token_budget_shards(
+        _t(spark, sf_dir, "documents"), budget_tokens=1000
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats_by_lang(_t(spark, sf_dir, "documents"))
 
@@ -2384,6 +2423,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_dup_clusters": q_token_dup_clusters,
     "q_incremental_ingest_dedup": q_incremental_ingest_dedup,
     "q_dedup_rate_report": q_dedup_rate_report,
+    "q_corpus_mix": q_corpus_mix,
+    "q_dup_ngram_fraction": q_dup_ngram_fraction,
+    "q_pmi_collocations": q_pmi_collocations,
+    "q_class_weights": q_class_weights,
+    "q_token_shards": q_token_shards,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -3708,6 +3752,95 @@ ORACLE_SQL["q_incremental_ingest_dedup"] = """
       AND NOT EXISTS (SELECT 1 FROM fp p
                       WHERE p.doc_id < 300
                         AND p.fingerprint = b.fingerprint)
+"""
+
+ORACLE_SQL["q_dup_ngram_fraction"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS sh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        WHERE len(t) >= 2
+    ),
+    dfreq AS (SELECT sh, count(*) AS df FROM big GROUP BY sh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS dup_frac
+    FROM big JOIN dfreq USING (sh)
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["q_pmi_collocations"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        WHERE len(t) >= 2
+    ),
+    bstat AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+    l AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cl FROM bstat GROUP BY 1),
+    r AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS cr FROM bstat GROUP BY 1),
+    n AS (SELECT CAST(sum(cb) AS BIGINT) AS nn FROM bstat)
+    SELECT w1, w2, cb AS n_pair,
+           round(ln(CAST(nn * cb AS DOUBLE) / CAST(cl * cr AS DOUBLE)), 4) AS pmi
+    FROM bstat JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    WHERE cb >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+ORACLE_SQL["q_corpus_mix"] = """
+    WITH per_cell AS (
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(coalesce(sum(len(regexp_extract_all(
+                   lower(translate(text, 'İ', 'i')),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM per_cell)
+    SELECT source, lang, n_docs, total_tokens, avg_chars,
+           round(n_docs * 100.0 / corpus_docs, 2) AS share_pct
+    FROM per_cell, tot
+"""
+
+ORACLE_SQL["q_class_weights"] = """
+    WITH per_class AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM per_class)
+    SELECT label, n,
+           round(CAST(total AS DOUBLE) / (k * n), 4) AS inv_weight,
+           round(sqrt(CAST(total AS DOUBLE) / n), 4) AS sqrt_inv_weight
+    FROM per_class, tot
+"""
+
+ORACLE_SQL["q_token_shards"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               coalesce(len(regexp_extract_all(
+                   lower(translate(text, 'İ', 'i')),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0) AS n_tokens
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM toks
+    )
+    SELECT CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_id,
+           max(doc_id) AS last_id
+    FROM cum GROUP BY 1
 """
 
 ORACLE_SQL["q_quality_funnel"] = """

@@ -307,3 +307,84 @@ def balanced_downsample(
         .filter(F.col("_rk") <= F.col("_floor"))
         .drop("_rk", "_floor")
     )
+
+
+def class_balance_weights(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-class training weights from label frequencies — the table a
+    training pipeline feeds its loss-weighting / sampler config: row
+    count per class, inverse-frequency weight normalized so the weighted
+    class mass is uniform (``total / (n_classes * n_c)``), and the
+    milder sqrt-inverse variant (``sqrt(total / n_c)``).
+
+    One partial-aggregated shuffle on the label; the corpus totals are a
+    1-row broadcast back onto the per-class rows. All inputs to the FP
+    ops are exact integers and each weight is one correctly-rounded
+    IEEE op (divide / sqrt) + one final round, so the numbers are
+    bit-identical on any engine. NULL labels form their own class (both
+    engines keep NULL GROUP BY keys)."""
+    per_class = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = per_class.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_k")
+    )
+    return per_class.crossJoin(F.broadcast(totals)).select(
+        label_col,
+        "n",
+        F.round(
+            F.try_divide(
+                F.col("_total").cast("double"), F.col("_k") * F.col("n")
+            ),
+            4,
+        ).alias("inv_weight"),
+        F.round(
+            F.sqrt(F.try_divide(F.col("_total").cast("double"), F.col("n"))), 4
+        ).alias("sqrt_inv_weight"),
+    )
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget shard plan: assign documents (in stable ``id_col``
+    order) to contiguous shards of ~``budget_tokens`` BPE-ish tokens
+    each — the packing plan a training pipeline computes before writing
+    fixed-token-budget input shards.
+
+    A document opens a new shard when the tokens BEFORE it cross the
+    next budget boundary: ``shard_id = (cum_tokens - n_tokens) DIV
+    budget`` (exact integer arithmetic). The cumulative count comes from
+    :func:`~datalake_breweries_two_spark.operators.windows.range_prefix_sums`
+    — the distributed prefix-sum pattern, NOT a single-task global
+    window — so the plan is one range exchange + one shard-keyed
+    aggregate at any corpus size. Rows with a NULL id are excluded (a
+    shard plan needs stable ids; mirrored in the oracle), and the
+    ordering is total because ids are unique."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
+
+    per_doc = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.coalesce(F.size(_tokens_expr(text_col, "bpe")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = range_prefix_sums(per_doc, id_col, ["n_tokens"])
+    sharded = cum.select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr(f"(cum_n_tokens - n_tokens) div {int(budget_tokens)}").alias(
+            "shard_id"
+        ),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -192,6 +192,41 @@ def text_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_mix_report(docs: DataFrame) -> DataFrame:
+    """Corpus-composition ("data mix") report per (source, lang): doc
+    count, BPE-ish token total, avg chars, and each cell's share of the
+    corpus — the table a training pipeline publishes before choosing
+    sampling weights for a data mixture.
+
+    Plan: ONE partial-aggregated shuffle on the (source, lang) grain; the
+    corpus total is the same aggregate re-reduced to one row and
+    broadcast back (a 1-row BroadcastNestedLoopJoin, never a global
+    window). NULL source/lang groups are preserved (both engines keep
+    NULL GROUP BY keys). Share is exact-int division rounded once.
+    """
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    per_cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(_tokens_expr("text", "bpe"))), F.lit(0))
+        .cast("long")
+        .alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    total = per_cell.agg(F.sum("n_docs").alias("_corpus_docs"))
+    return per_cell.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "avg_chars",
+        # try_divide is unreachable-0 safety only (a group implies >=1 doc)
+        F.round(
+            F.try_divide(F.col("n_docs") * F.lit(100.0), F.col("_corpus_docs")), 2
+        ).alias("share_pct"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -600,4 +635,105 @@ def token_entropy(
             )
             + F.lit(0.0)
         ).alias("entropy_nats"),
+    )
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of its distinct BPE-ish token bigrams that
+    also occur in at least one OTHER document — the cross-document
+    duplicated-ngram signal (ExactSubstr-lite): boilerplate and templated
+    documents score near 1, original prose near 0.
+
+    Unlike pairwise dedup this needs NO quadratic join at any scale:
+    distinct (doc, bigram) pairs → one bigram-keyed count aggregate
+    (document frequency) → one linear join back → per-doc aggregate.
+    Hot bigrams ("of the") are partial-aggregated map-side and the skew
+    join is AQE-splittable; nothing is ever all-pairs. Documents with
+    fewer than 2 tokens have no bigram and are absent from the output
+    (mirrored in the oracle)."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(_tokens_expr(text_col, "bpe")).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tokens.select(F.col(id_col), "w1", F.lead("w1").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "w1", "w2").alias("sh"))
+        .distinct()
+    )
+    dfreq = big.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        big.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``pmi = ln(N * c(w1,w2) / (c(w1,·) * c(·,w2)))`` over corpus BPE-ish
+    token bigrams, restricted to bigrams seen at least ``min_count``
+    times (PMI is unstable on rare events). The corpus-analysis query a
+    pipeline runs to surface multi-word entities worth protecting from
+    tokenizer splits.
+
+    All counts are exact integers from hash aggregates (bigram relation
+    built once, marginals are two more aggregates of the bigram stats —
+    never a rescan); the single ln is rounded 4dp (libm-ulp discipline)
+    and the top-k is a TakeOrderedAndProject with a total-order
+    tie-break (pmi desc, w1, w2)."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(_tokens_expr(text_col, "bpe")).alias("pos", "w1")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tokens.select(F.col(id_col), "w1", F.lead("w1").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
+    left = big.groupBy("w1").agg(F.sum("cb").alias("cl"))
+    right = big.groupBy("w2").agg(F.sum("cb").alias("cr"))
+    n = big.agg(F.sum("cb").alias("nn"))
+    return (
+        big.filter(F.col("cb") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("nn") * F.col("cb")).cast("double")
+                    / (F.col("cl") * F.col("cr")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
     )

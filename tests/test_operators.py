@@ -2856,3 +2856,109 @@ def test_stream_stager_refuses_pre_epoch_events(spark, tmp_path):
     ).write.parquet(src)
     with _pytest.raises(ValueError, match="1970-01-01"):
         stage_time_ordered_stream(spark, src, str(tmp_path / "staged"))
+
+
+def test_class_balance_weights_math(spark):
+    """Weights must match the closed form computed from exact counts."""
+    from datalake_breweries_two_spark.operators.sampling import class_balance_weights
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).select("vec_id", "label")
+    rows = {r["label"]: r for r in
+            class_balance_weights(emb, "label", "vec_id").collect()}
+    counts = {r["label"]: r["n"] for r in
+              emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total, k = sum(counts.values()), len(counts)
+    assert set(rows) == set(counts)
+    for lbl, n in counts.items():
+        assert rows[lbl]["n"] == n
+        assert rows[lbl]["inv_weight"] == round(total / (k * n), 4)
+        assert rows[lbl]["sqrt_inv_weight"] == round((total / n) ** 0.5, 4)
+
+
+def test_token_budget_shards_contiguous_and_complete(spark):
+    """Shards must partition the corpus contiguously in id order, preserve
+    every doc/token, and every shard except the last must CROSS its budget
+    boundary only via its final doc (i.e. tokens-before-last-doc < budget)."""
+    from datalake_breweries_two_spark.operators.sampling import token_budget_shards
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    budget = 1000
+    shards = sorted(
+        token_budget_shards(docs, budget_tokens=budget).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    n_docs = docs.filter(F.col("doc_id").isNotNull()).count()
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert len(shards) > 1  # the budget actually splits the smoke corpus
+    # contiguity: consecutive shards cover consecutive id ranges
+    for a, b in zip(shards, shards[1:]):
+        assert a["last_id"] < b["first_id"]
+    # budget discipline: a shard only opens once the previous boundary is
+    # crossed, so each shard's tokens minus its last doc stay under budget
+    # (docs may straddle, single giant docs may exceed alone)
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    tok = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.size(_tokens_expr("text", "bpe")), F.lit(0)).alias("nt"),
+        ).collect()
+    }
+    for r in shards[:-1]:
+        assert r["shard_tokens"] - tok[r["last_id"]] < budget
+
+
+def test_corpus_mix_shares_sum_to_100(spark):
+    """Cell shares are exact-int divisions of the cell counts; they must
+    re-aggregate to the corpus (100% within rounding slack)."""
+    from datalake_breweries_two_spark.operators.text import corpus_mix_report
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    rows = corpus_mix_report(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 0.01 * len(rows)
+
+
+def test_dup_ngram_fraction_planted_boilerplate(spark):
+    """Planted template docs must score dup_frac 1.0; a unique doc 0.0;
+    a half-shared doc exactly its shared-bigram fraction."""
+    from datalake_breweries_two_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter today"),
+            (2, "subscribe to our newsletter today"),
+            (3, "completely original zebra xylophone prose"),
+            # shares exactly the bigram "subscribe to" (1 of its 4 bigrams)
+            (4, "subscribe to fresh quality writing"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["n_shingles"] == 4 and out[4]["dup_frac"] == 0.25
+
+
+def test_pmi_collocations_closed_form(spark):
+    """A bigram that always co-occurs must top the ranking with
+    pmi = ln(N * cb / (cl * cr)) computed from exact counts."""
+    import math
+
+    from datalake_breweries_two_spark.operators.text import pmi_collocations
+
+    # "new york" appears 6x and the words never occur apart; filler words
+    # REPEAT inside their docs so every filler pair's marginal product
+    # exceeds its pair count — the collocation wins strictly, no tie
+    corpus = [(i, "new york") for i in range(6)] + [
+        (100 + i, "the cat and the dog and the bird") for i in range(6)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id int, text string")
+    rows = pmi_collocations(docs, min_count=5, k=5).collect()
+    assert rows, "no collocation survived the min-count floor"
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    n_bigrams = 6 * 1 + 6 * 7  # "new york" =1 bigram; 8-token filler =7
+    assert top["n_pair"] == 6
+    assert top["pmi"] == round(math.log(n_bigrams * 6 / (6 * 6)), 4)

@@ -88,6 +88,8 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_asof_join_nearest",
     "q_incremental_ingest_dedup",
+    "q_shared_span_pairs",
+    "q_knn_join",
     "q_ann_recall",
     "q_cosine_topk",
     "q_cosine_pairs",
@@ -257,6 +259,8 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_rate_report": 1.0,
     "q_asof_join_nearest": 0.78,
     "q_incremental_ingest_dedup": 0.33,
+    "q_shared_span_pairs": 1.2,
+    "q_knn_join": 0.7,
     "q_outliers_zscore": 0.46,
     "q_pack_sequences": 0.45,
     "q_pagerank": 3.75,

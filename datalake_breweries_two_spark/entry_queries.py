@@ -2117,6 +2117,25 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=20)
 
 
+def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing a verbatim 8-token span (exact-substring dedup
+    evidence) over the WHOLE corpus — safe unfenced because the join is
+    span-keyed with a hot-span cap, not an all-pairs quadratic (see
+    operators/dedup.py:shared_span_pairs)."""
+    return dedup.shared_span_pairs(
+        _t(spark, sf_dir, "documents"), span_tokens=8, max_span_docs=16
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact k-NN join (8 query vectors × top-5 cosine neighbors)
+    via broadcast-queries + two-level distributed top-k (see
+    operators/similarity.py:knn_join)."""
+    return similarity.knn_join(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture composition report per (source, lang): docs, BPE
     token totals, and each cell's share of the corpus — one grouped
@@ -2428,6 +2447,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_class_weights": q_class_weights,
     "q_token_shards": q_token_shards,
+    "q_knn_join": q_knn_join,
+    "q_shared_span_pairs": q_shared_span_pairs,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -3752,6 +3773,53 @@ ORACLE_SQL["q_incremental_ingest_dedup"] = """
       AND NOT EXISTS (SELECT 1 FROM fp p
                       WHERE p.doc_id < 300
                         AND p.fingerprint = b.fingerprint)
+"""
+
+ORACLE_SQL["q_shared_span_pairs"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 7), ' ') AS span
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 7 + 1)) AS i) g
+        WHERE len(t) >= 8
+    ),
+    kept AS (
+        SELECT doc_id, span FROM spans
+        QUALIFY count(*) OVER (PARTITION BY span) <= 16
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_spans
+    FROM kept a JOIN kept b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q_knn_join"] = """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               round(
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               4) + 0.0 AS cosine
+        FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 ORACLE_SQL["q_dup_ngram_fraction"] = """

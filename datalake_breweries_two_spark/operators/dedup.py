@@ -762,3 +762,66 @@ def fuzzy_blocked_pairs(
     return _observe_dropped_sentinels(
         result, sentinels, dropped_obs, "_dropped_n", "dropped_blocks", "dropped_rows"
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    max_span_docs: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "bpe",
+) -> DataFrame:
+    """Document pairs sharing at least one EXACT ``span_tokens``-token
+    span, with the count of distinct shared spans — the pairwise form of
+    exact-substring dedup ("train/test overlap via a verbatim 8-gram" is
+    the classic contamination/boilerplate evidence; per-doc aggregate
+    form is :func:`~...text.dup_ngram_fraction`).
+
+    Spans are FULL n-grams only (a doc with fewer than ``span_tokens``
+    tokens has no span — unlike the truncated-shingle similarity path,
+    a verbatim-span claim needs the whole span). Plan: distinct
+    (id, span) via the codegen'd posexplode+lead shingler → hot-span
+    cap → span-keyed self-equi-join → pair count.
+
+    This is NOT an all-pairs quadratic: the join is keyed on the span,
+    so per-span work is (docs sharing that span)². Long spans are
+    near-unique outside true boilerplate; the one blowup mode is a
+    boilerplate span shared by thousands of docs, so spans occurring in
+    more than ``max_span_docs`` documents are DROPPED deterministically
+    (a license header in 10k docs is boilerplate, not pairwise overlap
+    evidence — the per-doc aggregate view keeps counting it). The cap
+    bounds every join group at max_span_docs² pairs, which is what
+    makes this safe on the 100 TB corpus; the count rides the same
+    span-keyed exchange the join needs (count window, then sort-merge
+    self-join reusing the partitioning)."""
+    tokens = _tokens_expr(text_col, tokenizer)
+    ex = docs.select(F.col(id_col), F.posexplode(tokens).alias("pos", "token"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, span_tokens)
+    ]
+    spans = (
+        ex.select(
+            F.col(id_col),
+            F.concat_ws(" ", *leads).alias("span"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select(F.col(id_col), "span")
+        .distinct()
+    )
+    w_span = Window.partitionBy("span")
+    kept = (
+        spans.withColumn("_ndocs", F.count(F.lit(1)).over(w_span))
+        .filter(F.col("_ndocs") <= max_span_docs)
+        .select(F.col(id_col), "span")
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "span")
+    b = kept.select(F.col(id_col).alias("id_b"), "span")
+    return (
+        a.join(b, "span")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )

@@ -619,3 +619,56 @@ def quantize_embeddings(
         F.array_join(F.transform(qv, lambda q: q.cast("string")), ",").alias("q_csv"),
         F.aggregate(qv, F.lit(0).cast("long"), lambda acc, q: acc + q).alias("q_sum"),
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 32,
+) -> DataFrame:
+    """Batch exact k-NN join: each of the first ``n_queries`` vectors gets
+    its ``k`` nearest corpus neighbors by cosine (self excluded) — the
+    batch evaluation / retrieval pattern behind embedding-dedup audits
+    and ANN ground-truth generation.
+
+    Scale shape: the bounded query set BROADCASTS against one linear
+    corpus scan (never a corpus-corpus join), then top-k is TWO-LEVEL so
+    no task ever sorts a whole query's candidate list: scored pairs are
+    bucketed by a deterministic hash of the neighbor id, a first window
+    ranks within (query, bucket) — parallel slices — and only the
+    surviving ``buckets * k`` rows per query reach the tiny final
+    ranking window. One wide exchange of the scored pairs total; the
+    single-level alternative (window partitioned by query alone) would
+    funnel the full corpus through ``n_queries`` tasks at 100 TB.
+
+    Determinism: rounded-4dp cosine with the neighbor id as total-order
+    tie-break at BOTH levels; a zero vector's cosine is NULL (no
+    direction) and sorts last, exactly as in the oracle's NULLS LAST."""
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            (F.round(_cosine(F.col(vec_col), F.col("_qv")), 4) + F.lit(0.0)).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("_b", F.pmod(F.hash("neighbor_id"), F.lit(buckets)))
+    )
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    w_local = Window.partitionBy("q_id", "_b").orderBy(*order)
+    local = scored.withColumn("_rk", F.row_number().over(w_local)).filter(
+        F.col("_rk") <= k
+    )
+    w_final = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )

@@ -2962,3 +2962,71 @@ def test_pmi_collocations_closed_form(spark):
     n_bigrams = 6 * 1 + 6 * 7  # "new york" =1 bigram; 8-token filler =7
     assert top["n_pair"] == 6
     assert top["pmi"] == round(math.log(n_bigrams * 6 / (6 * 6)), 4)
+
+
+def test_knn_join_matches_single_query_bruteforce(spark):
+    """The two-level distributed top-k must equal the single-query
+    brute-force ranking for every query id, including tie order."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_join,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    got = {}
+    for r in knn_join(emb, n_queries=3, k=4).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    assert set(got) == {0, 1, 2}
+    qvs = {r["vec_id"]: r["embedding"] for r in
+           emb.filter(F.col("vec_id") < 3).collect()}
+    for qid, qv in qvs.items():
+        want = [
+            (i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(
+                cosine_topk_bruteforce(emb, qv, k=4, exclude_id=qid).collect()
+            )
+        ]
+        # brute force rounds identically but lacks the +0.0 neg-zero fold
+        norm = [(a, b, c + 0.0) for a, b, c in want]
+        assert sorted(got[qid]) == sorted(norm), qid
+
+
+def test_shared_span_pairs_planted_and_threshold(spark):
+    """Docs sharing a verbatim 8-token span must pair (with the exact
+    distinct-span count); docs overlapping only 7 tokens must NOT."""
+    from datalake_breweries_two_spark.operators.dedup import shared_span_pairs
+
+    span = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),
+            (2, f"other header {span} trailing words"),
+            (3, "one two three four five six seven DIFFERENT"),
+            (4, "entirely unrelated content with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["n_spans"]
+             for r in shared_span_pairs(docs, span_tokens=8).collect()}
+    assert pairs == {(1, 2): 1}
+
+
+def test_shared_span_pairs_hot_span_cap(spark):
+    """A boilerplate span present in more than max_span_docs docs is
+    dropped entirely (no pairs from it); a rarer span still pairs."""
+    from datalake_breweries_two_spark.operators.dedup import shared_span_pairs
+
+    boiler = "standard license header text applies to this file ok"
+    rare = "unique shared passage appearing in just two documents here"
+    rows = [(i, f"doc {i} says {boiler}") for i in range(10)]
+    rows += [(100, f"alpha {rare}"), (101, f"beta {rare}")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in shared_span_pairs(docs, span_tokens=8, max_span_docs=3).collect()
+    }
+    # every boiler span sits in 10 docs > cap=3; rare spans sit in 2 docs
+    assert pairs == {(100, 101)}
+    # raising the cap past 10 restores the boilerplate pairs too
+    uncapped = shared_span_pairs(docs, span_tokens=8, max_span_docs=100)
+    assert uncapped.filter(F.col("id_a") < 10).count() == 45  # C(10,2)

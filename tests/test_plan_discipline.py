@@ -307,6 +307,8 @@ SHUFFLE_BUDGET = {
     "q_pmi_collocations": 3,    # bigram stats + 2 marginal re-aggs of the checkpointed stats
     "q_asof_join_nearest": 1,   # one key exchange, two sorts
     "q_incremental_ingest_dedup": 2,  # fingerprint anti join (AQE may broadcast)
+    "q_shared_span_pairs": 5,   # doc window + distinct + span window/join + pair agg
+    "q_knn_join": 2,            # (q,bucket) local top-k window + q-keyed final window
     "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames
     "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
     "q_cosine_pairs": 0,        # bounded broadcast self-join

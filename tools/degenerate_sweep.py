@@ -309,7 +309,8 @@ def run_profile(profile: str) -> int:
         return con
 
     spark_crash, duck_crash, mismatch, ok = [], [], [], []
-    for name in sorted(ORACLE_SQL):
+    only = {n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n}
+    for name in sorted(only & set(ORACLE_SQL) if only else ORACLE_SQL):
         try:
             sdf = QUERIES[name](spark, d)
             scols = sdf.columns

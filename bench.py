@@ -90,6 +90,7 @@ HEADLINE = [
     "q_incremental_ingest_dedup",
     "q_shared_span_pairs",
     "q_knn_join",
+    "q_label_centroids",
     "q_ann_recall",
     "q_cosine_topk",
     "q_cosine_pairs",
@@ -261,6 +262,7 @@ QUIET_HOST_REF_SEC = {
     "q_incremental_ingest_dedup": 0.33,
     "q_shared_span_pairs": 1.2,
     "q_knn_join": 0.7,
+    "q_label_centroids": 0.5,
     "q_outliers_zscore": 0.46,
     "q_pack_sequences": 0.45,
     "q_pagerank": 3.75,

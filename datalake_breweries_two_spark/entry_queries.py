@@ -2136,6 +2136,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + member-cosine cohesion profile
+    (see operators/similarity.py:label_centroid_profile)."""
+    return similarity.label_centroid_profile(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture composition report per (source, lang): docs, BPE
     token totals, and each cell's share of the corpus — one grouped
@@ -2449,6 +2455,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_token_shards": q_token_shards,
     "q_knn_join": q_knn_join,
     "q_shared_span_pairs": q_shared_span_pairs,
+    "q_label_centroids": q_label_centroids,
     "q_token_dedup_near": q_token_dedup_near,
     "q_cosine_topk": q_cosine_topk,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
@@ -3820,6 +3827,45 @@ ORACLE_SQL["q_knn_join"] = """
         FROM scored
     )
     SELECT q_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_SQL["q_label_centroids"] = """
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) + 0.0 AS c
+        FROM ex GROUP BY 1, 2
+    ),
+    cent_arr AS (
+        SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1
+    ),
+    member AS (
+        SELECT e.label,
+               round(
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * ca.cv[i]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(ca.cv,
+                          x -> x * x), 'sum'))),
+               4) + 0.0 AS cos4
+        FROM embeddings e JOIN cent_arr ca ON e.label = ca.label
+    ),
+    norms AS (
+        SELECT label,
+               round(sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')),
+                     4) + 0.0 AS centroid_norm
+        FROM cent_arr
+    )
+    SELECT m.label, count(*) AS n_vecs, any_value(n.centroid_norm) AS centroid_norm,
+           round(avg(cos4), 4) + 0.0 AS avg_cos,
+           quantile_disc(cos4, 0.5) AS p50_cos,
+           min(cos4) AS min_cos
+    FROM member m JOIN norms n ON m.label = n.label
+    GROUP BY 1
 """
 
 ORACLE_SQL["q_dup_ngram_fraction"] = """

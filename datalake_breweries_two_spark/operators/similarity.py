@@ -672,3 +672,77 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def label_centroid_profile(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-space profile: member count, centroid L2 norm,
+    and the member→centroid cosine distribution (mean / discrete median /
+    min) — the class-cohesion audit run before training on labeled
+    embeddings (a low min_cos flags likely mislabels; a low avg_cos a
+    diffuse class; centroid_norm near 0 a class of cancelling vectors).
+
+    Scale shape: one posexplode keyed on (label, dim) gives the centroid
+    via plain partial-aggregated AVG — #labels × dim rows, never a
+    per-label collect. Centroid arrays (tiny: #labels rows) BROADCAST
+    back onto one linear member scan for the cosine pass, then a final
+    #labels-row aggregate. Two narrow shuffles of bounded relations; the
+    corpus itself is scanned twice, exchanged never.
+
+    Determinism: centroid components rounded once at 6dp (so the cosine
+    pass consumes identical inputs cross-engine); per-member cosine
+    rounded once at 4dp; centroid norm computed sequentially over the
+    dim-ordered array (F.aggregate ↔ list_aggregate, bit-identical);
+    min / percentile_disc pick actual 4dp elements. An all-zero member
+    has no direction → NULL cosine (try_divide ↔ DuckDB /0), skipped by
+    the distribution aggregates but still counted in n_vecs."""
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (F.round(F.avg(F.col("x").cast("double")), 6) + F.lit(0.0)).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("_cv")
+    )
+    member = (
+        embeddings.select(F.col(label_col).alias("label"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(cent_arr), "label")
+        .select(
+            "label",
+            (F.round(_cosine(F.col("_v"), F.col("_cv")), 4) + F.lit(0.0)).alias(
+                "_cos"
+            ),
+        )
+    )
+    norms = cent_arr.select(
+        "label",
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate(F.col("_cv"), F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("centroid_norm"),
+    )
+    return (
+        member.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.round(F.avg("_cos"), 4) + F.lit(0.0)).alias("avg_cos"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _cos)").alias(
+                "p50_cos"
+            ),
+            F.min("_cos").alias("min_cos"),
+        )
+        .join(F.broadcast(norms), "label")
+        .select("label", "n_vecs", "centroid_norm", "avg_cos", "p50_cos", "min_cos")
+    )

@@ -3030,3 +3030,31 @@ def test_shared_span_pairs_hot_span_cap(spark):
     # raising the cap past 10 restores the boilerplate pairs too
     uncapped = shared_span_pairs(docs, span_tokens=8, max_span_docs=100)
     assert uncapped.filter(F.col("id_a") < 10).count() == 45  # C(10,2)
+
+
+def test_label_centroid_profile_planted(spark):
+    """A label of positively-scaled copies of one direction is perfectly
+    cohesive (all cosines 1); an antipodal pair cancels to a zero
+    centroid, so its members have NULL cosine but still count."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        label_centroid_profile,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (0, [2.0, 0.0, 0.0]),
+        (0, [0.5, 0.0, 0.0]),
+        (1, [0.0, 3.0, 0.0]),
+        (1, [0.0, -3.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r["label"]: r for r in label_centroid_profile(emb).collect()}
+    tight = got[0]
+    assert tight["n_vecs"] == 3
+    # centroid = mean of (1, 2, 0.5) on the x axis
+    assert tight["centroid_norm"] == round((1 + 2 + 0.5) / 3, 4)
+    assert (tight["avg_cos"], tight["p50_cos"], tight["min_cos"]) == (1.0, 1.0, 1.0)
+    cancel = got[1]
+    assert cancel["n_vecs"] == 2
+    assert cancel["centroid_norm"] == 0.0
+    assert cancel["avg_cos"] is None and cancel["min_cos"] is None

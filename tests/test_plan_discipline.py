@@ -309,6 +309,7 @@ SHUFFLE_BUDGET = {
     "q_incremental_ingest_dedup": 2,  # fingerprint anti join (AQE may broadcast)
     "q_shared_span_pairs": 5,   # doc window + distinct + span window/join + pair agg
     "q_knn_join": 2,            # (q,bucket) local top-k window + q-keyed final window
+    "q_label_centroids": 5,     # (label,dim) centroid agg + label re-aggs; corpus never exchanged
     "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames
     "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
     "q_cosine_pairs": 0,        # bounded broadcast self-join

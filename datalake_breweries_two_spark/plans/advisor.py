@@ -161,13 +161,24 @@ def audit_plan(
             node = re.sub(r"^[\s+\-:*()0-9]*", "", line)
             if not node.startswith("Window "):
                 continue
-            # partitioned windows print 3 top-level groups
-            # (`[exprs], [part], [order]`), unpartitioned only 2
-            if node.count("], [") != 1:
-                continue
-            order_spec = node.rsplit("], [", 1)[1]
-            if "_pid#" in order_spec:
-                continue  # range_prefix_sums boundary: O(#partitions) rows
+            # Window prints only the NON-EMPTY spec groups after the
+            # function list: `[exprs], [part], [order]` when both are
+            # set, `[exprs], [one-of-them]` when only one is, bare
+            # `[exprs]` when neither. Two-group nodes are therefore
+            # ambiguous: the second group is an ORDER spec (unpartitioned
+            # — flag) only if it carries a sort direction; otherwise it
+            # is the partition list of an order-less window (e.g. a
+            # partitioned COUNT frame — fine, do not cry wolf).
+            groups = node.count("], [")
+            if groups >= 2:
+                continue  # [exprs], [part], [order] — partitioned
+            if groups == 1:
+                last = node.rsplit("], [", 1)[1]
+                if " ASC" not in last and " DESC" not in last:
+                    continue  # [exprs], [part] — partitioned, no order
+                if "_pid#" in last:
+                    continue  # range_prefix_sums boundary: O(#parts) rows
+            # groups == 0: whole-relation frame — unpartitioned, flag
             findings.append(
                 Finding(
                     "unpartitioned_window",
@@ -181,21 +192,41 @@ def audit_plan(
             )
             break  # one finding per plan is enough signal
 
-    # Filter evaluated above a parquet scan that pushed NO filters at all:
+    # Filter DIRECTLY above a parquet scan that pushed NO filters at all:
     # the predicate never reached the reader, so the scan is full-table.
+    # Adjacency matters — a post-shuffle Filter (e.g. on a window count)
+    # elsewhere in a plan that also happens to contain a deliberately
+    # predicate-free full scan is NOT a pushdown failure. Only the
+    # printed child chain Filter → (ColumnarToRow/InputAdapter)* → scan
+    # is, because a Filter has exactly one child in the plan tree.
     # (Partial pushdown — e.g. only the implied IsNotNull reached the
     # reader — is not flagged: residual filters above a scan are normal.)
-    scans_parquet = "Scan parquet" in plan or "FileScan parquet" in plan
-    if "PushedFilters: []" in plan and "Filter " in plan and scans_parquet:
-        findings.append(
-            Finding(
-                "filter_not_pushed",
-                WARN,
-                "a Filter sits above a parquet scan with PushedFilters: [] — "
-                "the predicate shape (UDF/cast/complex expr) blocked pushdown; "
-                "rewrite it over raw columns so the reader can skip row groups",
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.sub(r"^[\s+\-:*()0-9]*", "", line).startswith("Filter "):
+            continue
+        hit = False
+        for nxt in lines[i + 1 : i + 4]:
+            nnode = re.sub(r"^[\s+\-:*()0-9]*", "", nxt)
+            if nnode.startswith(("ColumnarToRow", "InputAdapter")):
+                continue
+            hit = (
+                nnode.startswith(("FileScan parquet", "Scan parquet"))
+                and "PushedFilters: []" in nnode
             )
-        )
+            break
+        if hit:
+            findings.append(
+                Finding(
+                    "filter_not_pushed",
+                    WARN,
+                    "a Filter sits above a parquet scan with PushedFilters: "
+                    "[] — the predicate shape (UDF/cast/complex expr) blocked "
+                    "pushdown; rewrite it over raw columns so the reader can "
+                    "skip row groups",
+                )
+            )
+            break
 
     return findings
 

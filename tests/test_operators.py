@@ -2460,6 +2460,17 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
     a.write.parquet(src)
     df = spark.read.parquet(src).filter("pmod(id, 7) = 3 OR id IS NULL")
     assert "filter_not_pushed" in rules(audit_plan(df))
+    # adjacency precision: a post-shuffle Filter above a deliberately
+    # predicate-free full scan is NOT a pushdown failure
+    from pyspark.sql import Window
+
+    w_cnt = Window.partitionBy("k")
+    post_shuffle = (
+        spark.read.parquet(src)
+        .withColumn("n", F.count(F.lit(1)).over(w_cnt))
+        .filter("n <= 1000")
+    )
+    assert "filter_not_pushed" not in rules(audit_plan(post_shuffle))
 
     # unpartitioned window: one-task funnel — flagged...
     from pyspark.sql import Window
@@ -2472,6 +2483,20 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
     w_ok = Window.partitionBy("k").orderBy("id")
     assert "unpartitioned_window" not in rules(
         audit_plan(a.select(F.sum("id").over(w_ok).alias("s")))
+    )
+    # ...nor a partitioned ORDER-LESS window (prints two bracket groups
+    # just like the unpartitioned-ordered shape — must not be confused)...
+    w_noorder = Window.partitionBy("k")
+    assert "unpartitioned_window" not in rules(
+        audit_plan(a.select(F.count(F.lit(1)).over(w_noorder).alias("n")))
+    )
+    # ...while a whole-relation frame (no partition AND no order) is
+    # still the one-task funnel and stays flagged
+    w_frame = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    assert "unpartitioned_window" in rules(
+        audit_plan(a.select(F.sum("id").over(w_frame).alias("s")))
     )
     # ...and the range_prefix_sums boundary window (ordered by _pid over
     # the post-aggregate per-partition totals, O(#partitions) rows by

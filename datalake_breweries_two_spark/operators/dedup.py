@@ -793,8 +793,11 @@ def shared_span_pairs(
     evidence — the per-doc aggregate view keeps counting it). The cap
     bounds every join group at max_span_docs² pairs, which is what
     makes this safe on the 100 TB corpus; the count rides the same
-    span-keyed exchange the join needs (count window, then sort-merge
-    self-join reusing the partitioning)."""
+    span-keyed exchange the join needs. The shingle pipeline is NOT
+    computed twice for the self-join: both sides canonicalize to the
+    same span-keyed exchange, so AQE stage reuse feeds the second side
+    from the first's shuffle output (ReusedExchange in the final plan —
+    pinned by test_shared_span_pairs_reuses_span_exchange)."""
     tokens = _tokens_expr(text_col, tokenizer)
     ex = docs.select(F.col(id_col), F.posexplode(tokens).alias("pos", "token"))
     w = Window.partitionBy(id_col).orderBy("pos")

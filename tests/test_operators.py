@@ -3083,3 +3083,23 @@ def test_label_centroid_profile_planted(spark):
     assert cancel["n_vecs"] == 2
     assert cancel["centroid_norm"] == 0.0
     assert cancel["avg_cos"] is None and cancel["min_cos"] is None
+
+
+def test_shared_span_pairs_reuses_span_exchange(spark):
+    """At scale (no broadcast) the span self-join must NOT compute the
+    shingle pipeline twice: AQE stage reuse feeds the join's second side
+    from the first side's span-keyed shuffle output."""
+    from datalake_breweries_two_spark.operators.dedup import shared_span_pairs
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = shared_span_pairs(docs, span_tokens=8)
+        df.collect()  # materialize THIS plan so AQE stamps it final
+        # (count() would wrap a new plan and leave this one unexecuted)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -260,7 +260,7 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_rate_report": 1.0,
     "q_asof_join_nearest": 0.78,
     "q_incremental_ingest_dedup": 0.33,
-    "q_shared_span_pairs": 1.2,
+    "q_shared_span_pairs": 1.9,
     "q_knn_join": 0.7,
     "q_label_centroids": 0.5,
     "q_outliers_zscore": 0.46,

@@ -3103,3 +3103,20 @@ def test_shared_span_pairs_reuses_span_exchange(spark):
         assert "ReusedExchange" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_shared_span_pairs_span_length_monotone(spark):
+    """A pair sharing a verbatim (k+1)-token span necessarily shares two
+    k-token spans, so the pair set must shrink monotonically with span
+    length — pinned on the real corpus, uncapped so the property is
+    about the span algebra, not the hot-span cutoff."""
+    from datalake_breweries_two_spark.operators.dedup import shared_span_pairs
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    big = 10**9  # uncapped: the cap is exercised by its own test
+    p8 = {(r["id_a"], r["id_b"])
+          for r in shared_span_pairs(docs, 8, max_span_docs=big).collect()}
+    p9 = {(r["id_a"], r["id_b"])
+          for r in shared_span_pairs(docs, 9, max_span_docs=big).collect()}
+    assert p8, "corpus must contain at least one shared 8-gram"
+    assert p9 <= p8

@@ -280,10 +280,23 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    # Hot-bucket safety: pre-count bucket sizes with a window on the SAME
+    # (band, bucket) key and drop over-cap buckets BEFORE collect_set —
+    # the cap must bound the memory of the collected array itself, not
+    # just the downstream pair explosion (a degenerate bucket with
+    # millions of members would otherwise materialize one giant array in
+    # one task only to be filtered away). The window rides the exchange
+    # the bucket aggregate needs anyway, so this adds no shuffle; each
+    # doc lands in exactly one bucket per band, so the row count equals
+    # the distinct-member count collect_set would have produced.
+    w_bucket = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+    grouped = (
+        sized.filter(F.col("_n") <= max_bucket)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
     )
-    capped = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    capped = grouped.filter(F.size("ids") > 1)
     pairs = capped.select(
         F.explode(
             F.filter(
@@ -302,10 +315,15 @@ def lsh_candidate_pairs(
     if dropped_obs is None:
         return pairs
     id_type = pairs.schema["id_a"].dataType
-    sentinels = grouped.filter(F.size("ids") > max_bucket).select(
-        F.lit(None).cast(id_type).alias("id_a"),
-        F.lit(None).cast(id_type).alias("id_b"),
-        F.size("ids").cast("long").alias("_dropped_sz"),
+    sentinels = (
+        sized.filter(F.col("_n") > max_bucket)
+        .select("band", "bucket", "_n")
+        .distinct()
+        .select(
+            F.lit(None).cast(id_type).alias("id_a"),
+            F.lit(None).cast(id_type).alias("id_b"),
+            F.col("_n").cast("long").alias("_dropped_sz"),
+        )
     )
     return _observe_dropped_sentinels(
         pairs, sentinels, dropped_obs, "_dropped_sz", "dropped_buckets", "dropped_ids"
@@ -435,14 +453,23 @@ def simhash_near_duplicates(
             )
         ).alias("b"),
     ).select(F.col(id_col), F.col("simhash"), F.col("b.blk"), F.col("b.val"))
-    grouped = blocks.groupBy("blk", "val").agg(
-        F.sort_array(
-            F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
-        ).alias("members")
+    # Same hot-bucket safety as lsh_candidate_pairs: count block sizes on
+    # the (blk, val) window and drop over-cap blocks BEFORE collect_set,
+    # so a degenerate block never materializes its full member array.
+    w_blk = Window.partitionBy("blk", "val")
+    sized = blocks.withColumn("_n", F.count(F.lit(1)).over(w_blk))
+    grouped = (
+        sized.filter(F.col("_n") <= bucket_cap)
+        .groupBy("blk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+                )
+            ).alias("members")
+        )
     )
-    capped = grouped.filter(
-        (F.size("members") > 1) & (F.size("members") <= bucket_cap)
-    )
+    capped = grouped.filter(F.size("members") > 1)
     pairs = capped.select(
         F.explode(
             F.filter(

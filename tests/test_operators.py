@@ -3120,3 +3120,50 @@ def test_shared_span_pairs_span_length_monotone(spark):
           for r in shared_span_pairs(docs, 9, max_span_docs=big).collect()}
     assert p8, "corpus must contain at least one shared 8-gram"
     assert p9 <= p8
+
+
+def test_knn_join_matches_bruteforce_randomized(spark):
+    """Property check: on randomized INTEGER-valued vectors (cosines are
+    then bit-exact in double, so ties are deliberate and reproducible)
+    the two-level distributed top-k must equal the obvious per-query
+    brute force — including the rounded-cosine/neighbor-id total order
+    and zero-vector semantics (NULL cosine, ranked last, still listed
+    when the corpus is small enough)."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark.operators.similarity import knn_join
+
+    def cos4(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        if na == 0.0 or nb == 0.0:
+            return None  # no direction -> NULL, as try_divide produces
+        c = dot / (na * nb)
+        # Spark round(): shortest-repr BigDecimal, HALF_UP — replicated
+        return float(Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP)) + 0.0
+
+    k, n_q = 4, 3
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        vecs = {
+            i: [float(rng.randint(-3, 3)) for _ in range(4)] for i in range(10)
+        }
+        vecs[1] = [0.0, 0.0, 0.0, 0.0]  # zero-vector QUERY: all-NULL cosines
+        vecs[7] = [0.0, 0.0, 0.0, 0.0]  # zero-vector NEIGHBOR: NULL, ranks last
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        got = {
+            (r["q_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in knn_join(emb, n_queries=n_q, k=k).collect()
+        }
+        want = {}
+        for q in range(n_q):
+            scored = [(cos4(vecs[q], v), i) for i, v in vecs.items() if i != q]
+            scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+            for rank, (c, i) in enumerate(scored[:k], 1):
+                want[(q, rank)] = (i, c)
+        assert got == want, (seed, got, want)

@@ -824,7 +824,10 @@ def shared_span_pairs(
     computed twice for the self-join: both sides canonicalize to the
     same span-keyed exchange, so AQE stage reuse feeds the second side
     from the first's shuffle output (ReusedExchange in the final plan —
-    pinned by test_shared_span_pairs_reuses_span_exchange)."""
+    pinned by test_shared_span_pairs_reuses_span_exchange).
+
+    Reference parity: no dedup surface in the reference (LLM-pipeline
+    extension, SURVEY.md §2.2)."""
     tokens = _tokens_expr(text_col, tokenizer)
     ex = docs.select(F.col(id_col), F.posexplode(tokens).alias("pos", "token"))
     w = Window.partitionBy(id_col).orderBy("pos")

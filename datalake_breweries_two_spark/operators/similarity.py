@@ -646,7 +646,10 @@ def knn_join(
 
     Determinism: rounded-4dp cosine with the neighbor id as total-order
     tie-break at BOTH levels; a zero vector's cosine is NULL (no
-    direction) and sorts last, exactly as in the oracle's NULLS LAST."""
+    direction) and sorts last, exactly as in the oracle's NULLS LAST.
+
+    Reference parity: no similarity surface in the reference
+    (LLM-pipeline extension, SURVEY.md §2.2)."""
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
     )
@@ -698,7 +701,10 @@ def label_centroid_profile(
     dim-ordered array (F.aggregate ↔ list_aggregate, bit-identical);
     min / percentile_disc pick actual 4dp elements. An all-zero member
     has no direction → NULL cosine (try_divide ↔ DuckDB /0), skipped by
-    the distribution aggregates but still counted in n_vecs."""
+    the distribution aggregates but still counted in n_vecs.
+
+    Reference parity: no embedding surface in the reference
+    (LLM-pipeline extension, SURVEY.md §2.2)."""
     ex = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("dim", "x"),

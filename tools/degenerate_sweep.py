@@ -2,7 +2,7 @@
 a deliberately hostile lake, reporting Spark crashes, DuckDB crashes, and
 cross-engine mismatches.
 
-Four profiles (pass as argv[1:]; default runs ALL):
+Five profiles (pass as argv[1:]; default runs ALL):
 
   degenerate — zero-variance / single-element / all-ties groups, all-zero
                segments, one population absent, single-row events, empty /
@@ -22,11 +22,19 @@ Four profiles (pass as argv[1:]; default runs ALL):
                the r5 one-off probe; see build_extremes for the three
                cross-engine DOMAIN BOUNDARIES its wider first run
                mapped).
+  skew       — heavy key skew + massive exact ties: one customer owns
+               85% of orders, one order carries 200 lineitems, one user
+               owns 350/400 events, 40 IDENTICAL documents (pushes every
+               shared span past the hot-span cap on both engines), 50
+               identical embeddings, 100 tied order totals. Exposes
+               incomplete top-k/rank tie-breaks (each engine free to
+               pick different rows) and cap-parity drift. First run
+               (r6): zero mismatches — tie-break discipline held.
 
 This is the discovery tool behind tests/test_stat_edges.py; run it after
 adding queries or changing rounding/division/ordering discipline:
 
-    python tools/degenerate_sweep.py [degenerate|nulls|unicode|extremes]
+    python tools/degenerate_sweep.py [degenerate|nulls|unicode|extremes|skew]
 
 Expected on a healthy tree: OK = all-but-one per profile, one SPARK CRASH for
 q_medallion_e2e (its min-rows/null-column quality gate REJECTING the
@@ -284,6 +292,65 @@ def build_extremes(d):
        (3, [1e30] + [0.0] * 63, 1), (big_id, [0.5] * 64, 0)])
 
 
+def build_skew(d):
+    """Heavy-skew lake: one hot key owns most rows in every table, with
+    MASSIVE exact ties — the shape that exposes (a) incomplete top-k /
+    rank tie-breaks (each engine free to pick different rows), (b)
+    hot-bucket/hot-span cap behavior (40 identical documents push every
+    shared span past the >16-doc cap on BOTH engines), and (c) salted /
+    AQE-skew join paths still producing exact results."""
+    w(d, "region", pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]), [(0,"R0"),(1,"R1")])
+    w(d, "nation", pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())]),
+      [(0,"HOTNATION",0),(1,"N1",0),(2,"N2",1)])
+    w(d, "customer", pa.schema([("c_custkey", pa.int64()),("c_name", pa.string()),("c_nationkey", pa.int32()),
+      ("c_acctbal", pa.float64()),("c_mktsegment", pa.string())]),
+      [(i, f"c{i}", 0 if i <= 25 else (i % 3), 5.0 if i <= 20 else float(i), "HOT" if i <= 25 else "COLD")
+       for i in range(1, 31)])
+    w(d, "supplier", pa.schema([("s_suppkey", pa.int64()),("s_name", pa.string()),("s_nationkey", pa.int32()),
+      ("s_acctbal", pa.float64())]), [(1,"s1",0,10.0),(2,"s2",0,10.0),(3,"s3",1,7.0)])
+    w(d, "part", pa.schema([("p_partkey", pa.int64()),("p_name", pa.string()),("p_brand", pa.string()),
+      ("p_type", pa.string()),("p_size", pa.int32()),("p_retailprice", pa.float64())]),
+      [(1,"hot green part","B1","T1",1,10.0),(2,"part two","B1","T1",2,20.0),
+       (3,"part three","B1","T2",3,20.0),(4,"part four","B1","T2",1,30.0),(5,"cold part","B9","T9",9,90.0)])
+    day = lambda k: _TS + dt.timedelta(days=k)
+    w(d, "orders", pa.schema([("o_orderkey", pa.int64()),("o_custkey", pa.int64()),("o_orderstatus", pa.string()),
+      ("o_totalprice", pa.float64()),("o_orderdate", ts),("o_orderpriority", pa.string())]),
+      [(k, 1 if k <= 170 else (k % 29) + 1, "F" if k % 10 else "O",
+        100.0 if k <= 100 else float(k), day(k % 3), "1-URGENT" if k <= 150 else "5-LOW")
+       for k in range(1, 201)])
+    w(d, "lineitem", pa.schema([("l_orderkey", pa.int64()),("l_partkey", pa.int64()),("l_suppkey", pa.int64()),
+      ("l_linenumber", pa.int32()),("l_quantity", pa.float64()),("l_extendedprice", pa.float64()),
+      ("l_discount", pa.float64()),("l_tax", pa.float64()),("l_returnflag", pa.string()),
+      ("l_linestatus", pa.string()),("l_shipdate", ts)]),
+      # 200 lines on the single hot order 1 (hot l_orderkey AND hot part/supp),
+      # then one line each for orders 2..101
+      [(1, 1, 1, i, 5.0, 50.0, 0.0 if i % 2 else 0.1, 0.0, "A", "O", day(i % 3))
+       for i in range(1, 201)]
+      + [(k, (k % 5) + 1, (k % 3) + 1, 1, float(k % 7 + 1), 10.0 * (k % 7 + 1),
+          0.0, 0.0, "A" if k % 4 else "R", "F", day(k % 3)) for k in range(2, 102)])
+    w(d, "events", pa.schema([("event_id", pa.int64()),("ts", ts),("user_id", pa.int64()),
+      ("event_type", pa.string()),("value", pa.float64()),("props", pa.string())]),
+      # user 1 owns 350 of 400 events; timestamps collide in pairs (ties);
+      # 90% clicks; values massively tied
+      [(i, _TS + dt.timedelta(minutes=i // 2), 1 if i <= 350 else (i % 7) + 2,
+        "click" if i % 10 else "purchase", 1.0 if i <= 300 else float(i % 9),
+        '{"k": 1}' if i % 3 else '{"k": 2}')
+       for i in range(1, 401)])
+    hot_text = ("the exact same boilerplate document body repeated verbatim "
+                "across forty separate rows of this corpus for span skew")
+    docs = [(i, hot_text, "en", "web", len(hot_text)) for i in range(1, 41)]
+    docs += [(40 + i, f"distinct document number {i} with its own unique words and content here",
+              "en" if i <= 15 else "de", "web" if i <= 15 else "pdf", 70) for i in range(1, 21)]
+    w(d, "documents", pa.schema([("doc_id", pa.int64()),("text", pa.string()),("lang", pa.string()),
+      ("source", pa.string()),("n_chars", pa.int64())]), docs)
+    w(d, "embeddings", pa.schema([("vec_id", pa.int64()),("embedding", pa.list_(pa.float32())),("label", pa.int32())]),
+      # 50 identical unit vectors (max cosine ties), 20 identical others,
+      # label 0 owns 70 of 80
+      [(i, [1.0] + [0.0] * 63, 0) for i in range(50)]
+      + [(50 + i, [0.0, 1.0] + [0.0] * 62, 0 if i <= 14 else 1) for i in range(20)]
+      + [(70 + i, [0.5] * 16 + [float(i)] + [0.25] * 47, 1) for i in range(10)])
+
+
 def run_profile(profile: str) -> int:
     from pyspark.sql import SparkSession
     from datalake_breweries_two_spark.entry_queries import ORACLE_SQL, QUERIES
@@ -291,7 +358,8 @@ def run_profile(profile: str) -> int:
 
     d = tempfile.mkdtemp(prefix=f"{profile}_")
     {"degenerate": build_degenerate, "nulls": build_nulls,
-     "unicode": build_unicode, "extremes": build_extremes}[profile](d)
+     "unicode": build_unicode, "extremes": build_extremes,
+     "skew": build_skew}[profile](d)
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
@@ -347,5 +415,5 @@ def run_profile(profile: str) -> int:
 
 
 if __name__ == "__main__":
-    profiles = sys.argv[1:] or ["degenerate", "nulls", "unicode", "extremes"]
+    profiles = sys.argv[1:] or ["degenerate", "nulls", "unicode", "extremes", "skew"]
     raise SystemExit(min(1, sum(run_profile(p) for p in profiles)))

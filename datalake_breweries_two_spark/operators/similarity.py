@@ -67,6 +67,13 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _signed64(x: int) -> int:
+    """Two's-complement fold of a Python int into signed-64 range, so a
+    value with bit 63 set becomes the (negative) JVM long with the same
+    bit pattern instead of an unparseable 2**63 literal."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _hyperplane(dim: int, plane_id: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a hash chain —
     reproducible across runs/executors without shipping numpy state."""
@@ -87,15 +94,24 @@ def _signature_expr(
     """Sign-of-dot-product LSH signature as a pure Column expression:
     bit b = 1 iff v·plane_b ≥ 0, packed into one long. ``plane_offset``
     selects a disjoint run of the deterministic plane sequence so
-    independent signature BANDS can share the machinery."""
-    bits = []
+    independent signature BANDS can share the machinery.
+
+    Packing folds with bitwiseOR (not arithmetic sum), and bit 63 is the
+    SIGNED long's sign bit (`_signed64`), so the full 64-plane width
+    works — a 2**63 literal is unrepresentable as a JVM long and an
+    arithmetic pack would trip ANSI overflow semantics."""
+    if not 1 <= n_planes <= 64:
+        raise ValueError(f"n_planes must be in [1, 64], got {n_planes}")
+    sig = F.lit(0).cast("long")
     for b in range(n_planes):
         plane = F.array(*[F.lit(w) for w in _hyperplane(dim, plane_offset + b)])
-        bits.append(
-            F.when(dot_product(F.col(vec_col), plane) >= 0, F.lit(2**b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(
+            F.when(
+                dot_product(F.col(vec_col), plane) >= 0,
+                F.lit(_signed64(1 << b)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return sum(bits)
+    return sig
 
 
 def random_hyperplane_signature(
@@ -115,7 +131,7 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 16,
+    n_planes: int = 48,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidate_budget: int | None = None,
@@ -131,7 +147,11 @@ def cosine_topk_lsh(
     packed, and bounds the rescore cost deterministically. At 100 TB the
     signatures are a precomputed 8-byte column, so phase 1 scans ~0.01% of
     the bytes the brute-force path would. Recall is approximate; the
-    declared query for this is rows-only checked."""
+    declared query for this is rows-only checked. Default width is 48
+    planes: measured at sf0.1, recall@10 vs brute force moves 0.36→0.54
+    at budget 256 (0.16→0.34 at 64) over the 16-plane default, for the
+    same 8-byte signature column — Hamming distance on a wider signature
+    simply correlates better with cosine rank (SCALING.md)."""
     dim = len(query_vec)
     budget = candidate_budget if candidate_budget is not None else max(8 * k, 64)
     signed = random_hyperplane_signature(embeddings, n_planes, vec_col, dim)
@@ -140,6 +160,7 @@ def cosine_topk_lsh(
         plane = _hyperplane(dim, b)
         if sum(x * y for x, y in zip(query_vec, plane)) >= 0:
             qsig |= 1 << b
+    qsig = _signed64(qsig)  # bit 63 ⇒ negative long, same bit pattern
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = (
         signed.withColumn(
@@ -394,6 +415,7 @@ def ann_recall_curves(
     lsh_budgets: tuple = (16, 64),
     ivf_probes: tuple = (1, 4),
     n_centroids: int = 8,
+    n_planes: int = 48,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -431,7 +453,6 @@ def ann_recall_curves(
 
     # query-side LSH signatures + per-query centroid probe ranks are
     # driver-side math over already-collected bounded rows
-    n_planes = 16
     planes = [_hyperplane(dim, b) for b in range(n_planes)]
     seeds = centroid_seeds(embeddings, n_centroids, id_col, vec_col)
 
@@ -440,7 +461,7 @@ def ann_recall_curves(
         for b, plane in enumerate(planes):
             if sum(x * y for x, y in zip(qv, plane)) >= 0:
                 s |= 1 << b
-        return s
+        return _signed64(s)  # bit 63 ⇒ negative long, same bit pattern
 
     qdf = F.broadcast(
         spark.createDataFrame(

@@ -3167,3 +3167,38 @@ def test_knn_join_matches_bruteforce_randomized(spark):
             for rank, (c, i) in enumerate(scored[:k], 1):
                 want[(q, rank)] = (i, c)
         assert got == want, (seed, got, want)
+
+
+def test_lsh_full_width_signature_and_signed_bit63(spark):
+    """The 64-plane signature must work end to end: bit 63 is the signed
+    long's sign bit, so both the Spark-side packing and the Python-side
+    query literal must fold through two's complement instead of emitting
+    an unrepresentable 2**63. The query vector is plane 63 itself, which
+    GUARANTEES its dot with plane 63 is positive (sum of squares) and so
+    the query signature has bit 63 set. With the budget covering the
+    whole corpus, LSH must equal exact brute force."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        _hyperplane,
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    dim = len(emb.first()["embedding"])
+    qv = _hyperplane(dim, 63)
+    n = emb.count()
+    lsh = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk_lsh(
+            emb, qv, k=5, n_planes=64, candidate_budget=n
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(emb, qv, k=5).collect()
+    ]
+    assert lsh == brute and len(lsh) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[1, 64\]"):
+        cosine_topk_lsh(emb, qv, k=5, n_planes=65).collect()

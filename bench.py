@@ -258,8 +258,8 @@ QUIET_HOST_REF_SEC = {
     "q_quality_funnel": 0.55,
     "q_bigram_logprob": 1.3,
     "q_dedup_rate_report": 1.0,
-    "q_asof_join_nearest": 0.78,
-    "q_incremental_ingest_dedup": 0.33,
+    "q_asof_join_nearest": 0.25,
+    "q_incremental_ingest_dedup": 0.18,
     "q_shared_span_pairs": 1.9,
     "q_knn_join": 0.7,
     "q_label_centroids": 0.5,
@@ -337,17 +337,17 @@ QUIET_HOST_REF_SEC = {
     "q_spearman_corr": 0.52,
     "q_event_transitions": 0.75,
     "q_percent_of_total": 0.65,
-    "q_offset_pagination": 0.38,
-    "q_nulls_ordering": 0.3,
-    "q_group_by_all": 0.38,
-    "q_group_split": 0.4,
-    "q_balanced_sample": 0.64,
+    "q_offset_pagination": 0.11,
+    "q_nulls_ordering": 0.11,
+    "q_group_by_all": 0.17,
+    "q_group_split": 0.18,
+    "q_balanced_sample": 0.3,
     "q_rolling_active_users": 0.59,
     "q_geo_radius_pairs": 0.79,
-    "q_skew_report": 0.65,
+    "q_skew_report": 0.28,
     "q_partition_plan": 0.48,
-    "q_asof_join_forward": 0.5,
-    "q_window_ignore_nulls": 0.25,
+    "q_asof_join_forward": 0.16,
+    "q_window_ignore_nulls": 0.1,
     "q_sql_tpch_q2": 1.05,
     "q_sql_tpch_q9": 1.65,
     "q_sql_tpch_q11": 1.26,
@@ -358,13 +358,13 @@ QUIET_HOST_REF_SEC = {
     "q_benford": 0.38,
     "q_zipf_slope": 0.93,  # r5: distributed vocabulary rank (structural)
     "q_ks_test": 1.29,  # r5: distributed prefix-sum CDF (structural)
-    "q_chi_square": 0.71,
+    "q_chi_square": 0.3,
     "q_psi": 1.72,
-    "q_incremental_join": 0.76,
+    "q_incremental_join": 0.4,
     "q_dedup_keep_latest": 0.32,
     "q_top_percent": 0.75,
     "q_sequence_gaps": 1.05,  # r5: partitioned lag + boundary pass (structural)
-    "q_listagg": 0.49,
+    "q_listagg": 0.23,
     "q_histogram_2d": 0.32,
 }
 

@@ -224,7 +224,7 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_near_verified": 2.38,
     "q_embedding_near_dup": 2.4,
     "q_equi_depth_bins": 0.22,
-    "q_ann_recall": 1.35,
+    "q_ann_recall": 3.7,
     "q_exchange_reuse": 0.22,
     "q_exists_subquery": 0.4,
     "q_funnel": 0.25,

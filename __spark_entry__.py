@@ -35,16 +35,23 @@ def _driver_status() -> dict[str, dict]:
     """Latest CORRECTNESS record per query across all prior driver rounds
     (the driver snapshots a bounded prefix of ``queries()`` per round, so
     rotation is how the whole registry gets hard-verified). Later rounds
-    override earlier ones — a pass that later regressed counts as failed."""
+    override earlier ones — a pass that later regressed counts as failed.
+    Each record carries a synthetic ``_round`` key (parsed from the
+    snapshot filename) so rotation can front the STALEST evidence once
+    the whole registry is covered."""
     latest: dict[str, dict] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.rsplit("CORRECTNESS_r", 1)[1].split(".")[0])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as f:
                 snapshot = json.load(f)
             if isinstance(snapshot, dict):
                 for k, v in snapshot.items():
                     if isinstance(k, str) and isinstance(v, dict):
-                        latest[k] = v
+                        latest[k] = {**v, "_round": rnd}
         except (OSError, ValueError):
             continue
     return latest
@@ -73,7 +80,8 @@ _ROWS_ONLY_INTERLEAVE = [
     "q_hll_partitioned",
     "q_ivf_assign",
     "q_kll_quantiles",
-    "q_media_frame_sample",
+    # q_media_frame_sample left this list in r7: it gained a full
+    # golden-VALUES oracle (the guard below would drop it anyway)
     "q_rolling_fingerprint",
     "q_sample_seeded",
     "q_theta_overlap",
@@ -156,7 +164,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key=lambda q: 0 if _is_fail(status[q]) else 1,
         )  # stable: true failures ahead of contract upgrades
         placed |= set(tail_unchecked) | set(rechecks)
-        tail_checked = [q for q in registry if q in checked and q not in placed]
+        # Checked-and-passing queries: STALEST driver evidence first.
+        # With the registry fully covered (r6), rotation's job flips from
+        # first-contact to regression re-verification — the ~50-query
+        # driver prefix should re-test the queries whose latest green is
+        # oldest (r2/r3 core) against each round's regenerated testdata.
+        tail_checked = sorted(
+            (q for q in registry if q in checked and q not in placed),
+            key=lambda q: status[q].get("_round", 0),
+        )  # stable: registry order within a round
         ordered = head + rows_priority + tail_unchecked + rechecks + tail_checked
         assert set(ordered) == set(registry) and len(ordered) == len(registry)
         return {name: registry[name] for name in ordered}

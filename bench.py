@@ -128,6 +128,8 @@ HEADLINE = [
     "q_partition_overwrite_dynamic",
     "q_streaming_upsert",
     "q_media_checksum",
+    "q_media_features",
+    "q_media_frame_sample",
     "q_equi_depth_bins",
     "q_winsorize",
     "q_impute_group_mean",
@@ -246,6 +248,8 @@ QUIET_HOST_REF_SEC = {
     "q_lateral_topk_join": 1.15,
     "q_map_ops": 0.21,
     "q_media_checksum": 0.3,
+    "q_media_features": 0.4,
+    "q_media_frame_sample": 0.4,
     "q_merge_upsert": 0.43,
     "q_mergeschema_scan": 0.59,
     "q_mode_agg": 0.33,

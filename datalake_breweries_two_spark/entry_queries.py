@@ -976,9 +976,26 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video → per-frame feature rows via cardinality-changing mapInPandas
-    (decode stubbed, plumbing real). Rows-only."""
+    (decode stubbed, plumbing real). The ``feature array<float>`` is
+    projected to a canonical scalar (comma-joined recovered digest bytes:
+    ``round(x*255)`` inverts the stub's ``b/255.0`` exactly, float32
+    roundtrip included) — array-typed outputs can't be canonicalized by
+    the driver's pandas sort, and the byte CSV makes the query fully
+    oracle-checkable against the Python-side golden recompute. The
+    operator itself stays array-returning for library users."""
     media = multimodal.synthetic_media(spark, n=64)
-    return multimodal.frame_sample(media, n_frames=4)
+    frames = multimodal.frame_sample(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.array_join(
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("feature_bytes"),
+    )
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2154,7 +2171,7 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label inverse-frequency and sqrt-inverse training weights over
     the embeddings labels (see operators/sampling.py:class_balance_weights)."""
     return sampling.class_balance_weights(
-        _t(spark, sf_dir, "embeddings"), "label", "vec_id"
+        _t(spark, sf_dir, "embeddings"), "label"
     )
 
 
@@ -2220,10 +2237,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → mapInPandas feature extraction
-    (decode stubbed; plumbing real) — rows-only."""
+    (decode stubbed; plumbing real). FULL ORACLE since r7: the stub is
+    deterministic, so the expected rows — including the feature vector,
+    surfaced as recovered digest bytes (``round(x*255)`` inverts the
+    stub's ``b/255.0`` through the float32 roundtrip exactly) — are
+    reconstructed Python-side and embedded as a VALUES oracle (DuckDB's
+    sha256 is VARCHAR-only, so blob digests can't be recomputed
+    in-engine)."""
     media = multimodal.synthetic_media(spark, n=48)
     return multimodal.extract_features(media).select(
-        "media_id", "media_type", "payload_bytes", "sha256"
+        "media_id",
+        "media_type",
+        "payload_bytes",
+        "sha256",
+        F.array_join(
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("feature_bytes"),
     )
 
 
@@ -2960,9 +2993,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH RECURSIVE sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
                        i -> array_to_string(list_slice(
-                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
                    )) AS shingles
             FROM documents
         ),
@@ -3064,9 +3097,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH RECURSIVE sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
                        i -> array_to_string(list_slice(
-                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
                    )) AS shingles
             FROM documents
         ),
@@ -3348,9 +3381,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
                        i -> array_to_string(list_slice(
-                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
                    )) AS shingles
             FROM documents
         ),
@@ -3376,7 +3409,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH RECURSIVE tok AS (
             SELECT doc_id, lang,
                    CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END AS BIGINT) AS n_tokens,
                    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
             FROM documents
         ),
@@ -3398,7 +3431,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_repetition_stats": """
         WITH tok AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) AS token
             FROM documents
         ),
         uni AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -3413,7 +3446,7 @@ ORACLE_SQL: dict[str, str] = {
                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')
                    )) AS bigram
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                         regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+') AS toks
                   FROM documents)
         ),
         bi AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
@@ -3429,9 +3462,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
-                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
                        i -> array_to_string(list_slice(
-                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
                    ))) AS shingle
             FROM documents
         ),
@@ -3533,9 +3566,9 @@ ORACLE_SQL: dict[str, str] = {
         WITH sh AS (
             SELECT doc_id,
                    list_distinct(list_transform(
-                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+                       range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
                        i -> array_to_string(list_slice(
-                                regexp_split_to_array(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                                regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
                    )) AS shingles
             FROM documents
             WHERE doc_id < 400
@@ -3557,7 +3590,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_token_jaccard": """
         WITH toks AS (
             SELECT doc_id,
-                   regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+                   regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
             FROM documents
             WHERE doc_id < 400
         ),
@@ -3604,7 +3637,7 @@ ORACLE_SQL: dict[str, str] = {
                count(doc_id) AS n_docs,
                round(avg(n_chars), 4) AS avg_chars,
                CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+                        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END) AS BIGINT)
                    AS total_tokens
         FROM documents GROUP BY lang
     """,
@@ -3612,23 +3645,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                len(text) AS len_chars,
                CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                    ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END AS BIGINT) AS n_tokens,
                round(len(text) / greatest(
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS mean_token_len,
+                        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END, 1), 4) AS mean_token_len,
                round(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1), 4) AS punct_ratio,
-               round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+               round(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0b]+'),
                          x -> x IN ('the','and','of','to','is','a','in','that','it','for')))
                    / greatest(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) AS stopword_ratio,
+                        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END, 1), 4) AS stopword_ratio,
                round(len(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(len(text), 1), 4) AS upper_ratio
         FROM documents
     """,
     "q_token_count": """
         SELECT doc_id,
                CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+                    ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]')) AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
     "q_lang_id": """
@@ -3701,7 +3734,7 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["q_bigram_logprob"] = """
     WITH toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
     ),
     big AS (
@@ -3737,7 +3770,7 @@ ORACLE_SQL["q_dedup_rate_report"] = """
     ),
     toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
         WHERE doc_id < 400
     ),
@@ -3785,7 +3818,7 @@ ORACLE_SQL["q_incremental_ingest_dedup"] = """
 ORACLE_SQL["q_shared_span_pairs"] = """
     WITH toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
     ),
     spans AS (
@@ -3871,7 +3904,7 @@ ORACLE_SQL["q_label_centroids"] = """
 ORACLE_SQL["q_dup_ngram_fraction"] = """
     WITH toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
     ),
     big AS (
@@ -3891,7 +3924,7 @@ ORACLE_SQL["q_dup_ngram_fraction"] = """
 ORACLE_SQL["q_pmi_collocations"] = """
     WITH toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
     ),
     big AS (
@@ -3916,7 +3949,7 @@ ORACLE_SQL["q_corpus_mix"] = """
                count(*) AS n_docs,
                CAST(coalesce(sum(len(regexp_extract_all(
                    lower(translate(text, 'İ', 'i')),
-                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS BIGINT) AS total_tokens,
+                   '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]'))), 0) AS BIGINT) AS total_tokens,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY source, lang
     ),
@@ -3940,7 +3973,7 @@ ORACLE_SQL["q_token_shards"] = """
         SELECT doc_id,
                coalesce(len(regexp_extract_all(
                    lower(translate(text, 'İ', 'i')),
-                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0) AS n_tokens
+                   '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')), 0) AS n_tokens
         FROM documents WHERE doc_id IS NOT NULL
     ),
     cum AS (
@@ -3961,12 +3994,12 @@ ORACLE_SQL["q_quality_funnel"] = """
     WITH flags AS (
         SELECT
             (length(trim(text)) > 0) AS p1,
-            len(regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nt,
+            len(regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')) AS nt,
             list_aggregate(list_transform(
-                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]'),
                 x -> length(x)), 'sum') AS sum_len,
             len(list_filter(
-                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]'),
                 x -> NOT regexp_matches(x, '^[a-z0-9]'))) AS n_punct
         FROM documents
     ),
@@ -3996,7 +4029,7 @@ ORACLE_SQL["q_quality_funnel"] = """
 ORACLE_SQL["q_token_dup_clusters"] = """
     WITH RECURSIVE toks AS (
         SELECT doc_id,
-               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
         FROM documents
         WHERE doc_id < 400
     ),
@@ -4494,6 +4527,67 @@ ORACLE_SQL["q_media_checksum"] = """
 """
 
 
+def _media_golden_rows(n: int) -> list[tuple[int, str, bytes]]:
+    """Python-side golden recompute of the deterministic media stub
+    (mirrors ``multimodal.synthetic_media`` + ``_decode_payload``).
+
+    DuckDB's ``sha256`` accepts VARCHAR only, so blob digests (the
+    feature stub) cannot be recomputed in-engine; the expected rows are
+    reconstructed here — driver-side pure Python, independent of the
+    executors' Arrow/mapInPandas path — and embedded as VALUES oracles."""
+    import hashlib
+
+    return [
+        (
+            i,
+            ["image", "audio", "video"][i % 3],
+            hashlib.sha256(str(i).encode()).digest() * 32,
+        )
+        for i in range(n)
+    ]
+
+
+def _media_features_oracle(n: int) -> str:
+    import hashlib
+
+    vals = []
+    for i, mt, payload in _media_golden_rows(n):
+        digest = hashlib.sha256(payload)
+        fb = ",".join(str(b) for b in digest.digest()[:8])
+        vals.append(
+            f"({i}, '{mt}', {len(payload)}, '{digest.hexdigest()}', '{fb}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, media_type, "
+        "CAST(payload_bytes AS INT) AS payload_bytes, sha256, feature_bytes "
+        "FROM (VALUES " + ", ".join(vals) + ") "
+        "t(media_id, media_type, payload_bytes, sha256, feature_bytes)"
+    )
+
+
+def _media_frames_oracle(n: int, n_frames: int) -> str:
+    import hashlib
+
+    vals = []
+    for i, mt, payload in _media_golden_rows(n):
+        if mt != "video":
+            continue
+        for f in range(n_frames):
+            digest = hashlib.sha256(payload + bytes([f])).digest()
+            fb = ",".join(str(b) for b in digest[:8])
+            vals.append(f"({i}, {f}, '{fb}')")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, feature_bytes "
+        "FROM (VALUES " + ", ".join(vals) + ") "
+        "t(media_id, frame_idx, feature_bytes)"
+    )
+
+
+ORACLE_SQL["q_media_features"] = _media_features_oracle(48)
+ORACLE_SQL["q_media_frame_sample"] = _media_frames_oracle(64, 4)
+
+
 def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning of order totals into 8 bins — exact
     percentile edges as ONE distributed aggregate, broadcast back, bin
@@ -4587,7 +4681,7 @@ ORACLE_SQL["q_impute_group_mean"] = """
 ORACLE_SQL["q_fuzzy_pairs"] = """
     WITH k AS (
         SELECT p_partkey, p_name,
-               string_split_regex(p_name, '\\s+')[-1] AS blk
+               string_split_regex(p_name, '[ \\t\\n\\r\\f\\x0b]+')[-1] AS blk
         FROM part
     ),
     ok AS (SELECT blk FROM k GROUP BY blk HAVING count(*) <= 256),
@@ -4650,7 +4744,7 @@ ORACLE_SQL["q_training_pipeline_e2e"] = """
         SELECT * FROM documents
         WHERE n_chars >= 100
           AND CASE WHEN trim(text) = '' THEN 0
-                   ELSE length(regexp_split_to_array(trim(text), '\\s+')) END >= 10
+                   ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END >= 10
     ),
     canonical AS (
         SELECT md5(text) AS content_key,

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from datalake_breweries_two_spark.operators.text import WS_RE
+
 
 # --------------------------------------------------------------------------
 # 1. Exact dedup
@@ -59,8 +61,11 @@ def dedup_exact_keep_first(docs: DataFrame, subset: list[str]) -> DataFrame:
 
 # BPE-ish tokenizer regex (same class split as text.py's
 # bpe_ish_token_count): letter runs, digit runs, single punctuation marks.
-# ASCII classes only so Java regex (Spark) and RE2 (DuckDB oracles) agree.
-_BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Whitespace is an EXPLICIT class, not \s: Java \s includes U+000B
+# (vertical tab) but RE2/DuckDB \s does not, so \s silently diverges on
+# \x0b-bearing docs. The explicit class (Java's \s set) is mirrored
+# verbatim in every BPE-tokenized oracle SQL.
+_BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0b]"
 
 
 def _tokens_expr(text_col: str, tokenizer: str) -> Column:
@@ -79,7 +84,7 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
     utf8proc lower produces bare "i" — the one case-folding divergence
     the unicode sweep surfaced (İstanbul tokenized 3-vs-1 ways)."""
     if tokenizer == "whitespace":
-        return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     if tokenizer == "bpe":
         return F.regexp_extract_all(
             F.lower(F.translate(F.col(text_col), "İ", "i")),
@@ -92,7 +97,7 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
 def _word_shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles as an array<string> — JVM-side:
     split → sequence → transform(slice+join) → array_distinct."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     count = F.greatest(F.size(tokens) - n + 1, F.lit(1))
     idx = F.sequence(F.lit(1), count)
     return F.array_distinct(
@@ -389,7 +394,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # interpreted lambda functions lose to whole-stage codegen by ~10×)
     exploded = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("token"),
     )
     h = F.xxhash64(F.col("token"))
     # 63 bits: skip the sign bit to stay in signed-long range
@@ -748,7 +753,7 @@ def fuzzy_blocked_pairs(
     JVM-side (Catalyst expression, codegen) — no Python.
     """
     block = block_expr if block_expr is not None else F.element_at(
-        F.split(F.col(name_col), r"\s+"), -1
+        F.split(F.col(name_col), WS_RE), -1
     )
     keyed = df.select(
         F.col(id_col), F.col(name_col), block.alias("_blk")

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datalake_breweries_two_spark.operators.text import WS_RE
+
 PACKED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -57,7 +59,7 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(group_col).alias("lang"),
         F.when(F.trim(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_RE)))
         .cast("long")
         .alias("n_tokens"),
     )

@@ -312,7 +312,6 @@ def balanced_downsample(
 def class_balance_weights(
     df: DataFrame,
     label_col: str,
-    id_col: str,
 ) -> DataFrame:
     """Per-class training weights from label frequencies — the table a
     training pipeline feeds its loss-weighting / sampler config: row

@@ -518,14 +518,22 @@ def ann_recall_curves(
         )
         # left join from the full (qid × param) grid so zero-hit configs
         # (even ones with zero CANDIDATES, e.g. an empty probed cluster)
-        # average in as 0, not absent
+        # average in as 0, not absent; denom is ALSO left-joined so a
+        # query whose exact top-k is empty (corpus smaller than
+        # n_queries+1) stays in the average — vacuous truth counts as
+        # recall 1.0 (everything retrievable was retrieved), not a
+        # silent drop
         grid = qdf.select("qid").crossJoin(params_df)
         per_q = (
             grid.join(matched, ["qid", "param"], "left")
-            .join(F.broadcast(denom), "qid")
+            .join(F.broadcast(denom), "qid", "left")
             .select(
                 "param",
-                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")).alias("r"),
+                F.when(F.coalesce(F.col("n_truth"), F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth")
+                )
+                .alias("r"),
             )
         )
         return per_q.groupBy("param").agg(

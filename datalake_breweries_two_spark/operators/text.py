@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Whitespace written as an explicit class instead of \s: Java regex \s
+# includes U+000B (vertical tab) while RE2 (DuckDB oracles) does not —
+# 'a\x0bb' tokenizes ['a','b'] vs ['a','\x0b','b']. The explicit class
+# pins the Java behavior; every oracle SQL mirrors the same class.
+WS_RE = r"[ \t\n\r\f\x0b]+"
+
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
 # language ID. Deliberately small: the point is the Spark-side scoring
 # pattern (score per language = marker hit count, argmax via greatest), not
@@ -27,7 +33,7 @@ def whitespace_token_count(col: str) -> Column:
     """Token count by whitespace split (empty string → 0 tokens)."""
     trimmed = F.trim(F.col(col))
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_RE))
     )
 
 
@@ -35,7 +41,7 @@ def bpe_ish_token_count(col: str) -> Column:
     """BPE-ish token estimate: count word pieces + digits + punctuation runs
     via regex extraction — a cheap proxy for tokenizer counts at scale."""
     return F.size(
-        F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        F.regexp_extract_all(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"), F.lit(0))
     )
 
 
@@ -109,7 +115,7 @@ def text_quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # definition consistent with the n_tokens denominator
     n_stop = F.size(
         F.filter(
-            F.split(F.lower(t), r"\s+"),
+            F.split(F.lower(t), WS_RE),
             lambda x: x.isin(
                 "the", "and", "of", "to", "is", "a", "in", "that", "it", "for"
             ),
@@ -305,7 +311,7 @@ def repetition_stats(
 
     tokens = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias(
             "pos", "token"
         ),
     )
@@ -434,7 +440,7 @@ def chunk_documents(
     trimmed = F.trim(F.col(text_col))
     toks = F.when(
         F.length(trimmed) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(trimmed, r"\s+"))
+    ).otherwise(F.split(trimmed, WS_RE))
     with_starts = docs.select(
         F.col(id_col),
         toks.alias("toks"),

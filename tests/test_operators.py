@@ -2889,7 +2889,7 @@ def test_class_balance_weights_math(spark):
 
     emb = load_table(spark, "embeddings", SF_SMOKE).select("vec_id", "label")
     rows = {r["label"]: r for r in
-            class_balance_weights(emb, "label", "vec_id").collect()}
+            class_balance_weights(emb, "label").collect()}
     counts = {r["label"]: r["n"] for r in
               emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
     total, k = sum(counts.values()), len(counts)

@@ -112,10 +112,31 @@ def _row_multiset(rows, colnames) -> list[str]:
     return sorted(out)
 
 
+def _assert_driver_canonicalizable(name: str, sdf) -> None:
+    """Registry-wide output-schema gate (r7, after q_media_frame_sample):
+    the driver's pandas canonicalizer sorts every output column, and
+    array/map/struct cells raise ``TypeError: unhashable type`` there —
+    so NO declared query may emit a top-level complex-typed column.
+    Operators may return arrays; the declared query must project them to
+    a canonical scalar (see q_media_frame_sample's feature_bytes)."""
+    from pyspark.sql import types as T
+
+    bad = {
+        f.name: f.dataType.simpleString()
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    }
+    assert not bad, (
+        f"{name}: complex-typed output column(s) {bad} — the driver "
+        "canonicalizer cannot sort these; project to a scalar"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL.keys()))
 def test_oracle_match(spark, name):
     sf_dir = SF_ORACLE
     sdf = QUERIES[name](spark, sf_dir)
+    _assert_driver_canonicalizable(name, sdf)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -165,6 +186,7 @@ def test_rows_only_queries_run(spark, name):
     """Engine-specific queries (no SQL oracle): must run and have a stable
     non-empty schema."""
     sdf = QUERIES[name](spark, SF_ORACLE)
+    _assert_driver_canonicalizable(name, sdf)
     assert len(sdf.columns) > 0
     n = sdf.count()
     assert n >= 0

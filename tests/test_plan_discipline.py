@@ -335,6 +335,8 @@ SHUFFLE_BUDGET = {
     "q_partition_overwrite_dynamic": 1,
     "q_streaming_upsert": 0,    # read-back of the published table
     "q_media_checksum": 0,
+    "q_media_features": 0,     # mapInPandas over a local table — no exchange
+    "q_media_frame_sample": 0, # cardinality-changing mapInPandas — no exchange
     "q_fuzzy_pairs": 2,         # block sizes agg + within-block join
     "q_weighted_sample_per_group": 1,
     "q_shuffle_hash_join": 3,   # both sides hash-partitioned + agg (by design)

@@ -208,7 +208,10 @@ def build_unicode(d):
        (6, "\u0414\u0412\u0410 \u0421\u041b\u041e\u0412\u0410 \u0434\u0432\u0430 \u0441\u043b\u043e\u0432\u0430", "ru", "web", 19),
        (7, "\ufb01nancial \ufb02ow ligatures", "en", "pdf", 22),
        (8, "a\u0301ccent combining a\u0301ccent", "en", "web", 24),
-       (9, "the cat and the dog sat in the yard for a while", "en", "web", 47)])
+       (9, "the cat and the dog sat in the yard for a while", "en", "web", 47),
+       # \x0b / \x0c: Java \s includes U+000B, RE2 does not — the r7
+       # explicit whitespace class must tokenize these identically
+       (10, "vertical\x0btab and form\x0cfeed don't split", "en", "web", 38)])
     w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
       [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, 1), (2, [0.25]*64, 0)])
 

@@ -130,6 +130,8 @@ HEADLINE = [
     "q_media_checksum",
     "q_media_features",
     "q_media_frame_sample",
+    "q_bloom_filter",
+    "q_minhash_signature",
     "q_equi_depth_bins",
     "q_winsorize",
     "q_impute_group_mean",
@@ -250,6 +252,8 @@ QUIET_HOST_REF_SEC = {
     "q_media_checksum": 0.3,
     "q_media_features": 0.4,
     "q_media_frame_sample": 0.4,
+    "q_bloom_filter": 0.8,
+    "q_minhash_signature": 0.8,
     "q_merge_upsert": 0.43,
     "q_mergeschema_scan": 0.59,
     "q_mode_agg": 0.33,

@@ -24,6 +24,7 @@ from datalake_breweries_two_spark.catalog import TABLES, load_table
 from datalake_breweries_two_spark.operators import (
     aggregates,
     behavior,
+    bloom,
     cleaning,
     clustering,
     dedup,
@@ -7797,4 +7798,122 @@ ORACLE_SQL["q_histogram_2d"] = """
            count(*) AS n
     FROM orders
     GROUP BY 1, 2
+"""
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (r7): build a 4032-bit packed bloom over
+    high-balance customer keys, probe EVERY order against it map-side,
+    and report per-status order counts, bloom-pass counts, and exact
+    semi-join matches — so the false-positive rate is measured, never
+    silent, and the no-false-negative invariant (n_bloom_pass >=
+    n_true_match) is visible in the output. The 100 TB shape: the probe
+    side never shuffles for the membership test (the filter words
+    broadcast); see ``operators/bloom.py`` for the design notes."""
+    cust = _t(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    bl = bloom.build_bloom(keys, "key", n_words=64, k_hashes=4)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    probed = bloom.bloom_member(orders, "o_custkey", bl, n_words=64, k_hashes=4)
+    probed = (
+        probed.join(
+            F.broadcast(keys), probed["o_custkey"] == keys["key"], "left"
+        )
+        .withColumn("true_member", F.col("key").isNotNull())
+        .drop("key")
+    )
+    return probed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("bloom_member").cast("int")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("true_member").cast("int")).cast("long").alias("n_true_match"),
+    )
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signature rows (r7): BPE-ish token 3-gram
+    shingles → md5-based 60-bit min-hash per (doc, seed), bounded id
+    subset (doc_id < 400, the token-tier fence). FULL ORACLE over the
+    signature VALUES themselves — the production xxhash64 path
+    (q_dedup_near) is only checkable at the pair-decision level; this
+    pins the signature math itself cross-engine. BPE tokenizer, not
+    whitespace: signatures expose the raw shingle STRINGS through md5,
+    so the tokenizer must be the İ-pre-folded cross-engine one
+    (count/ratio outputs are insensitive to Java-vs-utf8proc lower()
+    divergence; hash-of-string outputs are not — unicode sweep)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    shingled = dedup.shingle_docs_exploded(docs, n=3, tokenizer="bpe")
+    return dedup.minhash_signatures_portable(shingled, num_hashes=8)
+
+
+QUERIES["q_bloom_filter"] = q_bloom_filter
+QUERIES["q_minhash_signature"] = q_minhash_signature
+
+ORACLE_SQL["q_bloom_filter"] = """
+    WITH keys AS (
+        SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 8000
+    ),
+    pos AS (
+        SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                       || CAST(s.seed AS VARCHAR)), 1, 15)) AS BIGINT) % 4032 AS pos
+        FROM keys CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+    ),
+    bloom AS (
+        SELECT CAST(pos // 63 AS INT) AS word_idx,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+        FROM pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) % 4032 AS p0,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':1'), 1, 15)) AS BIGINT) % 4032 AS p1,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':2'), 1, 15)) AS BIGINT) % 4032 AS p2,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':3'), 1, 15)) AS BIGINT) % 4032 AS p3
+        FROM orders
+    ),
+    checked AS (
+        SELECT p.o_orderstatus, p.o_custkey,
+               (coalesce(b0.word, 0) & (1::BIGINT << CAST(p.p0 % 63 AS INT))) <> 0
+               AND (coalesce(b1.word, 0) & (1::BIGINT << CAST(p.p1 % 63 AS INT))) <> 0
+               AND (coalesce(b2.word, 0) & (1::BIGINT << CAST(p.p2 % 63 AS INT))) <> 0
+               AND (coalesce(b3.word, 0) & (1::BIGINT << CAST(p.p3 % 63 AS INT))) <> 0
+               AS bloom_member
+        FROM probe p
+        LEFT JOIN bloom b0 ON b0.word_idx = CAST(p.p0 // 63 AS INT)
+        LEFT JOIN bloom b1 ON b1.word_idx = CAST(p.p1 // 63 AS INT)
+        LEFT JOIN bloom b2 ON b2.word_idx = CAST(p.p2 // 63 AS INT)
+        LEFT JOIN bloom b3 ON b3.word_idx = CAST(p.p3 // 63 AS INT)
+    )
+    SELECT c.o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(c.bloom_member AS INT)) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN k.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match
+    FROM checked c LEFT JOIN keys k ON c.o_custkey = k.key
+    GROUP BY c.o_orderstatus
+"""
+
+ORACLE_SQL["q_minhash_signature"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(translate(text, 'İ', 'i')), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]') AS t
+        FROM documents
+        WHERE doc_id < 400
+    ),
+    ex AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i) g
+        WHERE len(t) >= 1
+    ),
+    seeded AS (
+        SELECT doc_id, shingle, s.seed
+        FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+    )
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(CAST(('0x' || substr(md5(shingle || ':'
+                       || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+    FROM seeded GROUP BY doc_id, seed
 """

@@ -186,6 +186,46 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    shingled: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable MinHash signature ROWS (id, seed, minhash).
+
+    The production path (:func:`minhash_signatures`) hashes with
+    ``xxhash64``, which only Spark can recompute — so the signature
+    itself was never oracle-checkable, only its downstream pair
+    decisions. This variant hashes with the repo's cross-engine md5
+    pattern (first 15 hex chars → exact 60-bit integer, bit-identical
+    in any engine with md5) and emits one scalar row per (doc, seed)
+    instead of an array column, so a DuckDB oracle can recompute every
+    signature value and the driver canonicalizer can sort the output.
+
+    Same shuffle shape as the production path: explode × seeds, then a
+    partial-aggregated min keyed on (id, seed) — the shuffle carries
+    docs × num_hashes rows, never per-shingle rows."""
+    if "shingle" in shingled.columns:
+        exploded = shingled.select(F.col(id_col), F.col("shingle"))
+    else:
+        exploded = shingled.select(
+            F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
+        )
+    seeded = exploded.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(num_hashes)])
+        ).alias("seed"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("shingle"), F.col("seed"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return seeded.groupBy(id_col, "seed").agg(F.min(h).alias("minhash"))
+
+
 def observed_metrics(obs: Observation, *names: str) -> dict:
     """Fetch an ``Observation``'s metrics robustly.
 

@@ -3202,3 +3202,59 @@ def test_lsh_full_width_signature_and_signed_bit63(spark):
 
     with _pytest.raises(ValueError, match=r"\[1, 64\]"):
         cosine_topk_lsh(emb, qv, k=5, n_planes=65).collect()
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_membership_invariants(spark):
+    """No false negatives ever: every inserted key must pass the filter.
+    And with a 4032-bit filter over 50 keys, disjoint probes must be
+    mostly rejected (the filter actually filters)."""
+    from datalake_breweries_two_spark.operators import bloom
+
+    keys = spark.range(0, 50).select(F.col("id").alias("key"))
+    bl = bloom.build_bloom(keys, "key", n_words=64, k_hashes=4)
+    words = bl.collect()
+    assert 1 <= len(words) <= 64
+    assert all(r["word"] != 0 for r in words)
+
+    inserted = bloom.bloom_member(
+        keys.select(F.col("key").alias("probe")), "probe", bl,
+        n_words=64, k_hashes=4,
+    )
+    assert all(r["bloom_member"] for r in inserted.collect()), (
+        "bloom filter produced a false negative"
+    )
+
+    outside = bloom.bloom_member(
+        spark.range(10_000, 10_500).select(F.col("id").alias("probe")),
+        "probe", bl, n_words=64, k_hashes=4,
+    )
+    fp = sum(1 for r in outside.collect() if r["bloom_member"])
+    # 50 keys * 4 hashes -> <=200 of 4032 bits set; expected fp rate
+    # ~ (200/4032)^4 ~ 6e-6; allow generous slack
+    assert fp <= 5, f"false-positive rate implausibly high: {fp}/500"
+
+
+def test_minhash_portable_signature_properties(spark):
+    """Identical docs must get identical signatures; the min over a
+    superset shingle set can only be <= the subset's min."""
+    from datalake_breweries_two_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog and more words"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingle_docs_exploded(docs, n=3)
+    sig = dedup.minhash_signatures_portable(sh, num_hashes=6)
+    rows = {(r["doc_id"], r["seed"]): r["minhash"] for r in sig.collect()}
+    assert len(rows) == 3 * 6
+    for s in range(6):
+        assert rows[(1, s)] == rows[(2, s)], "identical docs diverged"
+        assert rows[(3, s)] <= rows[(1, s)], (
+            "superset shingle min exceeded subset min"
+        )

@@ -337,6 +337,8 @@ SHUFFLE_BUDGET = {
     "q_media_checksum": 0,
     "q_media_features": 0,     # mapInPandas over a local table — no exchange
     "q_media_frame_sample": 0, # cardinality-changing mapInPandas — no exchange
+    "q_bloom_filter": 2,       # exact-keys distinct + status agg; bloom words checkpointed, probes broadcast
+    "q_minhash_signature": 1,  # shingle window/distinct ride one doc_id exchange; (id,seed) agg partials
     "q_fuzzy_pairs": 2,         # block sizes agg + within-block join
     "q_weighted_sample_per_group": 1,
     "q_shuffle_hash_join": 3,   # both sides hash-partitioned + agg (by design)

@@ -250,10 +250,10 @@ QUIET_HOST_REF_SEC = {
     "q_lateral_topk_join": 1.15,
     "q_map_ops": 0.21,
     "q_media_checksum": 0.3,
-    "q_media_features": 0.4,
-    "q_media_frame_sample": 0.4,
-    "q_bloom_filter": 0.8,
-    "q_minhash_signature": 0.8,
+    "q_media_features": 0.5,
+    "q_media_frame_sample": 0.45,
+    "q_bloom_filter": 0.65,
+    "q_minhash_signature": 0.36,
     "q_merge_upsert": 0.43,
     "q_mergeschema_scan": 0.59,
     "q_mode_agg": 0.33,

@@ -4213,7 +4213,7 @@ ORACLE_SQL["q_chunk_documents"] = r"""
     WITH t AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+                    ELSE string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') END AS toks
         FROM documents
     ),
     s AS (

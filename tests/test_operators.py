@@ -3258,3 +3258,22 @@ def test_minhash_portable_signature_properties(spark):
         assert rows[(3, s)] <= rows[(1, s)], (
             "superset shingle min exceeded subset min"
         )
+
+
+def test_whitespace_class_treats_x0b_as_separator(spark):
+    """The explicit [ \\t\\n\\r\\f\\x0b] class must keep Java's \\s
+    behavior (U+000B separates tokens) — RE2/DuckDB \\s does NOT include
+    \\x0b, which is why the class is spelled out on both engines; the
+    oracle side is pinned by the unicode sweep's \\x0b fixture row."""
+    from datalake_breweries_two_spark.operators import dedup, text
+
+    df = spark.createDataFrame(
+        [(1, "a\x0bb don't"), (2, "c\x0cd")], ["doc_id", "txt"]
+    )
+    ws = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.whitespace_token_count("txt").alias("n")).collect()}
+    assert ws == {1: 3, 2: 2}  # \x0b and \x0c both split
+    bpe = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", dedup._tokens_expr("txt", "bpe").alias("t")).collect()}
+    assert bpe[1] == ["a", "b", "don", "'", "t"]
+    assert bpe[2] == ["c", "d"]

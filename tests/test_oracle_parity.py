@@ -245,3 +245,21 @@ def test_type_parity_catches_uncast_hugeint_sum():
     assert _arrow_class(uncast_t) == "decimal"
     assert _arrow_class(uncast_t) != spark_sum
     assert _arrow_class(cast_t) == spark_sum == "int"
+
+
+def test_oracle_sql_avoids_divergent_regex_classes():
+    """Static lint over every oracle: \\s is BANNED — Java regex \\s
+    includes U+000B (vertical tab), RE2/DuckDB \\s does not, so any
+    oracle using \\s diverges from the Spark side on \\x0b-bearing text
+    (r7: the unicode sweep caught exactly one raw-string oracle that a
+    global replacement had missed). \\w/\\W/\\S are banned for the same
+    class-definition reason. \\d and \\b are ASCII-identical in both
+    engines (Java defaults and RE2 both define digit/word as ASCII) and
+    are allowed — q_pii_redact's IPv4 boundary uses them, pinned by the
+    five-profile sweep."""
+    for name, sql in ORACLE_SQL.items():
+        for banned in (r"\s", r"\S", r"\w", r"\W"):
+            assert banned not in sql, (
+                f"{name}: oracle SQL contains {banned!r} — spell the "
+                "class explicitly (see operators/text.py WS_RE)"
+            )

@@ -78,7 +78,9 @@ def _driver_checked() -> set[str]:
 # a recorded `spark_rows` run (`err: no_oracle` is the expected result).
 _ROWS_ONLY_INTERLEAVE = [
     "q_hll_partitioned",
-    "q_ivf_assign",
+    # q_ivf_assign left this list in r7: it gained a full oracle (the
+    # md5-portable centroid seeding made the whole IVF tier
+    # DuckDB-recomputable; the guard below would drop it anyway)
     "q_kll_quantiles",
     # q_media_frame_sample left this list in r7: it gained a full
     # golden-VALUES oracle (the guard below would drop it anyway)

@@ -1732,7 +1732,11 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_build_index`` staging step (amortized across queries, keyed by
     corpus dir) writes ``partitionBy("centroid_id")`` parquet; the search is
     then a partition-pruned scan of the n_probe nearest cells only.
-    Rows-only (approximate); recall vs brute force unit-tested."""
+    FULL ORACLE since r7 (recall vs brute force stays unit-tested): the
+    md5-seeded centroids, the assignment argmin, the driver-side probe
+    ranking (Python left-to-right double sum == DuckDB sequential list
+    sum), and the rounded cosine rescore are all bit-deterministic, so
+    DuckDB recomputes the whole index + probe inline."""
     import hashlib
     import os
     import tempfile
@@ -1750,7 +1754,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged index automatically
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    # ":v2" = seeding-hash version (r7 moved centroid_seeds from xxhash64
+    # to the portable md5-60bit id hash; a cached index built under the
+    # old seeding must not serve the oracle-checked query)
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}:v2".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
     # own marker, written AFTER the build: the partitioned corpus write
     # omits Spark's root _SUCCESS under dynamic partition-overwrite mode
@@ -2039,14 +2046,22 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant (random-hyperplane LSH prefilter) — rows-only."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    qv = [float(x) for x in tbl.column("embedding")[0].as_py()]
-    return similarity.cosine_topk_lsh(_t(spark, sf_dir, "embeddings"), qv, k=10)
+    """ANN top-k via the 48-plane random-hyperplane LSH prefilter, for the
+    vec_id-0 query vector (lowest id as fallback — same deterministic rule
+    as q_ivf_search). FULL ORACLE since r7: the hyperplanes are a pure
+    integer-LCG sequence (similarity._hyperplane) inlined as double
+    literals into the DuckDB SQL, and r6's raw-float registry validation
+    proved DuckDB's sequential list sum bit-equal to Spark's left fold —
+    so every sign(v·plane) bit, Hamming rank, candidate cut, and rounded
+    rescore is reproduced exactly cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        qrow = emb.orderBy(F.col("vec_id").asc()).first()
+    if qrow is None:
+        raise ValueError("embeddings table is empty — nothing to search")
+    qv = [float(x) for x in qrow["embedding"]]
+    return similarity.cosine_topk_lsh(emb, qv, k=10)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2099,7 +2114,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid assignment histogram — rows-only."""
+    """IVF centroid assignment histogram. FULL ORACLE since r7: centroid
+    seeding uses the portable md5-60bit id hash (similarity.centroid_seeds)
+    and the argmin-of-squared-distance decision is bit-deterministic
+    cross-engine (double left-fold == DuckDB sequential list sum, proven
+    raw-float-equal across the registry in r6), so DuckDB reproduces the
+    exact seed pick, every assignment, and the histogram."""
     assigned = similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
     return assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
 
@@ -7917,3 +7937,186 @@ ORACLE_SQL["q_minhash_signature"] = """
                        || CAST(seed AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
     FROM seeded GROUP BY doc_id, seed
 """
+
+
+# ---------------------------------------------------------------------------
+# r7 rows-only → full-oracle upgrades: the IVF pair and the LSH top-k.
+# All three are deterministic end-to-end — centroid seeding now uses the
+# portable md5-60bit id hash (operators/similarity.py:centroid_seeds), the
+# LSH hyperplanes are a pure integer-LCG sequence inlined below as double
+# literals, and r6's raw-float registry validation established that
+# DuckDB's sequential list sum is bit-identical to Spark's left fold, so
+# every argmin / sign-bit / Hamming-rank / rounded-cosine decision is
+# reproduced exactly by these oracles.
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of the portable seed hash + driver-side enumeration in
+# centroid_seeds: pick n by (hash asc, id asc), re-number by id order.
+_IVF_SEEDS_SQL = """
+    nn AS (
+        SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seedpick AS (
+        SELECT vec_id, embedding FROM nn
+        ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) ASC,
+                 vec_id ASC
+        LIMIT {n_centroids}
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT)
+                   AS centroid_id,
+               embedding AS cv
+        FROM seedpick
+    ),
+    scored AS (
+        SELECT n.vec_id, s.centroid_id,
+               coalesce(list_aggregate(list_transform(
+                   range(1, len(n.embedding) + 1),
+                   i -> (CAST(n.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                      * (CAST(n.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))),
+                   'sum'), 0.0) AS d2
+        FROM nn n CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, centroid_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+"""
+
+ORACLE_SQL["q_ivf_assign"] = (
+    "WITH "
+    + _IVF_SEEDS_SQL.format(n_centroids=8)
+    + """
+    SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM assigned GROUP BY centroid_id
+"""
+)
+
+# Probe search: rank the 16 seeds by squared distance to the query vector
+# (vec 0, lowest id as fallback — same rule as the declared query), keep
+# the 4 nearest cells, exact-rescore only their members. `+ 0.0` is
+# DuckDB-side negative-zero normalization only: Spark's round never emits
+# -0.0, DuckDB's preserves it.
+ORACLE_SQL["q_ivf_search"] = (
+    "WITH "
+    + _IVF_SEEDS_SQL.format(n_centroids=16)
+    + """
+    , q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = COALESCE(
+            (SELECT min(vec_id) FROM embeddings WHERE vec_id = 0),
+            (SELECT min(vec_id) FROM embeddings))
+    ),
+    probes AS (
+        SELECT centroid_id FROM seeds, q
+        ORDER BY coalesce(list_aggregate(list_transform(
+                     range(1, len(cv) + 1),
+                     i -> (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+                        * (CAST(cv[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE))),
+                     'sum'), 0.0) ASC,
+                 centroid_id ASC
+        LIMIT 4
+    ),
+    rescored AS (
+        SELECT n.vec_id,
+               round(
+                   coalesce(list_aggregate(list_transform(
+                       range(1, len(n.embedding) + 1),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                       'sum'), 0.0)
+                   / (sqrt(coalesce(list_aggregate(list_transform(n.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))
+                      * sqrt(coalesce(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))),
+                   4) + 0.0 AS cosine
+        FROM nn n
+        JOIN assigned a ON n.vec_id = a.vec_id
+        CROSS JOIN q
+        WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+    )
+    SELECT vec_id, cosine FROM rescored
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 10
+"""
+)
+
+
+def _lsh_planes_values_sql(n_planes: int, dim: int) -> str:
+    """The deterministic hyperplane sequence as DuckDB VALUES rows.
+
+    Generated from the SAME source function the Spark plan embeds
+    (operators/similarity.py:_hyperplane — pure integer LCG, no RNG
+    state), so the literals are guaranteed identical on both sides;
+    Python float repr round-trips to the exact double in DuckDB."""
+    from datalake_breweries_two_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for b in range(n_planes):
+        vals = ", ".join(repr(w) for w in _hyperplane(dim, b))
+        rows.append(f"({b}, [{vals}])")
+    return ",\n        ".join(rows)
+
+
+# Semantics mirrored bit-for-bit from cosine_topk_lsh (k=10 → candidate
+# budget max(8k, 64) = 80): sign bits coalesce exactly like Spark's
+# when(dot >= 0, bit).otherwise(0) — a NULL vector scores FALSE on every
+# plane, an EMPTY one folds to dot 0.0 (>= 0 → TRUE); Hamming rank ties
+# break on vec_id; the rescore is the same rounded cosine as the exact
+# path, NULLS LAST like Spark's desc().
+ORACLE_SQL["q_cosine_topk_lsh"] = """
+    WITH planes(plane_id, pv) AS (VALUES
+        {planes}
+    ),
+    q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = COALESCE(
+            (SELECT min(vec_id) FROM embeddings WHERE vec_id = 0),
+            (SELECT min(vec_id) FROM embeddings))
+    ),
+    bits AS (
+        SELECT e.vec_id, p.plane_id,
+               CASE WHEN e.embedding IS NULL THEN FALSE
+                    ELSE coalesce(list_aggregate(list_transform(
+                             range(1, len(e.embedding) + 1),
+                             i -> CAST(e.embedding[i] AS DOUBLE) * pv[i]),
+                             'sum'), 0.0) >= 0
+               END AS bit
+        FROM embeddings e CROSS JOIN planes p
+    ),
+    qbits AS (
+        SELECT p.plane_id,
+               coalesce(list_aggregate(list_transform(
+                   range(1, len(q.qv) + 1),
+                   i -> CAST(q.qv[i] AS DOUBLE) * pv[i]), 'sum'), 0.0) >= 0 AS qbit
+        FROM q CROSS JOIN planes p
+    ),
+    hamm AS (
+        SELECT b.vec_id,
+               sum(CASE WHEN b.bit <> qb.qbit THEN 1 ELSE 0 END) AS h
+        FROM bits b JOIN qbits qb USING (plane_id)
+        GROUP BY b.vec_id
+    ),
+    cand AS (
+        SELECT vec_id FROM hamm ORDER BY h ASC, vec_id ASC LIMIT 80
+    ),
+    rescored AS (
+        SELECT e.vec_id,
+               round(
+                   coalesce(list_aggregate(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                       'sum'), 0.0)
+                   / (sqrt(coalesce(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))
+                      * sqrt(coalesce(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))),
+                   4) + 0.0 AS cosine
+        FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+    )
+    SELECT vec_id, cosine FROM rescored
+    ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 10
+""".format(planes=_lsh_planes_values_sql(48, 64))

@@ -245,17 +245,24 @@ def centroid_seeds(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Seeded-deterministic centroid init: the ``n_centroids`` vectors with
-    the smallest xxhash64(id), enumerated DRIVER-SIDE after a TakeOrdered
-    collect (bounded: n_centroids rows — the same scale class as the
-    reference's ``limit(1).count()`` probes). Driver-side enumeration
-    replaces the previous unpartitioned ``row_number`` window, which would
-    funnel even the 16-row post-limit frame through a single partition."""
+    the smallest md5-derived 60-bit id hash (the repo's cross-engine hash
+    pattern — first 15 hex chars of ``md5(id)`` as an exact integer, so a
+    SQL oracle on any md5-capable engine reproduces the seed pick
+    bit-for-bit), enumerated DRIVER-SIDE after a TakeOrdered collect
+    (bounded: n_centroids rows — the same scale class as the reference's
+    ``limit(1).count()`` probes). Driver-side enumeration replaces the
+    previous unpartitioned ``row_number`` window, which would funnel even
+    the 16-row post-limit frame through a single partition. One md5 per
+    corpus ID, only at index-BUILD time — seeding cost, not probe cost."""
+    seed_hash = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
     rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         # a NULL vector can seed nothing (and would crash the driver-side
         # float() enumeration)
         .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .orderBy(seed_hash.asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .collect()
     )

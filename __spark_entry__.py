@@ -87,9 +87,10 @@ _ROWS_ONLY_INTERLEAVE = [
     "q_rolling_fingerprint",
     "q_sample_seeded",
     "q_theta_overlap",
-    # r6 additions (tokenizer-aware dedup tier + ANN recall harness)
+    # r6 additions (tokenizer-aware dedup tier; q_ann_recall left this
+    # list in r7 — the portable md5 query/seed draws made the whole
+    # recall harness DuckDB-recomputable, so it now has a full oracle)
     "q_token_dedup_near",
-    "q_ann_recall",
 ]
 
 _DRIVER_PREFIX = 50  # the driver snapshots roughly this many per round

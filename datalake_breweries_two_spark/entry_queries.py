@@ -2100,9 +2100,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall curves: recall@10 of the LSH candidate-budget tier and
     the IVF probe tier vs exact brute-force, averaged over 3 seeded query
     vectors — the quantified-recall harness the r5 verdict asked for.
-    Rows-only (the LSH/IVF tiers are engine-specific hashing), but the
-    values are deterministic and invariants are unit-pinned: full budget
-    ⇒ recall 1, full probes ⇒ recall 1, curves monotone."""
+    FULL ORACLE since r7 (invariants stay unit-pinned: full budget ⇒
+    recall 1, full probes ⇒ recall 1, curves monotone): the query-vector
+    draw and centroid seeding both use the portable md5-60bit id hash and
+    the LSH planes are integer-LCG literals, so DuckDB recomputes the
+    exact truth sets, both candidate tiers, and the averaged recalls."""
     return similarity.ann_recall_curves(
         _t(spark, sf_dir, "embeddings"),
         n_queries=3,
@@ -8119,4 +8121,156 @@ ORACLE_SQL["q_cosine_topk_lsh"] = """
     )
     SELECT vec_id, cosine FROM rescored
     ORDER BY cosine DESC NULLS LAST, vec_id ASC LIMIT 10
+""".format(planes=_lsh_planes_values_sql(48, 64))
+
+
+# q_ann_recall full oracle (r7): with BOTH bounded draws (centroid seeds
+# and the recall harness's query vectors) on the portable md5-60bit id
+# hash, every tier of the harness is deterministic — exact top-k truth
+# (round-6 cosine, id tie-breaks), LSH Hamming-budget candidates
+# (integer-LCG plane literals), IVF probe candidates (md5-seeded
+# assignment + per-query centroid ranks) — so DuckDB recomputes the
+# whole recall report. Every window pins DESC NULLS LAST explicitly
+# (Spark's desc() is NULLS LAST; DuckDB's DESC default is not).
+ORACLE_SQL["q_ann_recall"] = """
+    WITH """ + _IVF_SEEDS_SQL.format(n_centroids=8) + """
+    , planes(plane_id, pv) AS (VALUES
+        {planes}
+    ),
+    qsel AS (
+        SELECT vec_id AS qid, embedding AS qv FROM nn
+        ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) ASC,
+                 vec_id ASC
+        LIMIT 3
+    ),
+    -- round-6 cosine of every (query, corpus) pair except the query row
+    -- itself: shared by the truth ranking AND both tiers' rescoring
+    pair_cos AS (
+        SELECT q.qid, e.vec_id,
+               round(
+                   coalesce(list_aggregate(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]), 'sum'), 0.0)
+                   / (sqrt(coalesce(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))
+                      * sqrt(coalesce(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0))),
+                   6) AS cosine
+        FROM embeddings e CROSS JOIN qsel q
+        WHERE e.vec_id <> q.qid
+    ),
+    truth AS (
+        SELECT qid, vec_id
+        FROM (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rn
+              FROM pair_cos)
+        WHERE rn <= 10
+    ),
+    denom AS (SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid),
+    -- LSH tier: sign bits vs the 48 plane literals, Hamming rank, budget
+    -- cut, rescore by the shared round-6 cosine
+    bits AS (
+        SELECT e.vec_id, p.plane_id,
+               CASE WHEN e.embedding IS NULL THEN FALSE
+                    ELSE coalesce(list_aggregate(list_transform(
+                             range(1, len(e.embedding) + 1),
+                             i -> CAST(e.embedding[i] AS DOUBLE) * pv[i]),
+                             'sum'), 0.0) >= 0
+               END AS bit
+        FROM embeddings e CROSS JOIN planes p
+    ),
+    qbits AS (
+        SELECT q.qid, p.plane_id,
+               coalesce(list_aggregate(list_transform(
+                   range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * pv[i]), 'sum'), 0.0) >= 0 AS qbit
+        FROM qsel q CROSS JOIN planes p
+    ),
+    hamm AS (
+        SELECT qb.qid, b.vec_id,
+               sum(CASE WHEN b.bit <> qb.qbit THEN 1 ELSE 0 END) AS h
+        FROM bits b JOIN qbits qb USING (plane_id)
+        GROUP BY qb.qid, b.vec_id
+    ),
+    lsh_ranked AS (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY h ASC, vec_id ASC) AS rn_h
+        FROM hamm WHERE vec_id <> qid
+    ),
+    lsh_hits AS (
+        SELECT qid, param, vec_id
+        FROM (SELECT l.qid, bu.param, l.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY l.qid, bu.param
+                         ORDER BY pc.cosine DESC NULLS LAST, l.vec_id ASC) AS rn
+              FROM lsh_ranked l
+              JOIN (VALUES (16), (64)) bu(param) ON l.rn_h <= bu.param
+              JOIN pair_cos pc ON pc.qid = l.qid AND pc.vec_id = l.vec_id)
+        WHERE rn <= 10
+    ),
+    -- IVF tier: per-query centroid ranks over the 8 md5-seeded cells,
+    -- candidates from the crank<=n_probe cells, same rescore
+    d2q AS (
+        SELECT q.qid, s.centroid_id,
+               coalesce(list_aggregate(list_transform(
+                   range(1, len(s.cv) + 1),
+                   i -> (CAST(s.cv[i] AS DOUBLE) - q.qv[i])
+                      * (CAST(s.cv[i] AS DOUBLE) - q.qv[i])), 'sum'), 0.0) AS d2
+        FROM qsel q CROSS JOIN seeds s
+    ),
+    cranks AS (
+        SELECT qid, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY d2 ASC, centroid_id ASC) AS crank
+        FROM d2q
+    ),
+    ivf_hits AS (
+        SELECT qid, param, vec_id
+        FROM (SELECT c.qid, pr.param, a.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.qid, pr.param
+                         ORDER BY pc.cosine DESC NULLS LAST, a.vec_id ASC) AS rn
+              FROM assigned a
+              JOIN cranks c ON a.centroid_id = c.centroid_id
+              JOIN (VALUES (1), (4)) pr(param) ON c.crank <= pr.param
+              JOIN pair_cos pc ON pc.qid = c.qid AND pc.vec_id = a.vec_id
+              WHERE a.vec_id <> c.qid)
+        WHERE rn <= 10
+    ),
+    lsh_recall AS (
+        SELECT 'lsh' AS method, g.param,
+               round(avg(CASE WHEN coalesce(d.n_truth, 0) = 0 THEN 1.0
+                              ELSE coalesce(m.n_hit, 0) / d.n_truth END),
+                     4) AS recall
+        FROM (SELECT q.qid, bu.param
+              FROM qsel q CROSS JOIN (VALUES (16), (64)) bu(param)) g
+        LEFT JOIN (SELECT h.qid, h.param, count(*) AS n_hit
+                   FROM lsh_hits h
+                   JOIN truth t ON t.qid = h.qid AND t.vec_id = h.vec_id
+                   GROUP BY h.qid, h.param) m
+               ON m.qid = g.qid AND m.param = g.param
+        LEFT JOIN denom d ON d.qid = g.qid
+        GROUP BY g.param
+    ),
+    ivf_recall AS (
+        SELECT 'ivf' AS method, g.param,
+               round(avg(CASE WHEN coalesce(d.n_truth, 0) = 0 THEN 1.0
+                              ELSE coalesce(m.n_hit, 0) / d.n_truth END),
+                     4) AS recall
+        FROM (SELECT q.qid, pr.param
+              FROM qsel q CROSS JOIN (VALUES (1), (4)) pr(param)) g
+        LEFT JOIN (SELECT h.qid, h.param, count(*) AS n_hit
+                   FROM ivf_hits h
+                   JOIN truth t ON t.qid = h.qid AND t.vec_id = h.vec_id
+                   GROUP BY h.qid, h.param) m
+               ON m.qid = g.qid AND m.param = g.param
+        LEFT JOIN denom d ON d.qid = g.qid
+        GROUP BY g.param
+    )
+    SELECT method, CAST(param AS INT) AS param, recall FROM (
+        SELECT 'brute' AS method, 10 AS param, 1.0 AS recall
+        UNION ALL SELECT * FROM lsh_recall
+        UNION ALL SELECT * FROM ivf_recall
+    ) ORDER BY method, param
 """.format(planes=_lsh_planes_values_sql(48, 64))

@@ -238,6 +238,17 @@ def embedding_near_dup_pairs(
 # IVF — inverted-file partitioned ANN (the 100 TB layout)
 # --------------------------------------------------------------------------
 
+def _portable_id_hash(id_col: str) -> Column:
+    """The repo's cross-engine 60-bit id hash (first 15 hex chars of
+    ``md5(id)`` as an exact integer) — used wherever a bounded
+    deterministic draw (centroid seeds, recall-harness query vectors)
+    must be reproducible by a SQL oracle. DuckDB mirror:
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def centroid_seeds(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -254,9 +265,7 @@ def centroid_seeds(
     previous unpartitioned ``row_number`` window, which would funnel even
     the 16-row post-limit frame through a single partition. One md5 per
     corpus ID, only at index-BUILD time — seeding cost, not probe cost."""
-    seed_hash = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    seed_hash = _portable_id_hash(id_col)
     rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         # a NULL vector can seed nothing (and would crash the driver-side
@@ -428,8 +437,9 @@ def ann_recall_curves(
 ) -> DataFrame:
     """Quantified-recall harness: recall@k of each approximate ANN tier
     against the exact brute-force top-k, averaged over ``n_queries``
-    deterministic query vectors (lowest ``xxhash64(id)`` — the same
-    bounded-collect class as centroid seeding). Returns one row per
+    deterministic query vectors (lowest portable md5-60bit id hash — the
+    same bounded-collect draw as centroid seeding, so a SQL oracle
+    reproduces the query set exactly). Returns one row per
     (method, param): ``('brute', k)`` = 1.0 by definition (the sanity
     row), ``('lsh', budget)`` per candidate budget, ``('ivf', n_probe)``
     per probe count.
@@ -448,7 +458,7 @@ def ann_recall_curves(
     qrows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .orderBy(_portable_id_hash(id_col).asc(), F.col(id_col).asc())
         .limit(n_queries)
         .collect()
     )

@@ -84,7 +84,8 @@ _ROWS_ONLY_INTERLEAVE = [
     "q_kll_quantiles",
     # q_media_frame_sample left this list in r7: it gained a full
     # golden-VALUES oracle (the guard below would drop it anyway)
-    "q_rolling_fingerprint",
+    # q_rolling_fingerprint left this list in r7: the declared query now
+    # runs the portable md5-60bit variant, giving it a full oracle
     "q_sample_seeded",
     "q_theta_overlap",
     # r6 additions (tokenizer-aware dedup tier; q_ann_recall left this

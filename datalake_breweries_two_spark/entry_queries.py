@@ -1964,8 +1964,23 @@ def q_token_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — engine-specific hashing, rows-only."""
-    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash near-dup pairs. FULL ORACLE since r7: the declared query
+    runs the ``hash_fn="portable"`` 60-bit md5-plane variant with the
+    İ-pre-folded BPE tokenizer, so DuckDB recomputes every signature
+    bit, the disjoint-block bucketing (shared layout via
+    ``simhash_block_layout``), the over-cap bucket drops, and the exact
+    Hamming verify. The production xxhash64/whitespace default is
+    unchanged — this pins the simhash MATH cross-engine the same way
+    q_minhash_signature pins the minhash math."""
+    pairs = dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=6,
+        hash_fn="portable",
+        tokenizer="bpe",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2245,10 +2260,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 winnowing fingerprint — engine-specific hash, rows-only."""
-    return text.rolling_hash_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "robust_fingerprint"
-    )
+    """Winnowing fingerprint (min hash over 16-char shingles). FULL
+    ORACLE since r7: the declared query runs the ``hash_fn="portable"``
+    md5-60bit variant over the RAW text (no lowering — no case-fold
+    divergence surface), so DuckDB recomputes every shingle hash and the
+    min. The production xxhash64 default is unchanged."""
+    return text.rolling_hash_fingerprint(
+        _t(spark, sf_dir, "documents"), hash_fn="portable"
+    ).select("doc_id", "robust_fingerprint")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8274,3 +8293,87 @@ ORACLE_SQL["q_ann_recall"] = """
         UNION ALL SELECT * FROM ivf_recall
     ) ORDER BY method, param
 """.format(planes=_lsh_planes_values_sql(48, 64))
+
+
+# ---------------------------------------------------------------------------
+# r7 rows-only → full-oracle upgrades, part 2: the fingerprint pair.
+# Both declared queries switch to the portable md5-60bit hash (operators
+# keep their fast xxhash64 production default behind hash_fn="xx"), so
+# DuckDB recomputes every hash decision exactly — the same pattern that
+# upgraded the IVF/LSH/recall tier above.
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["q_rolling_fingerprint"] = """
+    SELECT doc_id,
+           list_min(list_transform(
+               range(1, greatest(length(text) - 15, 1) + 1),
+               i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 16)),
+                                         1, 15)) AS BIGINT)
+           )) AS robust_fingerprint
+    FROM documents
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int, bucket_cap: int) -> str:
+    """DuckDB mirror of the portable-simhash near-dup pipeline: 60 md5
+    bit-planes, majority vote per bit, the SAME disjoint-block layout as
+    the Spark pair generator (shared via ``simhash_block_layout``),
+    over-cap bucket drops BEFORE pairing, exact Hamming verify."""
+    n_bits = dedup.simhash_bits("portable")
+    offsets, widths = dedup.simhash_block_layout(n_bits, max_hamming + 1)
+    bit_sums = ",\n               ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(n_bits)
+    )
+    sim_terms = "\n                 + ".join(
+        f"(CASE WHEN b{b} * 2 >= n THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    blocks_values = ", ".join(
+        f"({i}, {offsets[i]}, {(1 << widths[i]) - 1})"
+        for i in range(len(offsets))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(translate(text, 'İ', 'i')),
+                      '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')) AS token
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bs AS (
+        SELECT doc_id, count(*) AS n,
+               {bit_sums}
+        FROM th GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST({sim_terms} AS BIGINT) AS simhash
+        FROM bs
+    ),
+    blocks AS (
+        SELECT s.doc_id, s.simhash, b.blk,
+               (s.simhash >> b.off) & b.mask AS val
+        FROM sh s CROSS JOIN (VALUES {blocks_values}) b(blk, off, mask)
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY blk, val) AS _n FROM blocks
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM sized a JOIN sized b
+          ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        WHERE a._n <= {bucket_cap}
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+ORACLE_SQL["q_simhash"] = _simhash_oracle_sql(max_hamming=6, bucket_cap=256)

@@ -421,32 +421,75 @@ def minhash_near_duplicates(
 # 3. SimHash
 # --------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, sum ±1 per bit position,
-    sign → bit. Pure higher-order expressions (token array → aggregate over
-    a 64-long bit-count accumulator is unrolled as 64 independent sums).
+def simhash_bits(hash_fn: str) -> int:
+    """Signature width per hash backend: xxhash64 keeps 63 usable bits
+    (sign bit skipped to stay in signed-long range); the portable
+    md5-60bit hash has exactly 60."""
+    if hash_fn == "xx":
+        return 63
+    if hash_fn == "portable":
+        return 60
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def simhash_block_layout(n_bits: int, n_blocks: int) -> tuple[list[int], list[int]]:
+    """(offsets, widths) of the disjoint block split of an ``n_bits``
+    signature into ``n_blocks`` near-equal pieces — shared by the Spark
+    pair generator and the oracle-SQL builder so both engines bucket on
+    byte-identical block values."""
+    base, extra = divmod(n_bits, n_blocks)
+    offsets, widths, off = [], [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    return offsets, widths
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """SimHash per doc: per-token hash, sum ±1 per bit position, sign →
+    bit. Pure higher-order expressions (token array → aggregate over a
+    per-bit accumulator is unrolled as independent sums).
 
     Near-duplicate docs land within small Hamming distance; pair generation
-    buckets on 4 × 16-bit prefix rotations (any pair ≤ 3 bits apart shares
-    at least one identical 16-bit block — pigeonhole).
+    buckets on disjoint signature blocks (pigeonhole — see
+    :func:`simhash_near_duplicates`).
+
+    ``hash_fn="xx"`` (production default): 63-bit xxhash64 planes — fast,
+    Spark-only. ``hash_fn="portable"``: 60-bit md5 planes (first 15 hex
+    chars as an exact integer) — ~2-3× more hash cost, but every
+    signature bit is recomputable by a DuckDB oracle; pair it with
+    ``tokenizer="bpe"`` so the token STRINGS entering md5 are the
+    İ-pre-folded cross-engine ones (hash-of-string outputs expose Java
+    vs utf8proc ``lower()`` divergence that count outputs hide).
     """
     # explode → codegen'd aggregate (same reasoning as minhash_signatures:
     # interpreted lambda functions lose to whole-stage codegen by ~10×)
+    n_bits = simhash_bits(hash_fn)
     exploded = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("token"),
+        F.explode(_tokens_expr(text_col, tokenizer)).alias("token"),
     )
-    h = F.xxhash64(F.col("token"))
-    # 63 bits: skip the sign bit to stay in signed-long range
+    if hash_fn == "portable":
+        h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("token"))
     bit_sums = [
         F.sum(F.shiftright(h, bit).bitwiseAND(F.lit(1))).alias(f"_b{bit}")
-        for bit in range(63)
+        for bit in range(n_bits)
     ] + [F.count(F.lit(1)).alias("_n")]
     agg = exploded.groupBy(id_col).agg(*bit_sums)
     sim = sum(
         F.when(F.col(f"_b{bit}") * 2 >= F.col("_n"), F.lit(2 ** bit).cast("long"))
         .otherwise(F.lit(0).cast("long"))
-        for bit in range(63)
+        for bit in range(n_bits)
     )
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
@@ -457,6 +500,8 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 256,
+    hash_fn: str = "xx",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Candidate pairs by disjoint-block bucketing, verified by exact
     Hamming distance via bit_count(xor).
@@ -473,14 +518,8 @@ def simhash_near_duplicates(
     quadratic expansion happens only inside capped buckets.
     """
     n_blocks = max_hamming + 1
-    base, extra = divmod(63, n_blocks)
-    offsets, widths, off = [], [], 0
-    for i in range(n_blocks):
-        w = base + (1 if i < extra else 0)
-        offsets.append(off)
-        widths.append(w)
-        off += w
-    sh = simhash(docs, text_col, id_col)
+    offsets, widths = simhash_block_layout(simhash_bits(hash_fn), n_blocks)
+    sh = simhash(docs, text_col, id_col, hash_fn=hash_fn, tokenizer=tokenizer)
     blocks = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -613,6 +613,43 @@ def test_rolling_fingerprint_equivalence_and_stability(spark):
     assert out[1] == out[2]
 
 
+def test_portable_hash_variants_match_reference_semantics(spark):
+    """The r7 portable (md5-60bit) variants behind q_rolling_fingerprint
+    and q_simhash: same dedup semantics as the xxhash production path —
+    identical texts share a fingerprint / land at Hamming 0 — and every
+    portable hash value fits the 60-bit range the oracles recompute."""
+    from datalake_breweries_two_spark.operators import dedup
+    from datalake_breweries_two_spark.operators.text import rolling_hash_fingerprint
+
+    pair = spark.createDataFrame(
+        [(1, "the exact same document text"),
+         (2, "the exact same document text"),
+         (3, "a completely different unrelated payload")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["robust_fingerprint"]
+          for r in rolling_hash_fingerprint(pair, window=8, hash_fn="portable")
+          .collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+    assert all(0 <= v < (1 << 60) for v in fp.values())
+
+    sh = {r["doc_id"]: r["simhash"]
+          for r in dedup.simhash(pair, hash_fn="portable", tokenizer="bpe")
+          .collect()}
+    assert sh[1] == sh[2] and 0 <= sh[1] < (1 << 60)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(
+                 pair, max_hamming=6, hash_fn="portable", tokenizer="bpe"
+             ).collect()}
+    assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.simhash_bits("nope")
+    with _pytest.raises(ValueError):
+        rolling_hash_fingerprint(pair, hash_fn="nope")
+
+
 def test_ann_recall_curves_invariants(spark):
     """The recall harness must satisfy the exactness invariants: a
     candidate budget covering the whole corpus makes LSH recall 1, probing

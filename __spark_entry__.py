@@ -91,7 +91,10 @@ _ROWS_ONLY_INTERLEAVE = [
     # r6 additions (tokenizer-aware dedup tier; q_ann_recall left this
     # list in r7 — the portable md5 query/seed draws made the whole
     # recall harness DuckDB-recomputable, so it now has a full oracle)
-    "q_token_dedup_near",
+    # q_token_dedup_near left this list late in r7: the whole MinHash+LSH
+    # near-dup tier (with q_dedup_near / q_dedup_near_verified) moved to
+    # the portable Carter-Wegman minhash family and gained full oracles
+    # (the guard below would drop it anyway)
 ]
 
 _DRIVER_PREFIX = 50  # the driver snapshots roughly this many per round

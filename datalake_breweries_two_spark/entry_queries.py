@@ -1868,19 +1868,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — engine-specific hashing, rows-only."""
+    """MinHash+LSH near-dup pairs. FULL ORACLE since r7: the declared
+    query runs ``hash_fn="portable"`` (two-md5 Carter-Wegman minhash
+    family, band buckets = raw signature-slice strings) with the
+    İ-folded whitespace tokenizer, so DuckDB recomputes every signature
+    value, every band bucket, the over-cap bucket drops, and each
+    pair's agreement fraction — the LSH DECISIONS are pinned
+    cross-engine, not just the surviving pairs' scores. Production
+    default (xxhash64 hashing, plain whitespace tokens) unchanged."""
     return dedup.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.4
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.4,
+        tokenizer="whitespace_folded",
+        hash_fn="portable",
     )
 
 
 def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered near-dup: LSH candidates verified by EXACT Jaccard restricted
-    to candidate pairs (the 100 TB pipeline shape) — rows-only (LSH recall
-    is engine-specific; exactness of surviving pairs is unit-tested against
-    the corpus-wide q_ngram_jaccard)."""
+    to candidate pairs (the 100 TB pipeline shape). FULL ORACLE since r7
+    via the portable minhash family (see q_dedup_near): the oracle
+    reproduces the candidate set exactly, then scores it with the same
+    exact-Jaccard SQL the q_ngram_jaccard oracle uses."""
     return dedup.near_duplicates_verified(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.2,
+        tokenizer="whitespace_folded",
+        hash_fn="portable",
     )
 
 
@@ -2003,9 +2021,11 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware tiered near-dup at corpus scale: MinHash+LSH over
     BPE-ish token 2-gram shingles proposes candidates, exact token
-    Jaccard verifies them — rows-only (LSH recall is engine-specific;
-    surviving pairs are unit-pinned as a subset of q_token_jaccard's
-    exact ground truth with equal scores)."""
+    Jaccard verifies them. FULL ORACLE since r7 via the portable
+    minhash family (see q_dedup_near); the bpe tokenizer was already
+    İ-folded, so the oracle reuses q_token_jaccard's tokenization SQL.
+    Surviving pairs remain unit-pinned as a subset of q_token_jaccard's
+    exact ground truth with equal scores."""
     return dedup.near_duplicates_verified(
         _t(spark, sf_dir, "documents"),
         shingle_n=2,
@@ -2013,6 +2033,7 @@ def q_token_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         threshold=0.3,
         tokenizer="bpe",
+        hash_fn="portable",
     )
 
 
@@ -8377,3 +8398,137 @@ def _simhash_oracle_sql(max_hamming: int, bucket_cap: int) -> str:
 
 
 ORACLE_SQL["q_simhash"] = _simhash_oracle_sql(max_hamming=6, bucket_cap=256)
+
+# ---------------------------------------------------------------------------
+# r7 rows-only → full-oracle upgrades: the MinHash+LSH near-dup tier.
+# The declared queries now run hash_fn="portable" (operators/dedup.py:
+# minhash_signatures — two md5-derived integers per shingle mixed per seed
+# as (h1 + s*h2) mod 2^61-1) with İ-folded tokenizers, so a DuckDB oracle
+# recomputes every signature value, every band bucket (the raw joined
+# signature-slice string — no re-hash), the over-cap bucket drops, and the
+# est/exact verify tier. Production xxhash64 paths are unchanged.
+# ---------------------------------------------------------------------------
+
+# Mirrors of _tokens_expr (İ-folded variants only — portable hashing
+# requires the fold; see operators/dedup.py:_tokens_expr).
+_TOKS_SQL = {
+    "whitespace_folded": (
+        "regexp_split_to_array(lower(translate(trim(text), 'İ', 'i')),"
+        " '[ \\t\\n\\r\\f\\x0b]+')"
+    ),
+    "bpe": (
+        "regexp_extract_all(lower(translate(text, 'İ', 'i')),"
+        " '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')"
+    ),
+}
+
+
+def _minhash_lsh_oracle_sql(
+    tokenizer: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    verify: str,
+    max_bucket: int = 64,
+) -> str:
+    """DuckDB mirror of the portable MinHash+LSH near-dup pipeline.
+
+    ``verify="est"`` scores candidate pairs by signature agreement
+    fraction (q_dedup_near); ``verify="exact"`` scores them by exact
+    shingle-set Jaccard (near_duplicates_verified). Shingling mirrors
+    shingle_docs_exploded: docs with fewer than ``shingle_n`` tokens
+    contribute one truncated shingle; bpe zero-token docs contribute
+    none. The minhash family constants (P = 2^61-1, 55-bit h2 fold)
+    are dedup.py's _MINHASH_P / _MINHASH_H2_FOLD."""
+    rpb = num_hashes // bands
+    # bpe on an empty doc extracts ZERO tokens (doc has no shingles);
+    # whitespace split always yields ≥1 token (one "" for empty docs)
+    nz = "WHERE len(t) > 0" if tokenizer == "bpe" else ""
+    scorer = {
+        "est": f"""
+    agree AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_agree
+        FROM cands c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, n_agree / {num_hashes} AS est_jaccard
+    FROM agree
+    WHERE n_agree / {num_hashes} >= {threshold}
+""",
+        "exact": f"""
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN ex ea ON ea.doc_id = c.id_a
+        JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE round(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) >= {threshold}
+""",
+    }[verify]
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL[tokenizer]} AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nzt AS (SELECT doc_id, t FROM toks {nz}),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - {shingle_n - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + {shingle_n - 1}), ' ')
+               )) AS shingles
+        FROM nzt
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5('#' || shingle), 1, 15)) AS BIGINT)
+                   % 36028797018963968 AS h2,
+               shingle
+        FROM ex
+    ),
+    sig AS (
+        SELECT doc_id, s.seed,
+               min((h1 + s.seed * h2) % 2305843009213693951) AS mh
+        FROM th CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
+        GROUP BY doc_id, s.seed
+    ),
+    bnd AS (
+        SELECT doc_id, seed // {rpb} AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+        FROM sig GROUP BY doc_id, seed // {rpb}
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS _n FROM bnd
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a._n <= {max_bucket}
+    ),
+    {scorer}
+"""
+
+
+ORACLE_SQL["q_dedup_near"] = _minhash_lsh_oracle_sql(
+    "whitespace_folded", 3, 32, 8, 0.4, "est"
+)
+ORACLE_SQL["q_dedup_near_verified"] = _minhash_lsh_oracle_sql(
+    "whitespace_folded", 3, 32, 8, 0.2, "exact"
+)
+ORACLE_SQL["q_token_dedup_near"] = _minhash_lsh_oracle_sql(
+    "bpe", 2, 32, 8, 0.3, "exact"
+)

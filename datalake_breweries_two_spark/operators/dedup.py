@@ -85,6 +85,18 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
     the unicode sweep surfaced (İstanbul tokenized 3-vs-1 ways)."""
     if tokenizer == "whitespace":
         return F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    if tokenizer == "whitespace_folded":
+        # Same split as "whitespace" but with the Turkish dotted İ
+        # pre-folded BEFORE lower (identical to the bpe fold below).
+        # Required whenever the token/shingle STRINGS feed a portable
+        # hash: Java lower('İ') = "i"+U+0307 while DuckDB's utf8proc
+        # emits bare "i" — equality/count outputs are insensitive to the
+        # divergence (comparisons stay engine-side) but md5-of-string
+        # outputs are not. Production whitespace semantics are otherwise
+        # unchanged (empty doc still yields one "" token).
+        return F.split(
+            F.lower(F.translate(F.trim(F.col(text_col)), "İ", "i")), WS_RE
+        )
     if tokenizer == "bpe":
         return F.regexp_extract_all(
             F.lower(F.translate(F.col(text_col), "İ", "i")),
@@ -155,10 +167,33 @@ def shingle_docs_exploded(
 # 2. MinHash + LSH
 # --------------------------------------------------------------------------
 
+# Carter-Wegman mixing constants for the portable minhash family:
+# seed s maps a shingle's two independent md5-derived integers (h1 full
+# 60-bit, h2 folded to 55 bits) to (h1 + s*h2) mod P. P = 2^61-1 (prime);
+# the 55-bit fold bounds s*h2 ≤ 63*(2^55-1) < 2^61 so h1 + s*h2 < 2^62
+# never overflows a signed 64-bit long under Spark's ANSI mode. Two md5s
+# per shingle instead of num_hashes of them — at 100 TB the hash is the
+# dominant per-row cost of signature building, so the mixed family is
+# ~num_hashes/2 × cheaper than md5(shingle:seed) per seed while staying
+# bit-identical in any engine with md5 + 64-bit integer arithmetic.
+_MINHASH_P = (1 << 61) - 1
+_MINHASH_H2_FOLD = 1 << 55
+
+
+def _portable_h60(col: Column) -> Column:
+    """First 15 md5 hex chars as an exact 60-bit integer — the repo's
+    cross-engine hash primitive (DuckDB: CAST(('0x' || substr(md5(x),1,15))
+    AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+    shingled: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min(xxhash64(shingle, s)).
+    """MinHash signature per doc: for seed s, min over shingles of hash_s.
 
     Formulated as explode → hash-aggregate with ``num_hashes`` min columns
     rather than per-row higher-order array functions: Spark's lambda
@@ -166,6 +201,14 @@ def minhash_signatures(
     (~10× faster measured at sf0.1) and partial aggregation means the
     shuffle carries one
     (id, sig) row per doc per partition, not per shingle.
+
+    ``hash_fn="xx"`` (production default): hash_s = xxhash64(shingle, s)
+    — fastest, Spark-only. ``hash_fn="portable"``: the Carter-Wegman
+    md5 family above — every signature value is recomputable by a DuckDB
+    oracle, at two md5s per shingle (measured ~1.2× the xx path at
+    sf0.1; the shingle window + distinct dominates, not the hash). Pair
+    it with an İ-folded tokenizer ("whitespace_folded" / "bpe") so the
+    shingle STRINGS entering md5 are cross-engine identical.
 
     Accepts either array-form (id, shingles) or exploded (id, shingle) input.
     """
@@ -175,10 +218,22 @@ def minhash_signatures(
         exploded = shingled.select(
             F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
         )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
+    if hash_fn == "portable":
+        h1 = _portable_h60(F.col("shingle"))
+        h2 = _portable_h60(F.concat(F.lit("#"), F.col("shingle"))) % F.lit(
+            _MINHASH_H2_FOLD
+        )
+        mins = [
+            F.min((h1 + F.lit(s) * h2) % F.lit(_MINHASH_P)).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
+    elif hash_fn == "xx":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_h{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     agg = exploded.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col),
@@ -282,6 +337,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 64,
     dropped_obs: "Observation | None" = None,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
@@ -299,25 +355,32 @@ def lsh_candidate_pairs(
     :func:`observed_metrics` — the metrics ride the same job (the bucket
     aggregate's exchange is reused for the sentinel branch), so a
     production run can alert on recall erosion at zero extra passes.
+
+    ``hash_fn="xx"`` buckets on xxhash64 of the band's joined signature
+    slice (8-byte shuffle keys); ``hash_fn="portable"`` buckets on the
+    joined slice STRING itself — no re-hash, so a DuckDB oracle groups on
+    byte-identical keys (wider shuffle rows: ~rows_per_band × 20 chars,
+    still tiny next to the documents they stand for).
     """
+    def _band_key(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice(
+                    F.col("signature"), b * rows_per_band + 1, rows_per_band
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return joined if hash_fn == "portable" else F.xxhash64(joined)
+
     banded = signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        F.col("signature"), b * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _band_key(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -383,14 +446,20 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    tokenizer: str = "whitespace",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
     verify with estimated Jaccard (signature agreement fraction).
 
     Returns (id_a, id_b, est_jaccard ≥ threshold). The verify join ships
     signatures (num_hashes × 8 bytes) only for CANDIDATE ids, not the corpus.
+
+    ``hash_fn="portable"`` (with an İ-folded tokenizer) makes every stage
+    — signature values, band buckets, agreement fractions — recomputable
+    by a DuckDB oracle; production default stays xxhash64.
     """
-    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n)
+    shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n, tokenizer)
     # The signature table feeds THREE consumers (banding + both sides of the
     # verify join). Eager localCheckpoint materializes it ONCE and truncates
     # lineage WITHOUT registering a CacheManager entry — a leaked .persist()
@@ -398,8 +467,12 @@ def minhash_near_duplicates(
     # plans (order-dependent timings; blocks never freed in a long-lived
     # session). At 100 TB: write sigs to a parquet stage instead — same
     # idea, durable.
-    sigs = minhash_signatures(shingled, num_hashes, id_col).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn).localCheckpoint(
+        eager=True
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     # signature agreement unrolled to num_hashes codegen'd positional
@@ -642,6 +715,7 @@ def near_duplicates_verified(
     bands: int = 8,
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """The full tiered near-dup pipeline as it runs at 100 TB:
     MinHash+LSH proposes candidate pairs (sub-quadratic), then EXACT n-gram
@@ -667,8 +741,10 @@ def near_duplicates_verified(
     arrs = shingled.groupBy(id_col).agg(
         F.collect_set(F.col("shingle")).alias("shingles")
     )
-    sigs = minhash_signatures(shingled, num_hashes, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col)
+    sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn)
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
+    )
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = arrs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     scored = (

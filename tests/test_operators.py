@@ -554,6 +554,55 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
 
 
+def test_portable_minhash_near_dup_family(spark):
+    """The hash_fn="portable" near-dup path (r7 — what the declared
+    q_dedup_near/q_dedup_near_verified/q_token_dedup_near run): (a) its
+    verified pairs are a subset of the exact ground truth with equal
+    scores, (b) planted exact twins are recovered at est_jaccard 1.0,
+    (c) the Carter-Wegman mixing survives num_hashes=64 (max seed 63 ×
+    55-bit h2 must not trip Spark's ANSI bigint-overflow — the bound the
+    _MINHASH_H2_FOLD constant exists for)."""
+    from datalake_breweries_two_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, tokenizer="whitespace_folded"
+        ).collect()
+    }
+    tiered = dedup.near_duplicates_verified(
+        docs, threshold=0.2, tokenizer="whitespace_folded", hash_fn="portable"
+    ).collect()
+    assert len(tiered) > 0
+    for r in tiered:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"portable tier invented pair {key}"
+        assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
+
+    twins = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    est = dedup.minhash_near_duplicates(
+        docs.select("doc_id", "text").unionByName(twins),
+        num_hashes=64,  # max seed 63 — the ANSI overflow bound
+        bands=16,
+        threshold=0.9,
+        tokenizer="whitespace_folded",
+        hash_fn="portable",
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in est}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in docs.limit(5).select("doc_id").collect()
+    }
+    recovered = planted & set(found)
+    assert len(recovered) == len(planted), (
+        f"identical twins missed by portable LSH: {planted - set(found)}"
+    )
+    assert all(found[k] == 1.0 for k in recovered)
+
+
 def test_sample_seeded_deterministic_and_bounded(spark):
     """q_sample_seeded's contract: the seeded Bernoulli sample must be (a)
     a strict subset of the source, (b) IDENTICAL across two evaluations

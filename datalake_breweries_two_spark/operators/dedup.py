@@ -255,6 +255,13 @@ def minhash_signatures_portable(
     instead of an array column, so a DuckDB oracle can recompute every
     signature value and the driver canonicalizer can sort the output.
 
+    This is the EXPOSITORY portable scheme (one md5 per (shingle, seed)
+    — what q_minhash_signature pins value-by-value). The corpus-scale
+    near-dup tier uses :func:`minhash_signatures` with
+    ``hash_fn="portable"`` instead: the Carter-Wegman family above it
+    derives all seeds from two md5s per shingle, ~num_hashes/2 × less
+    hash work with the same cross-engine recomputability.
+
     Same shuffle shape as the production path: explode × seeds, then a
     partial-aggregated min keyed on (id, seed) — the shuffle carries
     docs × num_hashes rows, never per-shingle rows."""

@@ -219,6 +219,15 @@ def minhash_signatures(
             F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
         )
     if hash_fn == "portable":
+        # Overflow bound: h1 + s*h2 < 2^60 + s*2^55 must stay under
+        # 2^63-1, i.e. s ≤ 224. Enforced, not just documented — a
+        # too-large num_hashes would otherwise surface as a runtime
+        # ANSI ARITHMETIC_OVERFLOW only on the unlucky shingle whose
+        # h2 is near the fold ceiling.
+        if not 1 <= num_hashes <= 224:
+            raise ValueError(
+                f"portable minhash supports 1..224 hashes, got {num_hashes}"
+            )
         h1 = _portable_h60(F.col("shingle"))
         h2 = _portable_h60(F.concat(F.lit("#"), F.col("shingle"))) % F.lit(
             _MINHASH_H2_FOLD

@@ -602,6 +602,14 @@ def test_portable_minhash_near_dup_family(spark):
     )
     assert all(found[k] == 1.0 for k in recovered)
 
+    # the enforced seed bound: s=224 keeps h1 + s*h2 < 2^63-1, s=225 not
+    sh = dedup.shingle_docs_exploded(docs.limit(3), n=3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1..224"):
+        dedup.minhash_signatures(sh, num_hashes=225, hash_fn="portable")
+    dedup.minhash_signatures(sh, num_hashes=224, hash_fn="portable")
+
 
 def test_sample_seeded_deterministic_and_bounded(spark):
     """q_sample_seeded's contract: the seeded Bernoulli sample must be (a)

@@ -40,11 +40,17 @@ def _driver_status() -> dict[str, dict]:
     snapshot filename) so rotation can front the STALEST evidence once
     the whole registry is covered."""
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    snapshots: list[tuple[int, str]] = []
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         try:
             rnd = int(path.rsplit("CORRECTNESS_r", 1)[1].split(".")[0])
         except ValueError:
             rnd = 0
+        snapshots.append((rnd, path))
+    # Sort by the PARSED round number, not the filename: lexicographic
+    # order puts r100 between r10 and r11, which would let a stale r10
+    # record override a newer r100 one under later-round-wins.
+    for rnd, path in sorted(snapshots):
         try:
             with open(path) as f:
                 snapshot = json.load(f)

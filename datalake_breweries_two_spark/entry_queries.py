@@ -99,7 +99,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_ingest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: paginated-API ingest with an injected offline fetcher (the
-    reference's loop-until-short-page semantics) → DataFrame. Rows-only."""
+    reference's loop-until-short-page semantics) → DataFrame.
+
+    FULL ORACLE since r8: the page payload is a pure function of the row
+    index (three full 3-row pages + a short 1-row page 4 → ids 0..9), so
+    DuckDB reconstructs the exact ingested relation with generate_series
+    — the same golden-VALUES discipline as q_python_datasource, which
+    scans the executor-side variant of this source."""
     pages = [
         [{"id": str(i), "name": f"brew {i}", "brewery_type": "micro"} for i in range(p * 3, p * 3 + 3)]
         for p in range(4)
@@ -1743,10 +1749,13 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # bounded 1-row probe; fall back to the lowest vec_id if the corpus
-    # has no vec 0 (deterministic either way, never a None deref)
-    qrow = emb.filter(F.col("vec_id") == 0).first()
+    # has no vec 0 (deterministic either way, never a None deref). NULL
+    # embeddings can't be queries — the guard matches centroid_seeds and
+    # the oracle's `nn`-sourced q CTE.
+    nn = emb.filter(F.col("embedding").isNotNull())
+    qrow = nn.filter(F.col("vec_id") == 0).first()
     if qrow is None:
-        qrow = emb.orderBy(F.col("vec_id").asc()).first()
+        qrow = nn.orderBy(F.col("vec_id").asc()).first()
     if qrow is None:
         raise ValueError("embeddings table is empty — nothing to search")
     qvec = [float(x) for x in qrow["embedding"]]
@@ -2062,19 +2071,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
+            # try_divide (similarity._cosine): a zero-norm vector has no
+            # direction → NULL cosine, matching DuckDB's x/0→NULL; a plain
+            # `/` would throw ANSI DIVIDE_BY_ZERO on such a row. NULLs sort
+            # last under desc() on both engines.
             F.round(
-                semistructured.dot_product(F.col("embedding"), F.col("qv"))
-                / (
-                    semistructured.vector_norm("embedding")
-                    * F.sqrt(
-                        F.aggregate(
-                            F.col("qv"),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                        )
-                    )
-                ),
-                4,
+                similarity._cosine(F.col("embedding"), F.col("qv")), 4
             ).alias("cosine"),
         )
     )
@@ -2091,9 +2093,12 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every sign(v·plane) bit, Hamming rank, candidate cut, and rounded
     rescore is reproduced exactly cross-engine."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).first()
+    # NULL embeddings can't be queries — same bounded-draw guard as
+    # centroid_seeds / ann_recall_curves, mirrored in the oracle's q CTE
+    nn = emb.filter(F.col("embedding").isNotNull())
+    qrow = nn.filter(F.col("vec_id") == 0).first()
     if qrow is None:
-        qrow = emb.orderBy(F.col("vec_id").asc()).first()
+        qrow = nn.orderBy(F.col("vec_id").asc()).first()
     if qrow is None:
         raise ValueError("embeddings table is empty — nothing to search")
     qv = [float(x) for x in qrow["embedding"]]
@@ -3693,7 +3698,7 @@ ORACLE_SQL: dict[str, str] = {
                4) AS cosine
         FROM embeddings e, q
         WHERE e.vec_id <> 0
-        ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        ORDER BY cosine DESC NULLS LAST, e.vec_id ASC LIMIT 10
     """,
     "q_text_stats": """
         SELECT lang,
@@ -5255,6 +5260,18 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_python_datasource_stream"] = q_python_datasource_stream
 
 ORACLE_SQL["q_python_datasource_stream"] = ORACLE_SQL["q_python_datasource"]
+
+# S1 driver-side paginated ingest (r8 rows-only → full-oracle upgrade):
+# the injected offline fetcher's payload is deterministic — pages 1..3
+# carry ids 3p..3p+2, page 4 is truncated to the single id 9 (the short
+# page that terminates the reference's pagination loop) — so the whole
+# ingested relation is reconstructible.
+ORACLE_SQL["q_ingest_rows"] = """
+    SELECT CAST(i AS VARCHAR) AS id,
+           'brew ' || CAST(i AS VARCHAR) AS name,
+           'micro' AS brewery_type
+    FROM generate_series(0, 9) t(i)
+"""
 
 
 def q_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8049,10 +8066,12 @@ ORACLE_SQL["q_ivf_search"] = (
     + _IVF_SEEDS_SQL.format(n_centroids=16)
     + """
     , q AS (
-        SELECT embedding AS qv FROM embeddings
+        -- nn only: NULL embeddings can't be queries (mirrors the declared
+        -- draw's isNotNull guard)
+        SELECT embedding AS qv FROM nn
         WHERE vec_id = COALESCE(
-            (SELECT min(vec_id) FROM embeddings WHERE vec_id = 0),
-            (SELECT min(vec_id) FROM embeddings))
+            (SELECT min(vec_id) FROM nn WHERE vec_id = 0),
+            (SELECT min(vec_id) FROM nn))
     ),
     probes AS (
         SELECT centroid_id FROM seeds, q
@@ -8114,10 +8133,14 @@ ORACLE_SQL["q_cosine_topk_lsh"] = """
         {planes}
     ),
     q AS (
+        -- embedding IS NOT NULL everywhere: NULL embeddings can't be
+        -- queries (mirrors the declared draw's isNotNull guard)
         SELECT embedding AS qv FROM embeddings
-        WHERE vec_id = COALESCE(
-            (SELECT min(vec_id) FROM embeddings WHERE vec_id = 0),
-            (SELECT min(vec_id) FROM embeddings))
+        WHERE embedding IS NOT NULL AND vec_id = COALESCE(
+            (SELECT min(vec_id) FROM embeddings
+             WHERE vec_id = 0 AND embedding IS NOT NULL),
+            (SELECT min(vec_id) FROM embeddings
+             WHERE embedding IS NOT NULL))
     ),
     bits AS (
         SELECT e.vec_id, p.plane_id,

@@ -158,7 +158,7 @@ def build_nulls(d):
        (2, None, "en", "web", None),            # NULL text
        (3, "solo token", None, None, 10)])
     w(d, "embeddings", pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]),
-      [(0, [1.0] + [0.0]*63, 0), (1, [0.5]*64, None), (2, None, 1)])   # NULL vector + NULL label
+      [(0, None, 1), (1, [1.0] + [0.0]*63, 0), (2, [0.5]*64, None)])   # vec 0 NULL: forces every bounded query-vector draw onto its lowest-non-null fallback; + NULL label
 
 
 def build_unicode(d):

@@ -2356,26 +2356,70 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESS_SENTINEL_USER = -(2**62)  # no generated or hostile fixture uses it
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    sessions with event-time timeout — rows-only (no SQL oracle for
-    stateful streams). Closed sessions must agree with the batch
+    sessions with event-time timeout. Closed sessions agree with the batch
     sessionizer (asserted in tests/test_operators.py).
+
+    FULL ORACLE since r8, via a watermark-past-end DRAIN: a sentinel event
+    (user ``_SESS_SENTINEL_USER``, ts = max + 3×gap) is appended as the
+    stream's final slice, so after it the watermark (sentinel − gap) sits
+    beyond every real session's ``last_event + gap`` timeout and the
+    no-data micro-batch closes ALL remaining sessions before the drive
+    ends. With every session closed, the drained sink (sentinel filtered
+    back out) must equal the batch gap-split recompute — the same
+    drained==batch discipline as q_streaming_dedup. ``total_value`` is
+    projected away: it is a Python-side left-fold double whose tie order
+    is arrival order, the one field with no portable recompute; the
+    stateful semantics under test (session boundaries and sizes) are the
+    grouping keys and counts. NULL-ts rows never enter the stream (the
+    time-range slice predicates exclude them), mirrored in the oracle.
 
     gap=2 minutes: the generated events tables span ~43 minutes, so a gap
     of 30 minutes could never close a session in append mode (a timeout
     fires only when the watermark passes last_event+gap — needs a span of
     at least 2x the gap); 2 minutes produces real closures at every SF."""
+    from pyspark.sql import types as T
+
     stage_dir = os.path.join(_SCRATCH, "events_stream_sess")
     # sequentially-written time slices → the file source replays an
     # in-order stream (see stage_time_ordered_stream docstring)
     stream_windows.stage_time_ordered_stream(
         spark, os.path.join(sf_dir, "events.parquet"), stage_dir
     )
+    # the drain sentinel, appended AFTER the last data slice (sequential
+    # write → latest mtime → replayed last by the file source)
+    ev = _t(spark, sf_dir, "events")
+    hi_us = ev.agg(F.max(F.unix_micros(F.col("ts")))).first()[0]
+    gap_us = 2 * 60 * 1_000_000
+    sentinel = spark.createDataFrame(
+        [(2**62, _SESS_SENTINEL_USER, "drain", None, None)],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("props", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    ).withColumn("ts", F.timestamp_micros(F.lit(int(hi_us) + 3 * gap_us)))
+    sentinel.select([f.name for f in ev.schema.fields]).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage_dir)
     stream = stream_windows.read_events_stream(spark, stage_dir)
     sess = stream_windows.sessionize_stream(stream, gap_minutes=2)
-    return stream_windows.run_stream_to_memory(
+    out = stream_windows.run_stream_to_memory(
         spark, sess, "q_streaming_sessionize_sink", output_mode="append"
+    )
+    # eqNullSafe: a NULL user_id is a real (groupable) session key — plain
+    # != would evaluate NULL and silently drop its sessions (caught by the
+    # nulls sweep)
+    return out.filter(~F.col("user_id").eqNullSafe(_SESS_SENTINEL_USER)).select(
+        "user_id", "session_start", "session_end", "n_events"
     )
 
 
@@ -5260,6 +5304,40 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_python_datasource_stream"] = q_python_datasource_stream
 
 ORACLE_SQL["q_python_datasource_stream"] = ORACLE_SQL["q_python_datasource"]
+
+# Streaming sessionization (r8 rows-only → full-oracle upgrade): the
+# sentinel-drained sink closes EVERY session, so the stream must equal the
+# batch gap-split recompute — q_sessionize's oracle minus the session_seq
+# surrogate, with count(*) (the stream counts rows, not non-null
+# event_ids) and ts IS NOT NULL (NULL-ts rows never pass the time-range
+# slice predicates, so they never enter the stream).
+ORACLE_SQL["q_streaming_sessionize"] = """
+    WITH norm AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+        FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+        SELECT user_id, event_id, ts,
+               -- epoch_us, not epoch_ms: the stateful operator compares
+               -- inter-event gaps in integer MICROSECONDS
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 2 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM norm
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+"""
 
 # S1 driver-side paginated ingest (r8 rows-only → full-oracle upgrade):
 # the injected offline fetcher's payload is deterministic — pages 1..3

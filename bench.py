@@ -122,6 +122,7 @@ HEADLINE = [
     "q_kmeans_1d",
     "q_chunk_documents",
     "q_hll_partitioned",
+    "q_hll_union_portable",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -238,6 +239,7 @@ QUIET_HOST_REF_SEC = {
     "q_grouping_sets": 0.26,
     "q_hash_split": 0.11,
     "q_hll_partitioned": 0.18,
+    "q_hll_union_portable": 1.0,  # provisional entry-floor; protocol number pending
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

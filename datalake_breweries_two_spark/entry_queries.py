@@ -1704,6 +1704,20 @@ def q_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct users per event type (r8 growth): the same
+    sketch-per-(type, day) → register-wise-MAX-merge rollup shape as
+    q_hll_partitioned, but over a textbook md5-register HLL whose every
+    register value, harmonic denominator (integer-exact Σ 2^(53−reg)),
+    and final estimate a DuckDB oracle recomputes — making the mergeable
+    -sketch tier itself hash-checkable, not just tolerance-tested. The
+    exact count_distinct rides along as the error probe."""
+    events = _t(spark, sf_dir, "events")
+    return setops.hll_union_portable(
+        events, "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored view→click→purchase funnel within 60-minute hops: per-user
     stage timestamps + depth. Each stage is a conditional left join +
@@ -2636,6 +2650,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kmeans_1d": q_kmeans_1d,
     "q_chunk_documents": q_chunk_documents,
     "q_hll_partitioned": q_hll_partitioned,
+    "q_hll_union_portable": q_hll_union_portable,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_pagerank": q_pagerank,
@@ -5337,6 +5352,65 @@ ORACLE_SQL["q_streaming_sessionize"] = """
            max(ts) AS session_end,
            CAST(count(*) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, session_seq
+"""
+
+# Portable HLL (r8 growth): every register, the integer harmonic
+# denominator, and the single-division estimate recomputed in-engine.
+# Constants (the alpha·m²·2^53 numerator, thresholds) are inlined from
+# the same Python values the Spark plan embeds; rho comes from the md5
+# HEX TEXT (4 bits per leading '0' + a CASE on the first non-zero digit)
+# so there is no floating log2 anywhere; the only libm step is the
+# small-range branch's ln, rounded at 4dp per the zipf/PMI discipline.
+from datalake_breweries_two_spark.operators.setops import HLL_NUMERATOR as _HLL_NUM
+
+ORACLE_SQL["q_hll_union_portable"] = f"""
+    WITH keyed AS (
+        SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h, user_id AS k
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    br AS (
+        SELECT g,
+               CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
+               CASE WHEN ltrim(substr(h, 3, 13), '0') = '' THEN 53
+                    ELSE (13 - length(ltrim(substr(h, 3, 13), '0'))) * 4
+                         + CASE substr(ltrim(substr(h, 3, 13), '0'), 1, 1)
+                             WHEN '1' THEN 3
+                             WHEN '2' THEN 2 WHEN '3' THEN 2
+                             WHEN '4' THEN 1 WHEN '5' THEN 1
+                             WHEN '6' THEN 1 WHEN '7' THEN 1
+                             ELSE 0 END
+                         + 1 END AS rho
+        FROM keyed
+    ),
+    regs AS (SELECT g, bucket, max(rho) AS reg FROM br GROUP BY g, bucket),
+    pg AS (
+        SELECT g, CAST(count(*) AS INT) AS n_used,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s_present
+        FROM regs GROUP BY g
+    ),
+    ex AS (
+        SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+        FROM keyed GROUP BY g
+    ),
+    est AS (
+        SELECT pg.g, pg.n_used, ex.exact_distinct,
+               {_HLL_NUM!r} / CAST(pg.s_present
+                   + CAST(256 - pg.n_used AS BIGINT) * CAST({1 << 53} AS BIGINT)
+                   AS DOUBLE) AS raw,
+               256 - pg.n_used AS v_zero
+        FROM pg JOIN ex ON pg.g IS NOT DISTINCT FROM ex.g
+    ),
+    fin AS (
+        SELECT g, n_used, exact_distinct,
+               CASE WHEN raw <= 640.0 AND v_zero > 0
+                    THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+                    ELSE round(raw, 4) END AS hll_estimate
+        FROM est
+    )
+    SELECT g AS event_type, n_used, hll_estimate, exact_distinct,
+           round(abs(hll_estimate - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE), 4) AS abs_rel_err
+    FROM fin
 """
 
 # S1 driver-side paginated ingest (r8 rows-only → full-oracle upgrade):

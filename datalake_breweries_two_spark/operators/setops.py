@@ -131,3 +131,125 @@ def theta_distinct_overlap(
         est_union.cast("long").alias("n_union"),
         (est_a + est_b - est_union).cast("long").alias("n_intersect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (r8): the cross-engine-checkable twin of the
+# Datasketches tier above.
+# ---------------------------------------------------------------------------
+
+# alpha_m * m^2 * 2^53 for m=256 registers, precomputed ONCE in Python and
+# inlined as the same double literal into the Spark plan and the DuckDB
+# oracle, so the single FP division consumes bit-identical inputs.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+
+def _hll_register_exprs() -> tuple:
+    """(bucket, rho) expressions over an md5-hex column ``h`` — pure string
+    and integer arithmetic, reproducible on any engine with md5:
+
+    * bucket = first 2 hex chars (8 bits, m=256 registers);
+    * rho    = 1 + number of leading zero BITS of the next 13 hex chars
+      (52 bits), derived from the hex text itself: 4 bits per leading
+      '0' char plus a 4-way CASE on the first non-zero hex digit — no
+      floating log2, no engine-specific bit_length.
+    """
+    bucket = F.conv(F.substring(F.col("h"), 1, 2), 16, 10).cast("int")
+    sub = F.substring(F.col("h"), 3, 13)
+    stripped = F.expr("TRIM(LEADING '0' FROM substring(h, 3, 13))")
+    nz = (F.lit(13) - F.length(stripped)).cast("int")
+    first = F.substring(stripped, 1, 1)
+    within = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(F.length(stripped) == 0, F.lit(53))
+        .otherwise(nz * 4 + within + 1)
+        .cast("int")
+    )
+    return bucket, rho, sub
+
+
+def hll_union_portable(
+    df: DataFrame,
+    group_col: str,
+    part_col,
+    key_col: str,
+) -> DataFrame:
+    """Mergeable distinct-count rollup whose DECISIONS are cross-engine
+    checkable: per-(group, partition) register vectors (max rho per
+    bucket) merged per group by register-wise MAX — the same
+    sketch-once / merge-forever shape as :func:`hll_partitioned_distinct`,
+    but over a textbook md5-register HLL instead of opaque Datasketches
+    bytes, so a SQL oracle recomputes every register AND the estimate.
+
+    Arithmetic stays integer-exact end to end: the harmonic denominator
+    is ``S = Σ 2^(53 - reg)`` with empty registers contributing ``2^53``
+    (one bigint per group, max 2^61 — no FP accumulation), and the only
+    floating-point steps are the final ``NUMERATOR / S`` division (both
+    engines cast the same bigint and divide the same literal) and, on the
+    small-range branch, one ``ln`` rounded at 4dp (the established
+    libm-ulp discipline of zipf/PMI/bigram). Returns
+    (group, n_used_buckets, hll_estimate, exact_distinct, abs_rel_err).
+
+    100 TB shape: stage 1 shuffles one (group, part, bucket, rho) row per
+    TOUCHED register — bounded by m=256 per partition, never by keys;
+    stage 2 merges registers, n_parts-free; the exact count_distinct here
+    is the sf-scale error probe a production rollup would drop.
+    """
+    keyed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            part_col,
+            F.md5(F.col(key_col).cast("string")).alias("h"),
+            F.col(key_col).alias("k"),
+        )
+    )
+    bucket, rho, _ = _hll_register_exprs()
+    part_name = keyed.columns[1]
+    daily = keyed.select("g", part_name, bucket.alias("bucket"), rho.alias("rho")).groupBy(
+        "g", part_name, "bucket"
+    ).agg(F.max("rho").alias("reg"))
+    merged = daily.groupBy("g", "bucket").agg(F.max("reg").alias("reg"))
+    per_group = merged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("int").alias("n_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).alias("s_present"),
+    )
+    exact = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g2"))
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
+    )
+    m = HLL_M
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_used")).cast("long") * F.lit(1 << 53).cast("long")
+    )
+    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    v_zero = F.lit(m) - F.col("n_used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    return (
+        # eqNullSafe: a NULL group key is a real group on both sides
+        per_group.join(exact, per_group["g"].eqNullSafe(exact["g2"]))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_used"),
+            est.alias("hll_estimate"),
+            F.col("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("abs_rel_err"),
+        )
+    )

@@ -218,6 +218,11 @@ def minhash_signatures(
         exploded = shingled.select(
             F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
         )
+    # Each min column is ONE F.expr SQL string, not a Column-algebra
+    # chain: the per-seed loop over py4j round-trips was the dominant
+    # DataFrame-construction cost of the whole near-dup tier (~0.4 ms per
+    # JVM call × ~15 calls × 64 seeds, measured via cProfile — the same
+    # chatter mechanism as similarity._signature_expr).
     if hash_fn == "portable":
         # Overflow bound: h1 + s*h2 < 2^60 + s*2^55 must stay under
         # 2^63-1, i.e. s ≤ 224. Enforced, not just documented — a
@@ -228,25 +233,28 @@ def minhash_signatures(
             raise ValueError(
                 f"portable minhash supports 1..224 hashes, got {num_hashes}"
             )
-        h1 = _portable_h60(F.col("shingle"))
-        h2 = _portable_h60(F.concat(F.lit("#"), F.col("shingle"))) % F.lit(
-            _MINHASH_H2_FOLD
+        h1_sql = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        h2_sql = (
+            "(CAST(conv(substring(md5(concat('#', shingle)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {_MINHASH_H2_FOLD})"
         )
         mins = [
-            F.min((h1 + F.lit(s) * h2) % F.lit(_MINHASH_P)).alias(f"_h{s}")
+            F.expr(
+                f"min(({h1_sql} + {s} * {h2_sql}) % {_MINHASH_P}) AS _h{s}"
+            )
             for s in range(num_hashes)
         ]
     elif hash_fn == "xx":
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_h{s}")
+            F.expr(f"min(xxhash64(shingle, {s})) AS _h{s}")
             for s in range(num_hashes)
         ]
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     agg = exploded.groupBy(id_col).agg(*mins)
+    sig_list = ", ".join(f"_h{s}" for s in range(num_hashes))
     return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature"),
+        F.col(id_col), F.expr(f"array({sig_list}) AS signature")
     )
 
 
@@ -378,30 +386,20 @@ def lsh_candidate_pairs(
     byte-identical keys (wider shuffle rows: ~rows_per_band × 20 chars,
     still tiny next to the documents they stand for).
     """
-    def _band_key(b: int) -> Column:
-        joined = F.array_join(
-            F.transform(
-                F.slice(
-                    F.col("signature"), b * rows_per_band + 1, rows_per_band
-                ),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+    # One F.expr string for the whole banded explode (same py4j-chatter
+    # economics as the minhash min columns above)
+    def _band_key_sql(b: int) -> str:
+        joined = (
+            f"array_join(transform(slice(signature, {b * rows_per_band + 1}, "
+            f"{rows_per_band}), x -> CAST(x AS STRING)), ',')"
         )
-        return joined if hash_fn == "portable" else F.xxhash64(joined)
+        return joined if hash_fn == "portable" else f"xxhash64({joined})"
 
+    structs = ", ".join(
+        f"struct({b} AS band, {_band_key_sql(b)} AS bucket)" for b in range(bands)
+    )
     banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _band_key(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({structs})) AS bb")
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
     # Hot-bucket safety: pre-count bucket sizes with a window on the SAME
@@ -493,10 +491,12 @@ def minhash_near_duplicates(
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     # signature agreement unrolled to num_hashes codegen'd positional
     # comparisons — zip_with/filter lambdas are interpreted per-row, the
-    # unrolled sum stays inside whole-stage codegen (~10× measured)
-    agree = sum(
-        (F.col("sig_a").getItem(s) == F.col("sig_b").getItem(s)).cast("int")
-        for s in range(num_hashes)
+    # unrolled sum stays inside whole-stage codegen (~10× measured); one
+    # F.expr string so construction is one py4j call, not num_hashes×4
+    agree = F.expr(
+        " + ".join(
+            f"CAST(sig_a[{s}] = sig_b[{s}] AS INT)" for s in range(num_hashes)
+        )
     )
     est = (
         cands.join(sa, "id_a")

@@ -239,7 +239,7 @@ QUIET_HOST_REF_SEC = {
     "q_grouping_sets": 0.26,
     "q_hash_split": 0.11,
     "q_hll_partitioned": 0.18,
-    "q_hll_union_portable": 1.0,  # provisional entry-floor; protocol number pending
+    "q_hll_union_portable": 0.57,  # r8 protocol-context reading
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,
@@ -274,7 +274,7 @@ QUIET_HOST_REF_SEC = {
     "q_knn_join": 0.7,
     "q_label_centroids": 0.5,
     "q_outliers_zscore": 0.46,
-    "q_pack_sequences": 0.45,
+    "q_pack_sequences": 0.32,  # r8: construction-pressure fixes dropped the protocol floor
     "q_pagerank": 3.75,
     "q_pandas_api": 0.22,
     "q_partition_overwrite_dynamic": 0.9,

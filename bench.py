@@ -123,6 +123,7 @@ HEADLINE = [
     "q_chunk_documents",
     "q_hll_partitioned",
     "q_hll_union_portable",
+    "q_kmv_overlap",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -240,6 +241,7 @@ QUIET_HOST_REF_SEC = {
     "q_hash_split": 0.11,
     "q_hll_partitioned": 0.18,
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
+    "q_kmv_overlap": 0.85,  # provisional quiet floor; protocol number pending
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

@@ -5354,6 +5354,58 @@ ORACLE_SQL["q_streaming_sessionize"] = """
     FROM sess GROUP BY user_id, session_seq
 """
 
+# Portable KMV set algebra (r8 growth): min-k sketches, their merge, and
+# the (k-1)·2^60 / kth-min estimates recomputed in-engine. The numerator
+# literal is the same Python double the Spark plan embeds; a set smaller
+# than k holds ALL its hashes, so its estimate is the exact member count.
+from datalake_breweries_two_spark.operators.setops import (
+    KMV_K as _KMV_K,
+    KMV_NUMERATOR as _KMV_NUM,
+)
+
+ORACLE_SQL["q_kmv_overlap"] = f"""
+    WITH base AS (
+        SELECT event_type AS t,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+    ),
+    dh AS (SELECT DISTINCT t, h FROM base),
+    kmv_a AS (SELECT h FROM dh WHERE t = 'view' ORDER BY h ASC LIMIT {_KMV_K}),
+    kmv_b AS (SELECT h FROM dh WHERE t = 'click' ORDER BY h ASC LIMIT {_KMV_K}),
+    kmv_u AS (
+        SELECT h FROM (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM kmv_a UNION ALL SELECT h FROM kmv_b
+            )
+        ) ORDER BY h ASC LIMIT {_KMV_K}
+    ),
+    ea AS (SELECT CASE WHEN count(h) < {_KMV_K} THEN CAST(count(h) AS DOUBLE)
+                       ELSE round({_KMV_NUM!r} / CAST(max(h) AS DOUBLE), 4)
+                  END AS est_a FROM kmv_a),
+    eb AS (SELECT CASE WHEN count(h) < {_KMV_K} THEN CAST(count(h) AS DOUBLE)
+                       ELSE round({_KMV_NUM!r} / CAST(max(h) AS DOUBLE), 4)
+                  END AS est_b FROM kmv_b),
+    eu AS (SELECT CASE WHEN count(h) < {_KMV_K} THEN CAST(count(h) AS DOUBLE)
+                       ELSE round({_KMV_NUM!r} / CAST(max(h) AS DOUBLE), 4)
+                  END AS est_union FROM kmv_u),
+    ex AS (
+        SELECT CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                        THEN user_id END) AS BIGINT) AS exact_a,
+               CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                        THEN user_id END) AS BIGINT) AS exact_b,
+               CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'click')
+                                        THEN user_id END) AS BIGINT) AS exact_union
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 4) AS est_intersect,
+           exact_a, exact_b, exact_union,
+           CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
+    FROM ea, eb, eu, ex
+"""
+
 # Portable HLL (r8 growth): every register, the integer harmonic
 # denominator, and the single-division estimate recomputed in-engine.
 # Constants (the alpha·m²·2^53 numerator, thresholds) are inlined from
@@ -5488,8 +5540,22 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-set algebra (r8 growth): the portable,
+    hash-checkable twin of q_theta_overlap — |view users|, |click users|,
+    union and inclusion-exclusion intersection from min-k sketches of the
+    md5 60-bit key hash. The sketch ELEMENTS, the merge (min-k of the two
+    sketches' union == the union set's sketch), and the single-division
+    estimates are all DuckDB-recomputable; exact counts ride along as the
+    sf-scale error probe."""
+    return setops.kmv_set_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "view", "click", "user_id"
+    )
+
+
 QUERIES["q_kll_quantiles"] = q_kll_quantiles
 QUERIES["q_theta_overlap"] = q_theta_overlap
+QUERIES["q_kmv_overlap"] = q_kmv_overlap
 
 
 def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,3 +253,93 @@ def hll_union_portable(
             ).alias("abs_rel_err"),
         )
     )
+
+
+# K-minimum-values (KMV) distinct-set algebra (r8): the cross-engine-
+# checkable twin of theta_distinct_overlap. (k-1)·2^60 as one exact
+# double literal shared with the oracle (255 × a power of two — 8
+# significant bits, exactly representable). k=256: relative error
+# ~1/sqrt(k-2) ≈ 6.3%σ (k=64's 12.7%σ read a +30% deterministic draw
+# on the sf fixtures); sketches stay KB-sized.
+KMV_K = 256
+KMV_NUMERATOR = float((KMV_K - 1) * (1 << 60))
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    key_col: str = "user_id",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Audience overlap (|A|, |B|, |A∪B|, inclusion-exclusion |A∩B|) from
+    K-minimum-values sketches over the portable md5 60-bit hash — every
+    sketch ELEMENT (the k smallest distinct hash values per set), the
+    union sketch (min-k of the two sketches' union — identical to
+    sketching A∪B directly, which is what the oracle does), and the
+    single-division estimates ((k−1)·2^60 / kth-min when full, exact
+    member count when the set is smaller than k) are engine-recomputable.
+
+    100 TB shape: one (tag, hash) distinct shuffle, then per-set min-k
+    via ``orderBy().limit(k)`` → TakeOrderedAndProject (k-row heaps per
+    task, no global sort); sketch merges touch ≤2k rows. The exact
+    count_distinct triple is the sf-scale error probe a production
+    rollup would drop — estimates never depend on it.
+    """
+    h_sql = (
+        f"CAST(conv(substring(md5(CAST(`{key_col}` AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(type_col).isin(type_a, type_b)
+    ).select(F.col(type_col).alias("_t"), F.expr(h_sql).alias("h"))
+    dh = base.distinct()
+
+    def _kmv(rel: DataFrame) -> DataFrame:
+        return rel.orderBy(F.col("h").asc()).limit(k)
+
+    kmv_a = _kmv(dh.filter(F.col("_t") == type_a).select("h"))
+    kmv_b = _kmv(dh.filter(F.col("_t") == type_b).select("h"))
+    kmv_u = _kmv(kmv_a.union(kmv_b).distinct())
+
+    def _est(kmv_df: DataFrame, name: str) -> DataFrame:
+        return kmv_df.agg(
+            F.when(F.count("h") < k, F.count("h").cast("double"))
+            .otherwise(
+                F.round(F.lit(KMV_NUMERATOR) / F.max("h").cast("double"), 4)
+            )
+            .alias(name)
+        )
+
+    exact = df.filter(F.col(key_col).isNotNull()).agg(
+        F.count_distinct(
+            F.when(F.col(type_col) == type_a, F.col(key_col))
+        ).cast("long").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col(type_col) == type_b, F.col(key_col))
+        ).cast("long").alias("exact_b"),
+        F.count_distinct(
+            F.when(F.col(type_col).isin(type_a, type_b), F.col(key_col))
+        ).cast("long").alias("exact_union"),
+    )
+    one = (
+        _est(kmv_a, "est_a")
+        .crossJoin(F.broadcast(_est(kmv_b, "est_b")))
+        .crossJoin(F.broadcast(_est(kmv_u, "est_union")))
+        .crossJoin(F.broadcast(exact))
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        ).alias("est_intersect"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_intersect"),
+    )

@@ -332,6 +332,7 @@ SHUFFLE_BUDGET = {
     "q_chunk_documents": 0,
     "q_hll_partitioned": 2,     # partial sketches + merge
     "q_hll_union_portable": 5,  # register build/merge/rollup + exact-probe distinct pair; post-stage-1 volume is O(groups x 256 registers)
+    "q_kmv_overlap": 6,         # one (tag,hash) distinct + per-set TakeOrderedAndProject min-k heaps + union-sketch distinct + exact-probe distinct pair; every post-stage-1 exchange moves <=2k sketch rows
     "q_bm25": 6,                # tf/df/len aggs over ONE text scan (plan-tested)
     "q_partition_overwrite_dynamic": 1,
     "q_streaming_upsert": 0,    # read-back of the published table

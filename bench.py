@@ -241,7 +241,7 @@ QUIET_HOST_REF_SEC = {
     "q_hash_split": 0.11,
     "q_hll_partitioned": 0.18,
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
-    "q_kmv_overlap": 0.85,  # provisional quiet floor; protocol number pending
+    "q_kmv_overlap": 0.6,  # r8 quiet protocol reading
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

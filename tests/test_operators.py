@@ -3371,3 +3371,67 @@ def test_whitespace_class_treats_x0b_as_separator(spark):
         "doc_id", dedup._tokens_expr("txt", "bpe").alias("t")).collect()}
     assert bpe[1] == ["a", "b", "don", "'", "t"]
     assert bpe[2] == ["c", "d"]
+
+
+def test_hll_union_portable_accuracy_and_merge_invariance(spark):
+    """The portable HLL estimate must land inside the m=256 error band
+    (1.04/sqrt(256) ~ 6.5% sigma; assert 20% = ~3 sigma) on a known
+    cardinality, fall back to linear counting on tiny sets, and be
+    INVARIANT to how the data is split across partitions (register-wise
+    max is the merge, so any part_col slicing yields identical output)."""
+    from datalake_breweries_two_spark.operators import setops
+
+    df = spark.createDataFrame(
+        [("big", d % 7, d % 3000) for d in range(21000)]
+        + [("small", d % 7, d % 5) for d in range(35)],
+        "grp string, part int, key long",
+    )
+    got = {
+        r["grp"]: r
+        for r in setops.hll_union_portable(df, "grp", F.col("part"), "key").collect()
+    }
+    assert got["big"]["exact_distinct"] == 3000
+    assert abs(got["big"]["hll_estimate"] - 3000) / 3000 < 0.20
+    assert got["big"]["abs_rel_err"] < 0.20
+    # 5 distinct keys -> 5 touched registers, V>0, raw far below 2.5m:
+    # the linear-counting branch; with m=256 and V=251 its estimate is
+    # 256*ln(256/251) ~ 5.05 -- near-exact by construction
+    assert abs(got["small"]["hll_estimate"] - 5) < 1.0
+    # merge invariance: a different partition split produces identical rows
+    resplit = setops.hll_union_portable(df, "grp", (F.col("part") * 0).alias("p"), "key")
+    assert sorted(map(tuple, resplit.collect())) == sorted(
+        map(tuple, setops.hll_union_portable(df, "grp", F.col("part"), "key").collect())
+    )
+
+
+def test_kmv_overlap_exact_path_and_estimator_band(spark):
+    """KMV set algebra: sets smaller than k take the exact path
+    (estimate == member count, intersection identity exact); sets larger
+    than k estimate within ~3 sigma (1/sqrt(k-2) ~ 6.3% at k=256 ->
+    assert 20%). Disjoint large sets must report a near-zero
+    intersection relative to set size."""
+    from datalake_breweries_two_spark.operators import setops
+
+    # small sets: |A|=40, |B|=30, |A intersect B|=20
+    small = spark.createDataFrame(
+        [("a", u) for u in range(40)] + [("b", u) for u in range(20, 50)],
+        "t string, user_id long",
+    )
+    r = setops.kmv_set_overlap(small, "t", "a", "b", "user_id").collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"]) == (
+        40.0, 30.0, 50.0, 20.0,
+    )
+    assert (r["exact_a"], r["exact_b"], r["exact_union"], r["exact_intersect"]) == (
+        40, 30, 50, 20,
+    )
+    # large disjoint sets: estimator path both sides
+    big = spark.createDataFrame(
+        [("a", u) for u in range(5000)] + [("b", u + 100000) for u in range(5000)],
+        "t string, user_id long",
+    )
+    r = setops.kmv_set_overlap(big, "t", "a", "b", "user_id").collect()[0]
+    assert abs(r["est_a"] - 5000) / 5000 < 0.20
+    assert abs(r["est_b"] - 5000) / 5000 < 0.20
+    assert abs(r["est_union"] - 10000) / 10000 < 0.20
+    assert abs(r["est_intersect"]) / 5000 < 0.20  # truth is 0
+    assert r["exact_intersect"] == 0

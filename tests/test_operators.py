@@ -3435,3 +3435,62 @@ def test_kmv_overlap_exact_path_and_estimator_band(spark):
     assert abs(r["est_union"] - 10000) / 10000 < 0.20
     assert abs(r["est_intersect"]) / 5000 < 0.20  # truth is 0
     assert r["exact_intersect"] == 0
+
+
+def test_hll_register_exprs_match_python_reference(spark):
+    """The (bucket, rho) hex-text expressions must equal a direct Python
+    recompute of the textbook definition (top 8 bits -> bucket; 1 +
+    leading-zero-bits of the next 52) over adversarial strings: empty,
+    unicode, long, and md5s engineered to hit leading-zero runs."""
+    import hashlib
+
+    from datalake_breweries_two_spark.operators import setops
+
+    # include inputs whose md5 has leading '0' hex chars in the rho window
+    cases = ["", "a", "İstanbul", "x" * 500, "\x0b", "0", "#"]
+    cases += [str(i) for i in range(300)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        F.col("s"), F.md5("s").alias("h")
+    )
+    bucket, rho, _ = setops._hll_register_exprs()
+    got = {
+        r["s"]: (r["b"], r["r"])
+        for r in df.select("s", bucket.alias("b"), rho.alias("r")).collect()
+    }
+    for c in cases:
+        hexd = hashlib.md5(c.encode()).hexdigest()
+        b = int(hexd[:2], 16)
+        bits = bin(int(hexd[2:15], 16))[2:].zfill(52)
+        r = (bits.find("1") + 1) if "1" in bits else 53
+        assert got[c] == (b, r), (c, hexd, got[c], (b, r))
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    """KMV(A ∪ B) == min-k(KMV(A) ∪ KMV(B)) — the mergeability claim the
+    operator's union sketch relies on — checked against a direct Python
+    recompute over overlapping sets that straddle the k boundary."""
+    import hashlib
+
+    from datalake_breweries_two_spark.operators import setops
+
+    k = setops.KMV_K
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    a_keys = list(range(0, 700))          # > k members
+    b_keys = list(range(400, 1100))       # overlaps A, > k members
+    rows = [("a", u) for u in a_keys] + [("b", u) for u in b_keys]
+    out = setops.kmv_set_overlap(
+        spark.createDataFrame(rows, "t string, user_id long"), "t", "a", "b"
+    ).collect()[0]
+    # Python reference: direct sketches of each set and of the union
+    sk_a = sorted(h60(u) for u in a_keys)[:k]
+    sk_b = sorted(h60(u) for u in b_keys)[:k]
+    sk_union_direct = sorted(h60(u) for u in set(a_keys) | set(b_keys))[:k]
+    sk_union_merged = sorted(set(sk_a) | set(sk_b))[:k]
+    assert sk_union_direct == sk_union_merged
+    num = setops.KMV_NUMERATOR
+    assert out["est_a"] == round(num / float(sk_a[-1]), 4)
+    assert out["est_b"] == round(num / float(sk_b[-1]), 4)
+    assert out["est_union"] == round(num / float(sk_union_direct[-1]), 4)

@@ -2408,6 +2408,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write → latest mtime → replayed last by the file source)
     ev = _t(spark, sf_dir, "events")
     hi_us = ev.agg(F.max(F.unix_micros(F.col("ts")))).first()[0]
+    if hi_us is None:
+        # all-NULL ts: stage_time_ordered_stream raises the same way, but
+        # the sentinel math must not depend on that call ordering
+        raise ValueError(
+            f"{sf_dir}/events.parquet: events table has no non-NULL ts — "
+            "nothing to sessionize"
+        )
     gap_us = 2 * 60 * 1_000_000
     sentinel = spark.createDataFrame(
         [(2**62, _SESS_SENTINEL_USER, "drain", None, None)],
@@ -5413,7 +5420,10 @@ ORACLE_SQL["q_kmv_overlap"] = f"""
 # HEX TEXT (4 bits per leading '0' + a CASE on the first non-zero digit)
 # so there is no floating log2 anywhere; the only libm step is the
 # small-range branch's ln, rounded at 4dp per the zipf/PMI discipline.
-from datalake_breweries_two_spark.operators.setops import HLL_NUMERATOR as _HLL_NUM
+from datalake_breweries_two_spark.operators.setops import (
+    HLL_M as _HLL_M,
+    HLL_NUMERATOR as _HLL_NUM,
+)
 
 ORACLE_SQL["q_hll_union_portable"] = f"""
     WITH keyed AS (
@@ -5447,15 +5457,15 @@ ORACLE_SQL["q_hll_union_portable"] = f"""
     est AS (
         SELECT pg.g, pg.n_used, ex.exact_distinct,
                {_HLL_NUM!r} / CAST(pg.s_present
-                   + CAST(256 - pg.n_used AS BIGINT) * CAST({1 << 53} AS BIGINT)
+                   + CAST({_HLL_M} - pg.n_used AS BIGINT) * CAST({1 << 53} AS BIGINT)
                    AS DOUBLE) AS raw,
-               256 - pg.n_used AS v_zero
+               {_HLL_M} - pg.n_used AS v_zero
         FROM pg JOIN ex ON pg.g IS NOT DISTINCT FROM ex.g
     ),
     fin AS (
         SELECT g, n_used, exact_distinct,
-               CASE WHEN raw <= 640.0 AND v_zero > 0
-                    THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+               CASE WHEN raw <= {2.5 * _HLL_M!r} AND v_zero > 0
+                    THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v_zero AS DOUBLE)), 4)
                     ELSE round(raw, 4) END AS hll_estimate
         FROM est
     )

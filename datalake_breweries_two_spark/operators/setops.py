@@ -209,7 +209,6 @@ def hll_union_portable(
             F.col(group_col).alias("g"),
             part_col,
             F.md5(F.col(key_col).cast("string")).alias("h"),
-            F.col(key_col).alias("k"),
         )
     )
     bucket, rho, _ = _hll_register_exprs()

@@ -498,3 +498,101 @@ def test_analyzed_table_stats_reach_the_optimizer(spark):
     finally:
         spark.conf.set(conf, old)
         spark.sql("DROP TABLE IF EXISTS stats_orders")
+
+
+# ---------------------------------------------------------------------------
+# py4j DataFrame-CONSTRUCTION audit (standing since r9).
+#
+# r8 found a whole bottleneck class that no plan inspection can see: the
+# time to BUILD the DataFrame on the Python side. `_signature_expr` once
+# assembled 48x64 = 3,072 `F.lit` Column objects, each a ~0.4 ms py4j
+# round-trip — 7.5 s of driver-side chatter before Spark saw a single
+# plan node (the "q_ann_recall protocol drift", resolved by assembling
+# big literal trees as ONE SQL string via `F.expr`). At 100 TB the
+# driver is a shared resource; a query whose construction costs seconds
+# of py4j RTTs serializes every concurrent submitter behind it.
+#
+# This audit freezes that property for EVERY bench headline query by
+# counting py4j `send_command` round-trips during construction — a
+# deterministic proxy for construction latency that the sandbox host's
+# 1-5 s random stalls cannot flake (wall-clock budgets would). Measured
+# r9 distribution at sf0.001: median 339 RTTs, p90 1,380, max 4,555
+# (q_pagerank, whose fixed-point loop legitimately EXECUTES at build
+# time). The regression class this exists to catch adds thousands of
+# RTTs (q_ann_recall read 7,224 before the fix, 1,166 after), so ~1.5x
+# headroom over measured keeps GC-detach jitter out while any F.lit
+# blow-up still fails loudly.
+# ---------------------------------------------------------------------------
+
+PY4J_BUILD_BUDGET_DEFAULT = 2400
+
+# Queries measured above ~1500 RTTs at r9 — each either executes jobs at
+# build time (iterative fixed points, multi-batch streaming drives,
+# e2e write-read pipelines) or drives a multi-tier harness; budgets are
+# ~1.5x their measured counts.
+PY4J_BUILD_BUDGET = {
+    "q_pagerank": 7000,  # fixed-point loop runs at build (localCheckpoints)
+    "q_ann_recall": 5000,  # 3-tier recall harness, bounded seed collects
+    "q_bloom_filter": 3600,  # build agg + k probe joins materialized
+    "q_token_dup_clusters": 3000,  # Pregel label propagation at build
+    "q_kmeans_1d": 3000,  # Lloyd iterations at build
+    "q_label_centroids": 2700,
+    "q_dedup_clusters": 2600,  # Pregel min-label propagation at build
+    "q_decontaminate": 2600,
+    "q_zorder_scan": 2600,  # z-order write + re-scan at build
+}
+
+
+@pytest.fixture()
+def py4j_rtt_counter(monkeypatch):
+    """Count py4j round-trips (send_command calls) on both client
+    implementations. Originals are captured BEFORE either patch so a
+    subclass inheriting GatewayClient.send_command is never counted
+    twice."""
+    import py4j.clientserver as cs
+    import py4j.java_gateway as jg
+
+    counter = {"n": 0}
+    orig_cs = cs.JavaClient.send_command
+    orig_jg = jg.GatewayClient.send_command
+
+    def patched_cs(self, *a, **k):
+        counter["n"] += 1
+        return orig_cs(self, *a, **k)
+
+    def patched_jg(self, *a, **k):
+        counter["n"] += 1
+        return orig_jg(self, *a, **k)
+
+    monkeypatch.setattr(cs.JavaClient, "send_command", patched_cs)
+    monkeypatch.setattr(jg.GatewayClient, "send_command", patched_jg)
+    return counter
+
+
+def test_py4j_budget_covers_every_headline_query():
+    """The explicit-budget keys must all BE headline queries (typo guard),
+    and — with the default applying to everything else — every headline
+    query is covered by construction."""
+    import bench
+
+    unknown = [n for n in PY4J_BUILD_BUDGET if n not in bench.HEADLINE]
+    assert not unknown, f"py4j budgets for non-headline queries: {unknown}"
+
+
+def _headline_names():
+    import bench
+
+    return sorted(bench.HEADLINE)
+
+
+@pytest.mark.parametrize("name", _headline_names())
+def test_py4j_construction_budget(spark, name, py4j_rtt_counter):
+    before = py4j_rtt_counter["n"]
+    entry_queries.QUERIES[name](spark, SF_SMOKE)
+    rtts = py4j_rtt_counter["n"] - before
+    budget = PY4J_BUILD_BUDGET.get(name, PY4J_BUILD_BUDGET_DEFAULT)
+    assert rtts <= budget, (
+        f"{name}: {rtts} py4j round-trips to construct (budget {budget}) — "
+        "driver-side chatter regression; assemble big literal expressions "
+        "as one F.expr SQL string (see SCALING.md, r8)"
+    )

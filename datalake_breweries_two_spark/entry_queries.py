@@ -8783,3 +8783,74 @@ ORACLE_SQL["q_dedup_near_verified"] = _minhash_lsh_oracle_sql(
 ORACLE_SQL["q_token_dedup_near"] = _minhash_lsh_oracle_sql(
     "bpe", 2, 32, 8, 0.3, "exact"
 )
+
+
+# --------------------------------------------------------------------------
+# r9 growth (the round's single user-shaped addition): vocabulary-coverage
+# profile — the "what vocab size do I need" tokenizer-design report.
+# --------------------------------------------------------------------------
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-coverage summary: occurrence share of the top
+    10/100/10k token types plus the minimum type count reaching
+    90/95/99% coverage — one row, exact integer thresholds, distributed
+    prefix-sum ranking (never a single-task global window). The size
+    tiers straddle the synthetic corpus's 31-type vocabulary so both
+    regimes are exercised: cov_10 is a real partial share, cov_100 and
+    cov_10000 the saturated (size > |V|) case."""
+    return text.vocab_coverage(
+        _t(spark, sf_dir, "documents"), vocab_sizes=(10, 100, 10000)
+    )
+
+
+QUERIES["q_vocab_coverage"] = q_vocab_coverage
+
+# Every milestone is integer-exact: counts and cumulative sums are
+# BIGINTs on both engines, the ">= pct%" tests are integer
+# cross-products, and the only division is the final coverage share
+# (one IEEE divide of exact integers, rounded once at 4dp — the
+# established md5-draw discipline). Ties in the frequency ranking are
+# broken (n DESC, token ASC); the token strings themselves are made
+# cross-engine identical by the İ-folded whitespace tokenizer.
+ORACLE_SQL["q_vocab_coverage"] = """
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_split_to_array(
+                       lower(translate(trim(text), 'İ', 'i')),
+                       '[ \\t\\n\\r\\f\\x0b]+')) AS token
+            FROM documents
+        ) WHERE length(token) > 0 GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM counts
+    ),
+    ranked AS (
+        SELECT n,
+               CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+               CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                   AS BIGINT) AS cum_one
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(max(t.total) AS BIGINT) AS total_tokens,
+               CAST(max(t.n_distinct) AS BIGINT) AS distinct_tokens,
+               CAST(max(CASE WHEN cum_one <= 10 THEN cum_n END) AS BIGINT) AS c10,
+               CAST(max(CASE WHEN cum_one <= 100 THEN cum_n END) AS BIGINT) AS c100,
+               CAST(max(CASE WHEN cum_one <= 10000 THEN cum_n END) AS BIGINT) AS c10000,
+               CAST(min(CASE WHEN cum_n * 100 >= t.total * 90 THEN cum_one END) AS BIGINT) AS vocab_p90,
+               CAST(min(CASE WHEN cum_n * 100 >= t.total * 95 THEN cum_one END) AS BIGINT) AS vocab_p95,
+               CAST(min(CASE WHEN cum_n * 100 >= t.total * 99 THEN cum_one END) AS BIGINT) AS vocab_p99
+        FROM ranked CROSS JOIN tot t
+    )
+    SELECT distinct_tokens, total_tokens,
+           round(CAST(c10 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4) AS cov_10,
+           round(CAST(c100 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4) AS cov_100,
+           round(CAST(c10000 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4) AS cov_10000,
+           vocab_p90, vocab_p95, vocab_p99
+    FROM agg
+"""

@@ -310,6 +310,98 @@ def word_count_top(docs: DataFrame, k: int = 20, text_col: str = "text") -> Data
     return global_top_k(counts, "n", "token", k)
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_sizes: tuple = (100, 1000, 10000),
+    coverage_pcts: tuple = (90, 95, 99),
+    n_parts: int = 32,
+) -> DataFrame:
+    """Vocabulary-coverage profile of a corpus — the tokenizer-design
+    question every training pipeline asks before fixing a vocab: what
+    fraction of all token OCCURRENCES do the top-N token types cover,
+    and how many types does it take to cover X%?
+
+    One summary row: ``distinct_tokens``, ``total_tokens``,
+    ``cov_<size>`` (occurrence share of the ``size`` most frequent
+    types, 4dp) per requested vocab size, and ``vocab_p<pct>`` (the
+    MINIMUM number of types whose cumulative share reaches pct%) per
+    requested target. Frequency ranking breaks ties deterministically
+    by (count DESC, token ASC); threshold tests are exact integer
+    cross-products (``cum_n * 100 >= total * pct``) so no engine ever
+    compares floats. Tokens come from the İ-folded whitespace tokenizer
+    (see ``_tokens_expr`` in dedup.py — output token STRINGS must be
+    cross-engine identical, same discipline as the portable hashes).
+
+    100 TB shape: the token stream never leaves the executors — explode
+    feeds a partially-combined (token, count) aggregate, the cumulative
+    ranking runs through ``range_prefix_sums`` (range exchange + P
+    parallel partition scans + a P-row offset window — never a
+    single-task global window). The ranked vocabulary (|V| rows, not
+    corpus rows) is eagerly localCheckpoint'ed — the bloom/pagerank
+    discipline — because BOTH the corpus total (its last cumulative
+    row) and the milestone aggregate read it: without the checkpoint
+    the two branches re-tokenize the whole corpus (measured: 2
+    FileScans, no runtime ReusedExchange). The total then crosses as a
+    broadcast ONE-ROW frame and the milestones fall out of one
+    conditional partial aggregate."""
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
+
+    tokens = docs.select(
+        F.explode(
+            F.split(
+                F.lower(F.translate(F.trim(F.col(text_col)), "İ", "i")), WS_RE
+            )
+        ).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = range_prefix_sums(
+        counts.withColumn("one", F.lit(1).cast("long")),
+        [F.col("n").desc(), F.col("token").asc_nulls_last()],
+        ["n", "one"],
+        n_parts=n_parts,
+    ).localCheckpoint(eager=True)
+    total = ranked.agg(
+        F.max("cum_n").alias("total"),
+        F.max("cum_one").alias("n_distinct"),
+    )
+    aggs = [
+        F.max("total").alias("total_tokens"),
+        F.max("n_distinct").alias("distinct_tokens"),
+    ]
+    for size in vocab_sizes:
+        aggs.append(
+            F.max(F.when(F.col("cum_one") <= size, F.col("cum_n"))).alias(
+                f"c{size}"
+            )
+        )
+    for pct in coverage_pcts:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum_n") * 100 >= F.col("total") * pct,
+                    F.col("cum_one"),
+                )
+            ).alias(f"vocab_p{pct}")
+        )
+    summary = ranked.crossJoin(F.broadcast(total)).agg(*aggs)
+    out = [F.col("distinct_tokens"), F.col("total_tokens")]
+    for size in vocab_sizes:
+        out.append(
+            F.round(
+                F.try_divide(
+                    F.col(f"c{size}").cast("double"),
+                    F.col("total_tokens").cast("double"),
+                ),
+                4,
+            ).alias(f"cov_{size}")
+        )
+    out.extend(F.col(f"vocab_p{pct}") for pct in coverage_pcts)
+    return summary.select(*out)
+
+
 # --------------------------------------------------------------------------
 # Corpus-quality filters (Gopher/C4-style)
 # --------------------------------------------------------------------------

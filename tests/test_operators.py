@@ -3494,3 +3494,48 @@ def test_kmv_merge_equals_direct_union_sketch(spark):
     assert out["est_a"] == round(num / float(sk_a[-1]), 4)
     assert out["est_b"] == round(num / float(sk_b[-1]), 4)
     assert out["est_union"] == round(num / float(sk_union_direct[-1]), 4)
+
+
+def test_vocab_coverage_milestones_and_ties(spark):
+    """Pin vocab_coverage's milestone semantics against a hand-computed
+    corpus: deterministic (count DESC, token ASC) tie-break, exact
+    integer coverage thresholds, and the saturated size > |V| regime.
+
+    Corpus: 'a'x6, 'c'x3, 'b'x2, 'd'x2, 'e'x1 → total 14, |V| 5.
+    Ranking: a(6, cum 6), c(9), b(11), d(13), e(14) — b before d by the
+    token ASC tie-break at count 2. cov_1 = 6/14 = 0.4286; cov_2 =
+    9/14 = 0.6429; cov_100 = 1.0 (saturated). 90% of 14 = 12.6 → first
+    cum >= 12.6 is d (cum 13, rank 4); 95% → 13.3 → e (rank 5);
+    99% → 13.86 → e."""
+    from datalake_breweries_two_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("a a a b b c", ),
+            ("a a a c c d", ),
+            ("d e", ),
+            (None, ),          # NULL text contributes nothing
+            ("   ", ),         # whitespace-only text contributes nothing
+        ],
+        "text string",
+    )
+    row = vocab_coverage(
+        docs, vocab_sizes=(1, 2, 100), coverage_pcts=(90, 95, 99)
+    ).collect()[0]
+    assert row["distinct_tokens"] == 5 and row["total_tokens"] == 14
+    assert row["cov_1"] == 0.4286 and row["cov_2"] == 0.6429
+    assert row["cov_100"] == 1.0
+    assert row["vocab_p90"] == 4
+    assert row["vocab_p95"] == 5 and row["vocab_p99"] == 5
+
+
+def test_vocab_coverage_empty_corpus_single_null_row(spark):
+    """An empty/all-NULL corpus yields exactly one all-NULL summary row on
+    both engines (aggregate over an empty relation) — the degenerate
+    profile's contract."""
+    from datalake_breweries_two_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame([(None,), (None,)], "text string")
+    rows = vocab_coverage(docs).collect()
+    assert len(rows) == 1
+    assert all(v is None for v in rows[0].asDict().values())

@@ -243,6 +243,7 @@ SHUFFLE_BUDGET = {
     "q_gini": 1,                # segment-keyed rank window + agg share one exchange
     "q_benford": 3,             # digit agg + single-row total + share projection
     "q_zipf_slope": 3,          # token agg + distributed prefix-rank of the vocabulary (r5)
+    "q_vocab_coverage": 4,      # post-checkpoint stages only: the token agg + prefix-sum pipeline runs once in the eager localCheckpoint job; total + milestone aggs read the |V|-row checkpoint (r9)
     "q_ks_test": 4,             # per-value agg + range + pid window + tiny P-row offsets (distributed prefix-sum, r5)
     "q_chi_square": 6,          # median scalar + contingency agg + margins + final
     "q_psi": 6,                 # decile-edge agg + bin agg + margins + final

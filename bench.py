@@ -243,7 +243,7 @@ QUIET_HOST_REF_SEC = {
     "q_hll_partitioned": 0.18,
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
     "q_kmv_overlap": 0.6,  # r8 quiet protocol reading
-    "q_vocab_coverage": 1.35,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
+    "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

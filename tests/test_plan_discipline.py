@@ -8,6 +8,8 @@ plan properties the engine's docstrings promise.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -44,13 +46,78 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# ---------------------------------------------------------------------------
+# Shared one-build-per-query cache (r10, from the r9 advice).
+#
+# Three full-registry parametrized tests (no-row-python, wide-shuffle
+# budget, py4j construction budget) each used to construct every query
+# independently — for build-executing queries (pagerank fixed point,
+# z-order write+rescan, streaming drains) that tripled real Spark work.
+# `_built` constructs each query exactly once per pytest session and
+# caches (DataFrame, filtered py4j RTT count); all three audits read
+# the cache. Plan inspection never re-executes, so a cached DataFrame
+# is as good as a fresh one for these assertions.
+#
+# The RTT counter (the r9 standing audit's metric) is filtered two ways
+# per the r9 advice: (a) py4j MEMORY commands ('m\n' prefix — the GC
+# DetachCommand callbacks py4j emits whenever Python finalizes a
+# JavaObject) are excluded, because GC timing is nondeterministic and
+# was attributed to whichever query happened to be building
+# (the r9 q_dedup_clusters 2667-vs-2600 flake); (b) only the building
+# thread is counted, so listener/streaming threads touching the shared
+# gateway don't leak in. What remains is the deterministic build-time
+# chatter the audit exists to freeze (F.lit blow-ups, per-column py4j
+# Column construction).
+# ---------------------------------------------------------------------------
+
+_BUILD_CACHE: dict = {}
+
+
+def _built(spark, name):
+    """Construct query `name` once; return (DataFrame, build RTT count)."""
+    if name not in _BUILD_CACHE:
+        import threading
+
+        import py4j.clientserver as cs
+        import py4j.java_gateway as jg
+        import py4j.protocol as proto
+
+        counter = {"n": 0}
+        ident = threading.get_ident()
+        # Capture BOTH originals before either patch so a subclass
+        # inheriting GatewayClient.send_command is never counted twice.
+        orig_cs = cs.JavaClient.send_command
+        orig_jg = jg.GatewayClient.send_command
+
+        def _counting(orig):
+            def wrapper(self, command, *a, **k):
+                if threading.get_ident() == ident and not (
+                    isinstance(command, str)
+                    and command.startswith(proto.MEMORY_COMMAND_NAME)
+                ):
+                    counter["n"] += 1
+                return orig(self, command, *a, **k)
+
+            return wrapper
+
+        cs.JavaClient.send_command = _counting(orig_cs)
+        jg.GatewayClient.send_command = _counting(orig_jg)
+        try:
+            df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+        finally:
+            cs.JavaClient.send_command = orig_cs
+            jg.GatewayClient.send_command = orig_jg
+        _BUILD_CACHE[name] = (df, counter["n"])
+    return _BUILD_CACHE[name]
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in entry_queries.QUERIES if n not in SKIP_PLAN)
 )
 def test_no_row_at_a_time_python(spark, name):
     """BatchEvalPython = per-row Python UDF: forbidden in every query.
     ArrowEvalPython / mapInPandas are allowed only where declared."""
-    df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+    df = _built(spark, name)[0]
     plan = _plan(df)
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     if name not in ARROW_PYTHON_OK:
@@ -363,7 +430,7 @@ def test_budget_covers_every_headline_query():
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_wide_shuffle_budget(spark, name):
-    df = entry_queries.QUERIES[name](spark, SF_SMOKE)
+    df = _built(spark, name)[0]
     plan = _plan(df)
     wide = count_wide_exchanges(plan)
     assert wide <= SHUFFLE_BUDGET[name], (
@@ -516,58 +583,47 @@ def test_analyzed_table_stats_reach_the_optimizer(spark):
 # This audit freezes that property for EVERY bench headline query by
 # counting py4j `send_command` round-trips during construction — a
 # deterministic proxy for construction latency that the sandbox host's
-# 1-5 s random stalls cannot flake (wall-clock budgets would). Measured
-# r9 distribution at sf0.001: median 339 RTTs, p90 1,380, max 4,555
-# (q_pagerank, whose fixed-point loop legitimately EXECUTES at build
-# time). The regression class this exists to catch adds thousands of
-# RTTs (q_ann_recall read 7,224 before the fix, 1,166 after), so ~1.5x
-# headroom over measured keeps GC-detach jitter out while any F.lit
-# blow-up still fails loudly.
+# 1-5 s random stalls cannot flake (wall-clock budgets would). The
+# counter lives in `_built` (shared with the other full-registry plan
+# audits, one build per query per session) and since r10 excludes GC
+# DetachCommand traffic and off-thread callers — the r9 counter was
+# process-wide and attributed nondeterministic GC finalizer chatter to
+# whichever query was building, which flaked q_dedup_clusters at
+# 2667 vs its 2600 budget once in a full-suite run. Measured r10
+# filtered in-suite distribution at sf0.001 (full test-file run,
+# 2026-08-15): median 274, p90 1041, max 3186 (q_pagerank, whose
+# fixed-point loop legitimately EXECUTES at build time; the r9 flake
+# query q_dedup_clusters dropped 2667 → 1365 once GC traffic was
+# excluded, confirming the noise source). The regression class this
+# exists to catch adds thousands of RTTs (q_ann_recall read 7,224
+# before the fix, 1,166 after), so ≥1.5x headroom over measured keeps
+# convergence-bookkeeping jitter out while any F.lit blow-up still
+# fails loudly.
 # ---------------------------------------------------------------------------
 
-PY4J_BUILD_BUDGET_DEFAULT = 2400
+PY4J_BUILD_BUDGET_DEFAULT = 2400  # covers everything measured ≤ 1469 at ≥1.6x
 
-# Queries measured above ~1500 RTTs at r9 — each either executes jobs at
-# build time (iterative fixed points, multi-batch streaming drives,
-# e2e write-read pipelines) or drives a multi-tier harness; budgets are
-# ~1.5x their measured counts.
+# Queries measured above ~1300 filtered RTTs — each either executes
+# jobs at build time (iterative fixed points, multi-batch streaming
+# drives, e2e write-read pipelines) or drives a multi-tier harness.
+# Budgets are ≥1.8x the r10 filtered in-suite measurement (noted per
+# entry); iterative queries get 2.5x because warm-session plan caching
+# can change their convergence bookkeeping run-to-run (the r9 flake
+# class).
 PY4J_BUILD_BUDGET = {
-    "q_pagerank": 7000,  # fixed-point loop runs at build (localCheckpoints)
-    "q_ann_recall": 5000,  # 3-tier recall harness, bounded seed collects
-    "q_bloom_filter": 3600,  # build agg + k probe joins materialized
-    "q_token_dup_clusters": 3000,  # Pregel label propagation at build
-    "q_kmeans_1d": 3000,  # Lloyd iterations at build
-    "q_label_centroids": 2700,
-    "q_dedup_clusters": 2600,  # Pregel min-label propagation at build
-    "q_decontaminate": 2600,
-    "q_zorder_scan": 2600,  # z-order write + re-scan at build
+    "q_pagerank": 8000,  # measured 3186 in-suite; fixed-point loop runs at build
+    "q_ann_recall": 5000,  # measured 2856; 3-tier recall harness, bounded seed collects
+    "q_bloom_filter": 3600,  # measured 1928; build agg + k probe joins materialized
+    "q_token_dup_clusters": 3400,  # measured 1372; Pregel label propagation at build
+    "q_kmeans_1d": 3900,  # measured 1550; Lloyd iterations at build
+    "q_dedup_clusters": 3400,  # measured 1365 (r9 flake: 2667 unfiltered vs 2600); Pregel at build
+    "q_zorder_scan": 2600,  # measured 1352; z-order write + re-scan at build
+    "q_cdc_apply": 2600,  # measured 1316; merge pipeline materializes at build
 }
 
-
-@pytest.fixture()
-def py4j_rtt_counter(monkeypatch):
-    """Count py4j round-trips (send_command calls) on both client
-    implementations. Originals are captured BEFORE either patch so a
-    subclass inheriting GatewayClient.send_command is never counted
-    twice."""
-    import py4j.clientserver as cs
-    import py4j.java_gateway as jg
-
-    counter = {"n": 0}
-    orig_cs = cs.JavaClient.send_command
-    orig_jg = jg.GatewayClient.send_command
-
-    def patched_cs(self, *a, **k):
-        counter["n"] += 1
-        return orig_cs(self, *a, **k)
-
-    def patched_jg(self, *a, **k):
-        counter["n"] += 1
-        return orig_jg(self, *a, **k)
-
-    monkeypatch.setattr(cs.JavaClient, "send_command", patched_cs)
-    monkeypatch.setattr(jg.GatewayClient, "send_command", patched_jg)
-    return counter
+# Dev hook: PY4J_AUDIT_DUMP=/path makes the budget test append
+# `name<TAB>rtts` lines for re-calibration runs.
+_PY4J_AUDIT_DUMP = os.environ.get("PY4J_AUDIT_DUMP")
 
 
 def test_py4j_budget_covers_every_headline_query():
@@ -587,10 +643,11 @@ def _headline_names():
 
 
 @pytest.mark.parametrize("name", _headline_names())
-def test_py4j_construction_budget(spark, name, py4j_rtt_counter):
-    before = py4j_rtt_counter["n"]
-    entry_queries.QUERIES[name](spark, SF_SMOKE)
-    rtts = py4j_rtt_counter["n"] - before
+def test_py4j_construction_budget(spark, name):
+    rtts = _built(spark, name)[1]
+    if _PY4J_AUDIT_DUMP:
+        with open(_PY4J_AUDIT_DUMP, "a") as f:
+            f.write(f"{name}\t{rtts}\n")
     budget = PY4J_BUILD_BUDGET.get(name, PY4J_BUILD_BUDGET_DEFAULT)
     assert rtts <= budget, (
         f"{name}: {rtts} py4j round-trips to construct (budget {budget}) — "

@@ -254,7 +254,7 @@ QUIET_HOST_REF_SEC = {
     "q_json_extract": 0.15,
     "q_kmeans_1d": 1.17,
     "q_lateral_topk_join": 1.15,
-    "q_map_ops": 0.21,
+    "q_map_ops": 0.33,  # r10 re-base: protocol sessions 0.319/0.330, fresh floor 0.354
     "q_media_checksum": 0.3,
     "q_media_features": 0.5,
     "q_media_frame_sample": 0.45,

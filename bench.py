@@ -125,6 +125,8 @@ HEADLINE = [
     "q_hll_union_portable",
     "q_kmv_overlap",
     "q_vocab_coverage",
+    "q_rerank_topk",
+    "q_contamination_by_source",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -244,6 +246,8 @@ QUIET_HOST_REF_SEC = {
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
     "q_kmv_overlap": 0.6,  # r8 quiet protocol reading
     "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
+    "q_rerank_topk": 1.2,  # r10: knn retrieval + candidate-only rerank (fresh steady 1.18)
+    "q_contamination_by_source": 1.05,  # r10: decontaminate + source rollup (fresh steady 1.02)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

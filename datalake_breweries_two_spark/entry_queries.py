@@ -8854,3 +8854,145 @@ ORACLE_SQL["q_vocab_coverage"] = """
            vocab_p90, vocab_p95, vocab_p99
     FROM agg
 """
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-then-rerank: embedding-cosine retrieval of 20 candidates
+    for each of 3 query vectors (broadcast queries, two-level top-k),
+    then a cross-encoder-style rescore of ONLY those candidates against
+    the query document's text (token-set cosine blended 50/50 with the
+    embedding cosine), final top-5 per query — the standard two-stage
+    search/RAG serving pipeline (see operators/similarity.py:
+    rerank_topk)."""
+    return similarity.rerank_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        n_queries=3,
+        k_retrieve=20,
+        k_final=5,
+        alpha=0.5,
+    )
+
+
+QUERIES["q_rerank_topk"] = q_rerank_topk
+
+# Stage 1 reuses the q_knn_join oracle shape (4dp cosine, neighbor-id
+# tie-break, NULLS LAST); stage 2's token-set cosine is exact-operand
+# arithmetic (integer intersection/sizes, sqrt of an exact integer
+# product, 0.5·x exact), rounded ONCE at 4dp with +0.0 folding -0.0.
+# Both engines feed list_distinct'd İ-folded whitespace tokens so the
+# set sizes agree codepoint-for-codepoint.
+ORACLE_SQL["q_rerank_topk"] = """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               round(
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               4) + 0.0 AS emb_cos
+        FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ),
+    retrieved AS (
+        SELECT q_id, neighbor_id, emb_cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY emb_cos DESC NULLS LAST, neighbor_id ASC)
+                   AS BIGINT) AS retrieval_rank
+        FROM scored
+        QUALIFY retrieval_rank <= 20
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(
+                   lower(translate(trim(text), 'İ', 'i')),
+                   '[ \\t\\n\\r\\f\\x0b]+')) AS toks
+        FROM documents
+    ),
+    rer AS (
+        SELECT r.q_id, r.neighbor_id, r.retrieval_rank, r.emb_cos,
+               round(0.5 * r.emb_cos
+                     + 0.5 * (CAST(len(list_intersect(qt.toks, ct.toks)) AS DOUBLE)
+                              / sqrt(CAST(len(qt.toks) * len(ct.toks) AS DOUBLE))),
+                     4) + 0.0 AS rerank_score
+        FROM retrieved r
+        JOIN tok qt ON qt.doc_id = r.q_id
+        JOIN tok ct ON ct.doc_id = r.neighbor_id
+    )
+    SELECT q_id, neighbor_id, retrieval_rank, emb_cos, rerank_score,
+           CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rerank_score DESC NULLS LAST, neighbor_id ASC)
+               AS BIGINT) AS final_rank
+    FROM rer
+    QUALIFY final_rank <= 5
+"""
+
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination-rate report: which data sources carry the
+    most benchmark-contaminated documents (3-gram overlap >= 10% with
+    the held-out doc_id % 20 == 0 slice, the q_decontaminate contract),
+    as (n_docs, n_contaminated, contamination_pct, avg_overlap) per
+    source — the drop-this-source triage table a training team reads
+    after the per-doc sweep (see operators/dedup.py:
+    contamination_by_group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_by_group(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        group_col="source",
+        n=3,
+        threshold=0.1,
+    )
+
+
+QUERIES["q_contamination_by_source"] = q_contamination_by_source
+
+# The flagged-doc tier is byte-identical to the proven q_decontaminate
+# oracle (token COUNTS are İ-insensitive under whitespace splitting —
+# comparisons stay engine-side); the report tier is two bigint counts
+# per group (one exact-operand rounding) and a decimal-exact ratio sum
+# divided once, NULL for clean groups on both engines.
+ORACLE_SQL["q_contamination_by_source"] = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(
+                            regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), i, i + 2), ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 20 <> 0
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0
+    ),
+    hits AS (
+        SELECT doc_id, n_shingles, count(*) AS n_overlap
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY doc_id, n_shingles
+    ),
+    flagged AS (
+        SELECT doc_id, round(n_overlap / n_shingles, 4) AS overlap_ratio
+        FROM hits
+        WHERE round(n_overlap / n_shingles, 4) >= 0.1
+    ),
+    src AS (
+        SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 0
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(f.overlap_ratio) AS BIGINT) AS n_contaminated,
+           round(100.0 * count(f.overlap_ratio) / count(*), 4) AS contamination_pct,
+           round(CAST(sum(CAST(f.overlap_ratio AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(f.overlap_ratio), 4) + 0.0 AS avg_overlap
+    FROM src s LEFT JOIN flagged f USING (doc_id)
+    GROUP BY 1
+"""

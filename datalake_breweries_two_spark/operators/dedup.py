@@ -1034,3 +1034,69 @@ def shared_span_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )
+
+
+def contamination_by_group(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    group_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain contamination-rate report: for each value of
+    ``group_col`` (source/domain/crawl), the fraction of its corpus
+    documents whose word-``n``-gram overlap with the benchmark set is at
+    or above ``threshold``, plus the mean overlap ratio of the flagged
+    docs — the "which data sources are poisoning my eval" triage table a
+    training team reads before deciding what to drop, run after
+    ``decontaminate`` flags individual documents.
+
+    Scale shape: composes ``decontaminate`` (benchmark shingles
+    broadcast; corpus text never shuffles) with one doc-level LEFT join
+    keyed on ``id_col`` — the flagged relation is tiny relative to the
+    corpus (AQE broadcasts it at runtime), and the join payload is
+    (id, group) pairs, never text — then one group-keyed aggregate with
+    map-side partials.
+
+    Determinism: contamination_pct is one rounding of exact-operand
+    arithmetic (two bigint counts; n_docs ≥ 1 per existing group);
+    avg_overlap sums the 4dp ratios decimal-exactly before ONE division
+    (partition-order independent) and is NULL for clean groups on both
+    engines (NULL sum / 0 does not throw — Spark's null-intolerant
+    shortcut — and DuckDB yields NULL). A NULL ``group_col`` is a real
+    group on both engines (groupBy keeps NULLs); NULL ``id_col`` rows
+    count as unflagged docs symmetrically (join keys never match).
+
+    Reference parity: no dedup/contamination surface in the reference
+    (LLM-pipeline extension, SURVEY.md §2.2)."""
+    flagged = decontaminate(
+        corpus,
+        benchmark,
+        n=n,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col, "overlap_ratio")
+    base = corpus.select(F.col(id_col), F.col(group_col))
+    j = base.join(flagged, id_col, "left")
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("overlap_ratio").cast("long").alias("n_contaminated"),
+        F.round(
+            F.lit(100.0) * F.count("overlap_ratio") / F.count(F.lit(1)), 4
+        ).alias("contamination_pct"),
+        (
+            F.round(
+                F.try_divide(
+                    F.sum(
+                        F.col("overlap_ratio").cast("decimal(18,4)")
+                    ).cast("double"),
+                    F.count("overlap_ratio"),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("avg_overlap"),
+    )

@@ -823,3 +823,112 @@ def label_centroid_profile(
         .join(F.broadcast(norms), "label")
         .select("label", "n_vecs", "centroid_norm", "avg_cos", "p50_cos", "min_cos")
     )
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    n_queries: int = 3,
+    k_retrieve: int = 20,
+    k_final: int = 5,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-stage retrieval: cheap embedding-cosine retrieval of
+    ``k_retrieve`` candidates per query, then a cross-encoder-style
+    rerank of ONLY those candidates against the query document's text,
+    emitting the final top ``k_final`` — the standard search/RAG serving
+    pipeline (bi-encoder recall stage, expensive precision stage). The
+    stand-in "cross encoder" is deterministic: the binary token-set
+    cosine |Q∩D| / sqrt(|Q|·|D|) over İ-folded whitespace tokens,
+    blended as ``alpha·emb_cos + (1-alpha)·token_cos``; swap a Pandas-UDF
+    model scorer into the same candidate-only slot for a real model.
+
+    Scale shape: stage 1 is ``knn_join`` (bounded query set BROADCASTS
+    against one linear corpus scan; two-level top-k so no task sorts a
+    whole query's candidates). Stage 2 touches ``n_queries·k_retrieve``
+    rows ONLY: the candidate list broadcasts against the documents scan
+    twice (query text, candidate text) — corpus text never shuffles, and
+    the expensive scorer runs on candidates, never the corpus. The final
+    ranking window sees ≤ ``k_retrieve`` rows per query.
+
+    Determinism: stage-1 order is (4dp cosine, neighbor id); the rerank
+    score is one rounding of exact-operand arithmetic (token counts are
+    integers; 0.5·x is exact) with ``+ 0.0`` folding ``-0.0``; NULL text
+    or NULL embedding → NULL score, pinned NULLS LAST with the neighbor
+    id as total-order tie-break.
+
+    Reference parity: no similarity surface in the reference
+    (LLM-pipeline extension, SURVEY.md §2.2)."""
+    from datalake_breweries_two_spark.operators.text import WS_RE
+
+    cand = knn_join(
+        embeddings,
+        n_queries=n_queries,
+        k=k_retrieve,
+        id_col=id_col,
+        vec_col=vec_col,
+        buckets=buckets,
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.col("rank").alias("retrieval_rank"),
+        F.col("cosine").alias("emb_cos"),
+    )
+    toks = F.array_distinct(
+        F.split(
+            F.lower(F.translate(F.trim(F.col(text_col)), "İ", "i")), WS_RE
+        )
+    )
+    docs_tok = documents.select(
+        F.col(doc_id_col).alias("_tid"), toks.alias("_toks")
+    )
+    with_q = (
+        docs_tok.join(F.broadcast(cand), F.col("_tid") == F.col("q_id"))
+        .drop("_tid")
+        .withColumnRenamed("_toks", "_qt")
+    )
+    with_both = (
+        docs_tok.join(
+            F.broadcast(with_q), F.col("_tid") == F.col("neighbor_id")
+        )
+        .drop("_tid")
+        .withColumnRenamed("_toks", "_ct")
+    )
+    token_cos = F.try_divide(
+        F.size(F.array_intersect(F.col("_qt"), F.col("_ct"))).cast("double"),
+        F.sqrt((F.size(F.col("_qt")) * F.size(F.col("_ct"))).cast("double")),
+    )
+    score = (
+        F.round(
+            F.lit(alpha) * F.col("emb_cos") + F.lit(1.0 - alpha) * token_cos,
+            4,
+        )
+        + F.lit(0.0)
+    )
+    scored = with_both.select(
+        "q_id",
+        "neighbor_id",
+        "retrieval_rank",
+        "emb_cos",
+        score.alias("rerank_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rerank_score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("final_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("final_rank") <= k_final)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "retrieval_rank",
+            "emb_cos",
+            "rerank_score",
+            "final_rank",
+        )
+    )

@@ -3539,3 +3539,102 @@ def test_vocab_coverage_empty_corpus_single_null_row(spark):
     rows = vocab_coverage(docs).collect()
     assert len(rows) == 1
     assert all(v is None for v in rows[0].asDict().values())
+
+
+def test_rerank_topk_hand_computed(spark):
+    """Pin rerank_topk's two-stage semantics on a 2-D hand-computed
+    fixture: retrieval order (4dp cosine, id tie-break, NULL-cosine
+    zero vector excluded by rank), candidate-only rerank blending
+    0.5*emb_cos + 0.5*token-set-cosine, and the final per-query cut.
+
+    q0=[1,0]: retrieval v2(1.0) v3(0.6) v1(0.0 — id tie-break under v4)
+    → rerank doc0={apple,banana,cherry}: v2 doc2={apple,banana,date}
+    2/3 → 0.5+0.3333=0.8333; v3 doc3={apple,x,y} 1/3 → 0.3+0.1667=
+    0.4667; v1 disjoint → 0.0. q1=[0,1]: v4(1.0) then v3(0.8) then
+    v0; doc4 == doc1 token-wise → 1.0; doc3 disjoint → 0.4."""
+    from datalake_breweries_two_spark.operators.similarity import rerank_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.6, 0.8]),
+            (4, [0.0, 2.0]),
+            (5, [0.0, 0.0]),  # zero norm → NULL cosine, never retrieved
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "dog elephant fox"),
+            (2, "apple banana date"),
+            (3, "apple x y"),
+            (4, "dog elephant fox"),
+            (5, "dog q"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = rerank_topk(
+        emb, docs, n_queries=2, k_retrieve=3, k_final=2
+    ).collect()
+    got = {
+        (r["q_id"], r["final_rank"]): (
+            r["neighbor_id"],
+            r["retrieval_rank"],
+            r["emb_cos"],
+            r["rerank_score"],
+        )
+        for r in rows
+    }
+    assert got == {
+        (0, 1): (2, 1, 1.0, 0.8333),
+        (0, 2): (3, 2, 0.6, 0.4667),
+        (1, 1): (4, 1, 1.0, 1.0),
+        (1, 2): (3, 2, 0.8, 0.4),
+    }
+
+
+def test_contamination_by_group_hand_computed(spark):
+    """Pin contamination_by_group on a hand-computed corpus (3-gram
+    shingles, threshold 0.5): per-source doc counts, flagged counts,
+    exact pct, decimal-exact avg overlap; NULL text counts as an
+    unflagged doc; a NULL source is a real group; a clean group gets
+    avg_overlap NULL."""
+    from datalake_breweries_two_spark.operators.dedup import (
+        contamination_by_group,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "w1 w2 w3 zz", "A"),    # shingles {w1 w2 w3, w2 w3 zz} → 1/2 flagged
+            (11, "aa bb cc dd", "A"),    # clean
+            (12, "w1 w2 w3 w4", "B"),    # 2/2 → 1.0 flagged
+            (13, None, "B"),             # NULL text → unflagged doc
+            (14, "w2 w3 w4 qq", None),   # 1/2 flagged, NULL source group
+            (15, "ee ff gg hh", "C"),    # clean group → avg NULL
+        ],
+        "doc_id long, text string, source string",
+    )
+    benchmark = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    rows = contamination_by_group(
+        corpus, benchmark, group_col="source", n=3, threshold=0.5
+    ).collect()
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_contaminated"],
+            r["contamination_pct"],
+            r["avg_overlap"],
+        )
+        for r in rows
+    }
+    assert got == {
+        "A": (2, 1, 50.0, 0.5),
+        "B": (2, 1, 50.0, 1.0),
+        None: (1, 1, 100.0, 0.5),
+        "C": (1, 0, 0.0, None),
+    }

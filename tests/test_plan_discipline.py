@@ -377,6 +377,7 @@ SHUFFLE_BUDGET = {
     "q_incremental_ingest_dedup": 2,  # fingerprint anti join (AQE may broadcast)
     "q_shared_span_pairs": 5,   # doc window + distinct + span window/join + pair agg
     "q_knn_join": 2,            # (q,bucket) local top-k window + q-keyed final window
+    "q_rerank_topk": 3,         # knn_join's 2 windows + final per-query rank; text joins broadcast
     "q_label_centroids": 5,     # (label,dim) centroid agg + label re-aggs; corpus never exchanged
     "q_ann_recall": 18,  # evaluation harness: per-tier qid windows + recall joins over tiny frames
     "q_cosine_topk": 0,         # broadcast query vector, TakeOrdered
@@ -389,6 +390,7 @@ SHUFFLE_BUDGET = {
     "q_text_stats": 1,
     "q_tfidf": 5,               # (doc,term) agg + df agg + norm joins
     "q_decontaminate": 4,       # shingle aggs + broadcast anti cascade
+    "q_contamination_by_source": 5,  # decontaminate's 4 + the source rollup agg; doc-level join AQE-broadcast
     "q_pack_sequences": 1,      # only (id,group,count) crosses Arrow
     "q_repetition_stats": 3,
     "q_boilerplate_ngrams": 4,  # shingle agg + freq agg + semi-join

@@ -773,18 +773,45 @@ def dup_ngram_fraction(
     Hot bigrams ("of the") are partial-aggregated map-side and the skew
     join is AQE-splittable; nothing is ever all-pairs. Documents with
     fewer than 2 tokens have no bigram and are absent from the output
-    (mirrored in the oracle)."""
+    (mirrored in the oracle).
+
+    The per-doc distinct bigram set is built JVM-side from the token
+    ARRAY (slice + zip_with + array_distinct) — a pure projection. The
+    original r6 construction (posexplode → doc-keyed lead window →
+    distinct aggregate) shuffled every corpus TOKEN twice before the
+    first useful aggregate; this one ships only the distinct
+    (doc, bigram) pairs into the df aggregate (r10, after two >1.5x
+    protocol sessions; 3 → 2 wide exchanges — at sf0.1 the saved token
+    shuffle roughly trades against the interpreted-HOF constant, at
+    100 TB it is the difference between shuffling every corpus token
+    and shuffling none). CONSTRUCTION NOTE: the regexp tokenizer must
+    be bound as a higher-order-function lambda VARIABLE so it evaluates
+    ONCE per row — referencing the raw expression from element_at
+    inside a transform re-runs it per ELEMENT (measured 26 s exec at
+    sf0.1), and plain column aliasing doesn't help because projection
+    collapse re-inlines it per reference (measured 1.13 s exec vs this
+    form's 0.87 s). The single-element-array transform binds it:
+    transform(array(toks), t -> zip_with(slice(t,..), slice(t,..),
+    concat_ws))[0]."""
     from datalake_breweries_two_spark.operators.dedup import _tokens_expr
 
-    tokens = docs.select(
-        F.col(id_col), F.posexplode(_tokens_expr(text_col, "bpe")).alias("pos", "w1")
+    toks = _tokens_expr(text_col, "bpe")
+    pairs_once = F.transform(
+        F.array(toks),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    big = (
-        tokens.select(F.col(id_col), "w1", F.lead("w1").over(w).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-        .select(F.col(id_col), F.concat_ws(" ", "w1", "w2").alias("sh"))
-        .distinct()
+    # explode drops NULL/empty bigram arrays, so <2-token and NULL-text
+    # docs are absent from the output exactly as the oracle mirrors
+    big = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.get(pairs_once, 0))).alias("sh"),
     )
     dfreq = big.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (

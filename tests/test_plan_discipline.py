@@ -371,7 +371,7 @@ SHUFFLE_BUDGET = {
     "q_corpus_mix": 3,          # (source,lang) agg + 1-row total re-agg (broadcast back)
     "q_class_weights": 3,       # label agg + 1-row totals re-agg (broadcast back)
     "q_token_shards": 3,        # range exchange (prefix sum) + P-row offsets + shard agg
-    "q_dup_ngram_fraction": 3,  # bigram window + df agg + join back/per-doc agg
+    "q_dup_ngram_fraction": 2,  # r10: bigrams are a projection (no token window shuffle); df agg + join back/per-doc agg
     "q_pmi_collocations": 3,    # bigram stats + 2 marginal re-aggs of the checkpointed stats
     "q_asof_join_nearest": 1,   # one key exchange, two sorts
     "q_incremental_ingest_dedup": 2,  # fingerprint anti join (AQE may broadcast)

@@ -246,8 +246,8 @@ QUIET_HOST_REF_SEC = {
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
     "q_kmv_overlap": 0.6,  # r8 quiet protocol reading
     "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
-    "q_rerank_topk": 1.2,  # r10: knn retrieval + candidate-only rerank (fresh steady 1.18)
-    "q_contamination_by_source": 1.05,  # r10: decontaminate + source rollup (fresh steady 1.02)
+    "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
+    "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

@@ -108,13 +108,25 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
 
 def _word_shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles as an array<string> — JVM-side:
-    split → sequence → transform(slice+join) → array_distinct."""
+    split → sequence → transform(slice+join) → array_distinct.
+
+    The token array is BOUND as a higher-order-function lambda variable
+    (transform over a single-element array) so the split evaluates once
+    per row: slicing the raw split expression inside the index-transform
+    lambda re-runs the tokenizer per SHINGLE — O(tokens · len) per doc,
+    the executor-side re-evaluation hazard measured at 26 s vs 0.9 s on
+    the r10 dup_ngram_fraction study (see operators/text.py:
+    dup_ngram_fraction)."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
-    count = F.greatest(F.size(tokens) - n + 1, F.lit(1))
-    idx = F.sequence(F.lit(1), count)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
-    )
+
+    def _from_t(t: Column) -> Column:
+        count = F.greatest(F.size(t) - n + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+
+    return F.array_distinct(F.get(F.transform(F.array(tokens), _from_t), 0))
 
 
 def shingle_docs(

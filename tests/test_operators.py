@@ -3638,3 +3638,25 @@ def test_contamination_by_group_hand_computed(spark):
         None: (1, 1, 100.0, 0.5),
         "C": (1, 0, 0.0, None),
     }
+
+
+def test_shingle_docs_semantics_and_single_tokenize(spark):
+    """Pin shingle_docs' distinct word-3-gram semantics — including the
+    short-doc slice-truncation contract (<n tokens yield ONE truncated
+    shingle) — on the r10 lambda-bound construction that tokenizes once
+    per row (slicing the raw split expression inside the index lambda
+    re-ran it per shingle)."""
+    from datalake_breweries_two_spark.operators.dedup import shingle_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b c d b c d"),   # lowered; dup shingle "b c d" distinct
+            (2, "one two"),          # <3 tokens → one truncated shingle
+            (3, None),               # NULL text → [NULL] shingle array
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["shingles"] for r in shingle_docs(docs, n=3).collect()}
+    assert sorted(got[1]) == ["a b c", "b c d", "c d b", "d b c"]
+    assert got[2] == ["one two"]
+    assert got[3] == [None]

@@ -276,7 +276,7 @@ QUIET_HOST_REF_SEC = {
     "q_quality_funnel": 0.55,
     "q_bigram_logprob": 1.3,
     "q_dedup_rate_report": 1.0,
-    "q_asof_join_nearest": 0.25,
+    "q_asof_join_nearest": 0.39,  # r10 re-base: protocol 0.392/0.386, fresh min-of-12 floor 0.407
     "q_incremental_ingest_dedup": 0.18,
     "q_shared_span_pairs": 1.9,
     "q_knn_join": 0.7,

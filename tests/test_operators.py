@@ -3660,3 +3660,170 @@ def test_shingle_docs_semantics_and_single_tokenize(spark):
     assert sorted(got[1]) == ["a b c", "b c d", "c d b", "d b c"]
     assert got[2] == ["one two"]
     assert got[3] == [None]
+
+
+def test_rerank_topk_matches_reference_randomized(spark):
+    """Property check: on randomized INTEGER-valued vectors (bit-exact
+    cosines) and word-salad docs from a tiny vocabulary (forced token
+    overlaps), the two-stage rerank must equal an independent Python
+    reference — retrieval cut, candidate-only blending, rounded-score /
+    neighbor-id total order, NULL-score (zero-vector) candidates ranked
+    last, and candidates without document text dropped before the final
+    ranking."""
+    import math
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark.operators.similarity import rerank_topk
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)) + 0.0
+
+    def cos4(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        if na == 0.0 or nb == 0.0:
+            return None
+        return r4(dot / (na * nb))
+
+    def tokset(text):
+        return set(_re.split(r"[ \t\n\r\f\x0b]+", text.strip().lower()))
+
+    n_q, k_ret, k_fin = 2, 5, 3
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        vecs = {i: [float(rng.randint(-3, 3)) for _ in range(4)] for i in range(10)}
+        vecs[4] = [0.0, 0.0, 0.0, 0.0]  # zero-vector neighbor: NULL everywhere
+        texts = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+            for i in range(10)
+        }
+        del texts[9]  # candidate with no document text: dropped pre-rank
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        got = {
+            (r["q_id"], r["final_rank"]): (
+                r["neighbor_id"],
+                r["retrieval_rank"],
+                r["emb_cos"],
+                r["rerank_score"],
+            )
+            for r in rerank_topk(
+                emb, docs, n_queries=n_q, k_retrieve=k_ret, k_final=k_fin
+            ).collect()
+        }
+        want = {}
+        for q in range(n_q):
+            scored = [(cos4(vecs[q], v), i) for i, v in vecs.items() if i != q]
+            scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+            cand = [
+                (c, i, rr)
+                for rr, (c, i) in enumerate(scored[:k_ret], 1)
+                if i in texts and q in texts
+            ]
+            rer = []
+            for c, i, rr in cand:
+                if c is None:
+                    score = None
+                else:
+                    a, b = tokset(texts[q]), tokset(texts[i])
+                    tc = len(a & b) / math.sqrt(len(a) * len(b))
+                    score = r4(0.5 * c + 0.5 * tc)
+                rer.append((score, i, rr, c))
+            rer.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+            for fr, (score, i, rr, c) in enumerate(rer[:k_fin], 1):
+                want[(q, fr)] = (i, rr, c, score)
+        assert got == want, (seed, got, want)
+
+
+def test_contamination_by_group_matches_reference_randomized(spark):
+    """Property check: on randomized word-salad corpora the per-source
+    contamination report must equal an independent Python reference that
+    replicates the shingler's truncation semantics (<n tokens → one
+    truncated shingle), the rounded-ratio threshold, the decimal-exact
+    average, NULL-source groups, and NULL-text docs counting as
+    unflagged."""
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark.operators.dedup import (
+        contamination_by_group,
+    )
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)) + 0.0
+
+    def shingles(text, n=3):
+        if text is None:
+            return set()
+        toks = _re.split(r"[ \t\n\r\f\x0b]+", text.strip().lower())
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    vocab = ["w1", "w2", "w3", "w4", "w5", "w6"]
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        corpus_rows = []
+        for i in range(24):
+            text = (
+                None
+                if rng.random() < 0.1
+                else " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+            )
+            src = rng.choice(["A", "B", None])
+            corpus_rows.append((i, text, src))
+        bench_rows = [
+            (100 + j, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 6))))
+            for j in range(3)
+        ]
+        corpus = spark.createDataFrame(
+            corpus_rows, "doc_id long, text string, source string"
+        )
+        benchmark = spark.createDataFrame(
+            bench_rows, "doc_id long, text string"
+        )
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["n_contaminated"],
+                r["contamination_pct"],
+                r["avg_overlap"],
+            )
+            for r in contamination_by_group(
+                corpus, benchmark, group_col="source", n=3, threshold=0.2
+            ).collect()
+        }
+        bench_sh = set().union(*(shingles(t) for _, t in bench_rows))
+        flagged = {}
+        for i, text, src in corpus_rows:
+            sh = shingles(text)
+            if not sh:
+                continue
+            ratio = r4(len(sh & bench_sh) / len(sh))
+            if ratio >= 0.2:
+                flagged[i] = ratio
+        want = {}
+        for src in {s for _, _, s in corpus_rows}:
+            members = [i for i, _, s in corpus_rows if s == src]
+            nc = [flagged[i] for i in members if i in flagged]
+            avg = (
+                r4(float(sum(Decimal(repr(v)) for v in nc)) / len(nc))
+                if nc
+                else None
+            )
+            want[src] = (
+                len(members),
+                len(nc),
+                r4(100.0 * len(nc) / len(members)),
+                avg,
+            )
+        assert got == want, (seed, got, want)

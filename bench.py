@@ -258,7 +258,7 @@ QUIET_HOST_REF_SEC = {
     "q_json_extract": 0.15,
     "q_kmeans_1d": 1.17,
     "q_lateral_topk_join": 1.15,
-    "q_map_ops": 0.33,  # r10 re-base: protocol sessions 0.319/0.330, fresh floor 0.354
+    "q_map_ops": 0.33,  # r10 re-base: protocol sessions 0.319/0.330, fresh-session min-of-12 floor 0.354 (BASELINE.md r10)
     "q_media_checksum": 0.3,
     "q_media_features": 0.5,
     "q_media_frame_sample": 0.45,
@@ -276,7 +276,7 @@ QUIET_HOST_REF_SEC = {
     "q_quality_funnel": 0.55,
     "q_bigram_logprob": 1.3,
     "q_dedup_rate_report": 1.0,
-    "q_asof_join_nearest": 0.39,  # r10 re-base: protocol 0.392/0.386, fresh min-of-12 floor 0.407
+    "q_asof_join_nearest": 0.39,  # r10 re-base: protocol 0.392/0.386, fresh-session min-of-12 floor 0.407 ABOVE protocol (BASELINE.md r10)
     "q_incremental_ingest_dedup": 0.18,
     "q_shared_span_pairs": 1.9,
     "q_knn_join": 0.7,

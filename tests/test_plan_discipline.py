@@ -100,9 +100,15 @@ def _built(spark, name):
 
             return wrapper
 
-        cs.JavaClient.send_command = _counting(orig_cs)
-        jg.GatewayClient.send_command = _counting(orig_jg)
+        # Both patch assignments live INSIDE the try so an exception
+        # between them (or during the build) can never leak the counting
+        # wrapper into the rest of the session (r10 advice). Counts are
+        # first-build-in-session measurements: whichever test builds the
+        # query first in a warm session records its RTT count, and every
+        # later audit reuses that cached build.
         try:
+            cs.JavaClient.send_command = _counting(orig_cs)
+            jg.GatewayClient.send_command = _counting(orig_jg)
             df = entry_queries.QUERIES[name](spark, SF_SMOKE)
         finally:
             cs.JavaClient.send_command = orig_cs
@@ -608,17 +614,19 @@ PY4J_BUILD_BUDGET_DEFAULT = 2400  # covers everything measured ≤ 1469 at ≥1.
 # Queries measured above ~1300 filtered RTTs — each either executes
 # jobs at build time (iterative fixed points, multi-batch streaming
 # drives, e2e write-read pipelines) or drives a multi-tier harness.
-# Budgets are ≥1.8x the r10 filtered in-suite measurement (noted per
-# entry); iterative queries get 2.5x because warm-session plan caching
-# can change their convergence bookkeeping run-to-run (the r9 flake
-# class).
+# Budgets are ~2x the r10 filtered in-suite measurement (noted per
+# entry) — tightened from 2.5x per the r10 advice so a near-doubling
+# of construction chatter no longer passes silently; the residual
+# headroom still absorbs the warm-session convergence-bookkeeping
+# jitter of the iterative queries (the r9 flake class was GC traffic,
+# now filtered at the counter).
 PY4J_BUILD_BUDGET = {
-    "q_pagerank": 8000,  # measured 3186 in-suite; fixed-point loop runs at build
+    "q_pagerank": 6400,  # measured 3186 in-suite; fixed-point loop runs at build
     "q_ann_recall": 5000,  # measured 2856; 3-tier recall harness, bounded seed collects
     "q_bloom_filter": 3600,  # measured 1928; build agg + k probe joins materialized
-    "q_token_dup_clusters": 3400,  # measured 1372; Pregel label propagation at build
-    "q_kmeans_1d": 3900,  # measured 1550; Lloyd iterations at build
-    "q_dedup_clusters": 3400,  # measured 1365 (r9 flake: 2667 unfiltered vs 2600); Pregel at build
+    "q_token_dup_clusters": 2800,  # measured 1372; Pregel label propagation at build
+    "q_kmeans_1d": 3100,  # measured 1550; Lloyd iterations at build
+    "q_dedup_clusters": 2800,  # measured 1365 (r9 flake: 2667 unfiltered vs 2600); Pregel at build
     "q_zorder_scan": 2600,  # measured 1352; z-order write + re-scan at build
     "q_cdc_apply": 2600,  # measured 1316; merge pipeline materializes at build
 }
@@ -656,3 +664,21 @@ def test_py4j_construction_budget(spark, name):
         "driver-side chatter regression; assemble big literal expressions "
         "as one F.expr SQL string (see SCALING.md, r8)"
     )
+
+
+def test_py4j_registry_distribution_drift():
+    """Registry-WIDE drift guard (r10 advice): the per-query budgets have
+    ~2x headroom each, so a uniform creep that stays under every
+    individual bar could still double total driver chatter. Assert the
+    in-suite median and p90 of the builds this session has already
+    cached stay near the r10 calibration (median 274, p90 1041 filtered
+    RTTs at sf0.001). Runs meaningfully only after the parametrized
+    budget test has populated the build cache; a targeted single-test
+    invocation skips."""
+    counts = sorted(v[1] for v in _BUILD_CACHE.values())
+    if len(counts) < 100:
+        pytest.skip("build cache not populated (needs the full budget sweep)")
+    median = counts[len(counts) // 2]
+    p90 = counts[int(len(counts) * 0.9)]
+    assert median <= 600, f"registry median build RTTs drifted: {median} (r10: 274)"
+    assert p90 <= 2100, f"registry p90 build RTTs drifted: {p90} (r10: 1041)"

@@ -127,6 +127,8 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_rerank_topk",
     "q_contamination_by_source",
+    "q_data_card",
+    "q_streaming_contamination",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -248,6 +250,8 @@ QUIET_HOST_REF_SEC = {
     "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
     "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
     "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
+    "q_data_card": 0.90,  # r11 provisional: fresh-session steady 0.4-0.6 + codegen; re-enter at first protocol reading
+    "q_streaming_contamination": 4.40,  # r11 provisional: fresh-session warm 4.27/4.67 (4-slice drive + stateful per-doc agg); re-enter at protocol
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

@@ -8996,3 +8996,149 @@ ORACLE_SQL["q_contamination_by_source"] = """
     FROM src s LEFT JOIN flagged f USING (doc_id)
     GROUP BY 1
 """
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source "data card": the quality × dedup × mix one-pager a
+    training team publishes per ingested source before choosing sampling
+    weights — volume (docs, whitespace tokens, discrete median length),
+    within-source exact-dup rate (md5 fingerprints), C4-style low-quality
+    share (< 16 tokens or punct-saturated), dominant language + share
+    (see operators/text.py: source_data_card)."""
+    return text.source_data_card(
+        _t(spark, sf_dir, "documents"), min_tokens=16, max_punct_ratio=0.3
+    )
+
+
+QUERIES["q_data_card"] = q_data_card
+
+# Every scalar is either integer-exact (counts, BIGINT-cast sums,
+# percentile_disc elements, distinct fingerprints) or a single IEEE
+# divide of exact operands rounded ONCE; the quality bar compares the
+# 4dp-rounded punct ratio on both engines (double-rounding half-rule);
+# the dominant language is tie-broken (count DESC, lang ASC NULLS LAST)
+# identically; NULL source groups survive via IS NOT DISTINCT FROM.
+ORACLE_SQL["q_data_card"] = """
+    WITH f AS (
+        SELECT source, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) END AS n_tokens,
+               md5(text) AS fp,
+               round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(len(text), 1), 4) AS punct_ratio
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+               CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50_tokens,
+               count(text) AS n_texts,
+               count(DISTINCT fp) AS n_distinct,
+               CAST(sum(CASE WHEN n_tokens < 16 OR punct_ratio > 0.3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_docs
+        FROM f GROUP BY source
+    ),
+    cells AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    top AS (
+        SELECT source AS tl_source, lang AS top_lang, n AS top_n,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n DESC, lang ASC NULLS LAST) AS rn
+        FROM cells QUALIFY rn = 1
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.p50_tokens,
+           CAST(p.n_texts - p.n_distinct AS BIGINT) AS exact_dup_docs,
+           round((p.n_texts - p.n_distinct) * 100.0 / p.n_texts, 2) AS exact_dup_pct,
+           p.low_quality_docs,
+           round(p.low_quality_docs * 100.0 / p.n_docs, 2) AS low_quality_pct,
+           t.top_lang,
+           round(t.top_n * 100.0 / p.n_docs, 2) AS top_lang_pct
+    FROM per_source p
+    LEFT JOIN top t ON p.source IS NOT DISTINCT FROM t.tl_source
+"""
+
+
+def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-contamination gate — the in-flight twin of
+    q_decontaminate: corpus documents arrive as micro-batches (staged
+    slices with a synthetic ingest timestamp; kafka in production) and
+    each batch's docs are shingled STATELESSLY (the HOF array shingler —
+    window-based shinglers are illegal on streams), probed against the
+    static benchmark 3-gram set via a stream-static BROADCAST join
+    (corpus text never shuffles; the benchmark set is KBs even when the
+    stream is 100 TB/day), then a watermarked update-mode per-doc count
+    accumulates overlap. FULL ORACLE: each doc's text lives in one slice,
+    the watermark is wider than the data span, so the drained sink's
+    final snapshot must equal the batch q_decontaminate recompute —
+    hash-checked against exactly that SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_sh = (
+        dedup.shingle_docs_exploded(docs.filter(F.col("doc_id") % 20 == 0), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    stage_dir = os.path.join(_SCRATCH, "docs_contam_stream")
+    (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .select(
+            "doc_id",
+            "text",
+            # synthetic ingest time, doc_id folded into one bounded day:
+            # raw doc_id seconds would overflow the timestamp µs range on
+            # int64-extreme ids (doc_id > 2^53 in the extremes profile)
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.pmod(F.col("doc_id"), F.lit(86_400))
+            ).alias("ingest_ts"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    exploded = stream.select(
+        "doc_id",
+        "ingest_ts",
+        dedup._word_shingles("text", 3).alias("_sh"),
+    ).select(
+        "doc_id",
+        "ingest_ts",
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("shingle"),
+    )
+    hits = exploded.join(F.broadcast(bench_sh), "shingle")
+    agg = (
+        hits.withWatermark("ingest_ts", "3650 days")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_contam_sink", output_mode="update"
+    )
+    # update-mode sink holds one row per trigger a key was touched; each
+    # doc's text arrives in exactly one slice, so max == final count
+    snap = out.groupBy("doc_id", "n_shingles").agg(
+        F.max("n_overlap").alias("n_overlap")
+    )
+    ratio = F.round(F.col("n_overlap") / F.col("n_shingles"), 4)
+    return snap.filter(ratio >= 0.1).select(
+        "doc_id",
+        "n_overlap",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        ratio.alias("overlap_ratio"),
+    )
+
+
+QUERIES["q_streaming_contamination"] = q_streaming_contamination
+
+# The drained stream must reproduce the batch sweep bit-for-bit, so the
+# oracle IS q_decontaminate's proven SQL: the stream-side HOF shingler
+# and the batch window shingler share slice-truncation semantics, the
+# broadcast probe preserves per-doc hit counts, and the single rounding
+# site (4dp ratio) is shared by filter and output.
+ORACLE_SQL["q_streaming_contamination"] = ORACLE_SQL["q_decontaminate"]

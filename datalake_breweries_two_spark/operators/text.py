@@ -219,6 +219,107 @@ def text_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_data_card(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    max_punct_ratio: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source "data card" — the one-page quality × dedup × mix summary
+    a training team publishes for every ingested source before choosing
+    its sampling weight: volume (doc count, whitespace-token total,
+    discrete median doc length), the exact-duplicate rate WITHIN the
+    source (md5 text fingerprints), the share failing a cheap C4-style
+    quality bar (too short, or punctuation-saturated), and the dominant
+    language with its share.
+
+    Plan: one scan computes the per-doc features (token count, rounded
+    punctuation ratio, fingerprint) and a single partial-aggregated
+    shuffle on ``source`` carries every scalar — count, token sum,
+    discrete p50 (``percentile_disc`` picks actual elements, integer-
+    exact cross-engine), distinct fingerprints, low-quality sum. The
+    dominant language is a second (source, lang) partial agg ranked by
+    a source-partitioned window over the tiny per-cell relation and
+    null-safe broadcast-joined back — at 100 TB the per-source relation
+    is thousands of rows, never corpus-sized. NULL sources and NULL
+    langs survive as their own groups (both engines keep NULL GROUP BY
+    keys); NULL texts contribute to n_docs but are excluded from the
+    dup-rate denominator (``count(text)``), matching SQL COUNT(col).
+    """
+    t = F.col(text_col)
+    n_tokens = whitespace_token_count(text_col)
+    # rounded ONCE, compared on the rounded value in both engines (the
+    # double-rounding half-rule)
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+        / F.greatest(F.length(t), F.lit(1)),
+        4,
+    )
+    # NULL text → NULL comparison → otherwise(0): counted as NOT low
+    # quality, mirroring SQL's CASE WHEN ... THEN 1 ELSE 0 END
+    low_q = (n_tokens < F.lit(min_tokens)) | (punct_ratio > F.lit(max_punct_ratio))
+    feats = docs.select(
+        "source",
+        t.alias("_text"),
+        n_tokens.alias("_n_tokens"),
+        F.md5(t).alias("_fp"),
+        low_q.alias("_low_q"),
+    )
+    per_source = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_n_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _n_tokens)")
+        .cast("long")
+        .alias("p50_tokens"),
+        F.count("_text").alias("_n_texts"),
+        F.countDistinct("_fp").alias("_n_distinct"),
+        F.sum(F.when(F.col("_low_q"), 1).otherwise(0))
+        .cast("long")
+        .alias("low_quality_docs"),
+    )
+    lang_cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc_nulls_last()
+    )
+    top_lang = (
+        lang_cells.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("source").alias("_tl_source"),
+            F.col("lang").alias("top_lang"),
+            F.col("_n").alias("_top_n"),
+        )
+    )
+    dup = F.col("_n_texts") - F.col("_n_distinct")
+    return (
+        per_source.join(
+            F.broadcast(top_lang),
+            per_source["source"].eqNullSafe(F.col("_tl_source")),
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "p50_tokens",
+            dup.cast("long").alias("exact_dup_docs"),
+            # try_divide: an all-NULL-text source has no dup rate (0/0 →
+            # NULL on both engines; plain `/` would throw under ANSI)
+            F.round(F.try_divide(dup * F.lit(100.0), F.col("_n_texts")), 2).alias(
+                "exact_dup_pct"
+            ),
+            "low_quality_docs",
+            # n_docs >= 1 by construction of the group — plain divide
+            F.round(F.col("low_quality_docs") * F.lit(100.0) / F.col("n_docs"), 2)
+            .alias("low_quality_pct"),
+            "top_lang",
+            F.round(F.col("_top_n") * F.lit(100.0) / F.col("n_docs"), 2).alias(
+                "top_lang_pct"
+            ),
+        )
+    )
+
+
 def corpus_mix_report(docs: DataFrame) -> DataFrame:
     """Corpus-composition ("data mix") report per (source, lang): doc
     count, BPE-ish token total, avg chars, and each cell's share of the

@@ -3039,6 +3039,68 @@ def test_corpus_mix_shares_sum_to_100(spark):
     assert abs(sum(r["share_pct"] for r in rows) - 100.0) < 0.01 * len(rows)
 
 
+def test_streaming_contamination_equals_batch_sweep(spark):
+    """The drained stream's flagged set must equal the batch
+    q_decontaminate recompute row-for-row: per-doc shingle counts,
+    overlap counts, and the single-rounded ratio."""
+    from datalake_breweries_two_spark import entry_queries as eq
+    from datalake_breweries_two_spark.operators import dedup
+
+    streamed = {
+        r["doc_id"]: r
+        for r in eq.q_streaming_contamination(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, "documents", SF_SMOKE)
+    batch = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            n=3,
+            threshold=0.1,
+        ).collect()
+    }
+    assert streamed.keys() == batch.keys() and len(streamed) > 0
+    for k, r in streamed.items():
+        b = batch[k]
+        assert (r["n_overlap"], r["n_shingles"], r["overlap_ratio"]) == (
+            b["n_overlap"],
+            b["n_shingles"],
+            b["overlap_ratio"],
+        )
+
+
+def test_source_data_card_hand_computed(spark):
+    """Planted corpus with known dups, quality failures, NULL text/lang/
+    source — every data-card scalar pinned by hand."""
+    from datalake_breweries_two_spark.operators.text import source_data_card
+
+    twenty = " ".join(f"t{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "a"),      # 3 tokens -> low quality
+            (2, "one two three", "en", "a"),      # exact dup of doc 1
+            (3, twenty, "de", "a"),               # 20 tokens, clean
+            (4, None, "en", "a"),                 # NULL text
+            (5, " ".join(["x"] * 16), None, None),  # NULL source group
+            (6, " ".join(["."] * 16), "en", "b"),  # punct-saturated, 16 tokens
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in source_data_card(docs).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 4 and a["total_tokens"] == 26 and a["p50_tokens"] == 3
+    assert a["exact_dup_docs"] == 1 and a["exact_dup_pct"] == 33.33
+    assert a["low_quality_docs"] == 2 and a["low_quality_pct"] == 50.0
+    assert a["top_lang"] == "en" and a["top_lang_pct"] == 75.0
+    b = out["b"]  # 16 tokens passes the length bar; punct ratio fails it
+    assert b["low_quality_docs"] == 1 and b["top_lang"] == "en"
+    n = out[None]  # NULL source survives as its own group
+    assert n["n_docs"] == 1 and n["total_tokens"] == 16 and n["exact_dup_docs"] == 0
+    assert n["low_quality_docs"] == 0 and n["top_lang"] is None
+    assert n["top_lang_pct"] == 100.0
+
+
 def test_dup_ngram_fraction_planted_boilerplate(spark):
     """Planted template docs must score dup_frac 1.0; a unique doc 0.0;
     a half-shared doc exactly its shared-bigram fraction."""

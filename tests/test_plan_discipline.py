@@ -397,6 +397,8 @@ SHUFFLE_BUDGET = {
     "q_tfidf": 5,               # (doc,term) agg + df agg + norm joins
     "q_decontaminate": 4,       # shingle aggs + broadcast anti cascade
     "q_contamination_by_source": 5,  # decontaminate's 4 + the source rollup agg; doc-level join AQE-broadcast
+    "q_data_card": 4,           # two-phase distinct-agg on source + tiny (source,lang) agg/window; top-lang joins broadcast
+    "q_streaming_contamination": 1,  # drained-sink snapshot agg; the stream itself shuffles only (doc_id, n_shingles) pairs
     "q_pack_sequences": 1,      # only (id,group,count) crosses Arrow
     "q_repetition_stats": 3,
     "q_boilerplate_ngrams": 4,  # shingle agg + freq agg + semi-join

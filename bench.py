@@ -250,8 +250,8 @@ QUIET_HOST_REF_SEC = {
     "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
     "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
     "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
-    "q_data_card": 0.90,  # r11 provisional: fresh-session steady 0.4-0.6 + codegen; re-enter at first protocol reading
-    "q_streaming_contamination": 4.40,  # r11 provisional: fresh-session warm 4.27/4.67 (4-slice drive + stateful per-doc agg); re-enter at protocol
+    "q_data_card": 0.43,  # r11: protocol 0.434 (0.98x-median quiet session) / 0.58 (1.10x session)
+    "q_streaming_contamination": 4.72,  # r11: protocol 4.721 quiet / 5.11 noisy; fresh-session warm floor 4.27
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,
@@ -275,7 +275,7 @@ QUIET_HOST_REF_SEC = {
     "q_nested_rollup": 0.42,
     "q_ngram_jaccard": 0.71,
     "q_token_jaccard": 1.0,
-    "q_token_dedup_near": 2.3,
+    "q_token_dedup_near": 3.19,  # r11: aligned to BASELINE.md's r7 portable re-base (3.186) — the 2.3 ref predated the portable-hash switch; r11 protocol reads 3.85/3.60 = 1.21x/1.13x against it
     "q_token_dup_clusters": 1.0,
     "q_quality_funnel": 0.55,
     "q_bigram_logprob": 1.3,

@@ -3889,3 +3889,172 @@ def test_contamination_by_group_matches_reference_randomized(spark):
                 avg,
             )
         assert got == want, (seed, got, want)
+
+
+def test_source_data_card_matches_reference_randomized(spark):
+    """Property check: on randomized word-salad corpora (forced duplicate
+    texts, punctuation-heavy docs, empty strings, NULL text/lang/source)
+    the per-source data card must equal an independent Python reference —
+    discrete-percentile semantics, the 4dp-rounded punct bar, half-up
+    percentage rounding, dup-rate denominator = non-NULL texts, and the
+    (count DESC, lang ASC NULLS LAST) dominant-language tie-break."""
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark.operators.text import source_data_card
+
+    def rnd(x, places):
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP)) + 0.0
+
+    def n_tokens(text):
+        if text is None:
+            return None
+        t = text.strip()
+        if t == "":
+            return 0
+        return len(_re.split(r"[ \t\n\r\f\x0b]+", t))
+
+    def punct_ratio(text):
+        if text is None:
+            return None
+        n_p = sum(1 for ch in text if ch in ".,;:!?")
+        return rnd(n_p / max(len(text), 1), 4)
+
+    vocab = ["aa", "bb", "cc", "!!", "..", "dd"]
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(30):
+            roll = rng.random()
+            if roll < 0.08:
+                text = None
+            elif roll < 0.14:
+                text = ""
+            elif roll < 0.3:
+                # forced duplicates from a tiny pool
+                text = ["aa bb cc", "!! !! !! .. .."][rng.randint(0, 1)]
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 24))
+                )
+            rows.append(
+                (
+                    i,
+                    text,
+                    rng.choice(["en", "de", None]),
+                    rng.choice(["A", "B", None]),
+                )
+            )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        got = {r["source"]: tuple(r)[1:] for r in source_data_card(docs).collect()}
+        want = {}
+        for src in {r[3] for r in rows}:
+            members = [r for r in rows if r[3] == src]
+            tok = [n_tokens(r[1]) for r in members]
+            nn_tok = sorted(t for t in tok if t is not None)
+            texts = [r[1] for r in members if r[1] is not None]
+            n_docs = len(members)
+            total_tokens = sum(nn_tok) if nn_tok else 0
+            # percentile_disc(0.5): smallest element whose cume_dist >= 0.5
+            p50 = nn_tok[(len(nn_tok) + 1) // 2 - 1] if nn_tok else None
+            dup = len(texts) - len(set(texts))
+            dup_pct = rnd(dup * 100.0 / len(texts), 2) if texts else None
+            lq = sum(
+                1
+                for r in members
+                if r[1] is not None
+                and (n_tokens(r[1]) < 16 or punct_ratio(r[1]) > 0.3)
+            )
+            lq_pct = rnd(lq * 100.0 / n_docs, 2)
+            lang_counts = {}
+            for r in members:
+                lang_counts[r[2]] = lang_counts.get(r[2], 0) + 1
+            top_lang = min(
+                lang_counts,
+                key=lambda L: (-lang_counts[L], L is None, L or ""),
+            )
+            top_pct = rnd(lang_counts[top_lang] * 100.0 / n_docs, 2)
+            want[src] = (
+                n_docs,
+                total_tokens,
+                p50,
+                dup,
+                dup_pct,
+                lq,
+                lq_pct,
+                top_lang,
+                top_pct,
+            )
+        assert got == want, (seed, got, want)
+
+
+def test_streaming_contamination_matches_reference_randomized(spark, tmp_path):
+    """Property check: the streaming contamination gate, driven over a
+    randomized staged lake (NULL texts, empty strings, <3-token docs with
+    truncated shingles, forced benchmark overlaps), must equal an
+    independent Python reference of the batch contract — per-doc distinct
+    shingle counts, overlap counts, and the single-rounded >= 0.1 ratio."""
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)) + 0.0
+
+    def shingles(text, n=3):
+        if text is None:
+            return set()
+        toks = _re.split(r"[ \t\n\r\f\x0b]+", text.strip().lower())
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    vocab = ["w1", "w2", "w3", "w4"]
+    rng = random.Random(19)
+    rows = []
+    for i in range(40):
+        roll = rng.random()
+        if roll < 0.08:
+            text = None
+        elif roll < 0.14:
+            text = ""
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+        rows.append((i, text, "en", "A", len(text) if text else 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lake = str(tmp_path / "lake")
+    import os as _os
+
+    _os.makedirs(lake, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["n_shingles"], r["overlap_ratio"])
+        for r in eq.q_streaming_contamination(spark, lake).collect()
+    }
+    bench_sh = set().union(
+        *(shingles(t) for i, t, *_ in rows if i % 20 == 0), set()
+    )
+    want = {}
+    for i, text, *_ in rows:
+        if i % 20 == 0:
+            continue
+        sh = shingles(text)
+        if not sh:
+            continue
+        overlap = len(sh & bench_sh)
+        if overlap == 0:
+            continue
+        ratio = r4(overlap / len(sh))
+        if ratio >= 0.1:
+            want[i] = (overlap, len(sh), ratio)
+    assert got == want, (got, want)

@@ -9074,10 +9074,17 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     final snapshot must equal the batch q_decontaminate recompute —
     hash-checked against exactly that SQL."""
     docs = _t(spark, sf_dir, "documents")
+    # the static side of a stream-static join RE-RESOLVES on every
+    # trigger — without this eager checkpoint each micro-batch re-scans,
+    # re-shingles, and re-aggregates the benchmark corpus (paired A/B at
+    # sf0.1: ~0.55 s of the 4-trigger drive, and the waste grows with
+    # benchmark size); materialized once, every trigger broadcasts the
+    # same tiny shingle relation
     bench_sh = (
         dedup.shingle_docs_exploded(docs.filter(F.col("doc_id") % 20 == 0), n=3)
         .select("shingle")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     stage_dir = os.path.join(_SCRATCH, "docs_contam_stream")
     (

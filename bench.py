@@ -251,7 +251,7 @@ QUIET_HOST_REF_SEC = {
     "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
     "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
     "q_data_card": 0.43,  # r11: protocol 0.434 (0.98x-median quiet session) / 0.58 (1.10x session)
-    "q_streaming_contamination": 4.72,  # r11: protocol 4.721 quiet / 5.11 noisy; fresh-session warm floor 4.27
+    "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

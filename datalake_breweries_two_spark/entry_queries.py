@@ -9111,7 +9111,7 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = stream.select(
         "doc_id",
         "ingest_ts",
-        dedup._word_shingles("text", 3).alias("_sh"),
+        dedup.word_shingles("text", 3).alias("_sh"),
     ).select(
         "doc_id",
         "ingest_ts",

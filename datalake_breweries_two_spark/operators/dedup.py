@@ -106,7 +106,7 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
     raise ValueError(f"unknown tokenizer: {tokenizer!r}")
 
 
-def _word_shingles(text_col: str, n: int) -> Column:
+def word_shingles(text_col: str, n: int) -> Column:
     """Distinct word n-gram shingles as an array<string> — JVM-side:
     split → sequence → transform(slice+join) → array_distinct.
 
@@ -133,7 +133,7 @@ def shingle_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingles array) — input to minhash and exact-Jaccard."""
-    return docs.select(F.col(id_col), _word_shingles(text_col, n).alias("shingles"))
+    return docs.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
 
 
 def shingle_docs_exploded(
@@ -149,7 +149,7 @@ def shingle_docs_exploded(
     lambda expressions are interpreted in Spark while window lead + concat_ws
     are whole-stage-codegen'd (~5× faster measured at sf0.1). Degenerate
     docs (< n tokens) contribute one truncated shingle, matching
-    ``_word_shingles``'s slice-truncation semantics.
+    ``word_shingles``'s slice-truncation semantics.
 
     ``tokenizer="bpe"`` switches to the BPE-ish regex tokenization
     (:data:`_BPE_TOKEN_RE`) — the tokenizer-aware dedup tier: shingles are

@@ -244,7 +244,8 @@ def source_data_card(
     is thousands of rows, never corpus-sized. NULL sources and NULL
     langs survive as their own groups (both engines keep NULL GROUP BY
     keys); NULL texts contribute to n_docs but are excluded from the
-    dup-rate denominator (``count(text)``), matching SQL COUNT(col).
+    dup-rate denominator (the md5 fingerprint is NULL iff the text is,
+    so ``count(_fp)`` matches SQL COUNT(text)).
     """
     t = F.col(text_col)
     n_tokens = whitespace_token_count(text_col)
@@ -258,9 +259,11 @@ def source_data_card(
     # NULL text → NULL comparison → otherwise(0): counted as NOT low
     # quality, mirroring SQL's CASE WHEN ... THEN 1 ELSE 0 END
     low_q = (n_tokens < F.lit(min_tokens)) | (punct_ratio > F.lit(max_punct_ratio))
+    # no raw text survives the projection: the md5 fingerprint is NULL
+    # iff the text is NULL, so count(_fp) serves as the non-NULL-text
+    # count and the aggregate input stays 16-bytes-per-doc wide
     feats = docs.select(
         "source",
-        t.alias("_text"),
         n_tokens.alias("_n_tokens"),
         F.md5(t).alias("_fp"),
         low_q.alias("_low_q"),
@@ -271,7 +274,7 @@ def source_data_card(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _n_tokens)")
         .cast("long")
         .alias("p50_tokens"),
-        F.count("_text").alias("_n_texts"),
+        F.count("_fp").alias("_n_texts"),
         F.countDistinct("_fp").alias("_n_distinct"),
         F.sum(F.when(F.col("_low_q"), 1).otherwise(0))
         .cast("long")

@@ -616,12 +616,14 @@ PY4J_BUILD_BUDGET_DEFAULT = 2400  # covers everything measured ≤ 1469 at ≥1.
 # Queries measured above ~1300 filtered RTTs — each either executes
 # jobs at build time (iterative fixed points, multi-batch streaming
 # drives, e2e write-read pipelines) or drives a multi-tier harness.
-# Budgets are ~2x the r10 filtered in-suite measurement (noted per
-# entry) — tightened from 2.5x per the r10 advice so a near-doubling
-# of construction chatter no longer passes silently; the residual
-# headroom still absorbs the warm-session convergence-bookkeeping
-# jitter of the iterative queries (the r9 flake class was GC traffic,
-# now filtered at the counter).
+# Budgets are ~1.75-2x the r10 filtered in-suite measurement (noted
+# per entry; the exact multiple varies — q_ann_recall 1.75x,
+# q_bloom_filter 1.87x, the iteratives 2.0x) — tightened from 2.5x per
+# the r10 advice so a near-doubling of construction chatter no longer
+# passes silently; the residual headroom still absorbs the
+# warm-session convergence-bookkeeping jitter of the iterative
+# queries (the r9 flake class was GC traffic, now filtered at the
+# counter).
 PY4J_BUILD_BUDGET = {
     "q_pagerank": 6400,  # measured 3186 in-suite; fixed-point loop runs at build
     "q_ann_recall": 5000,  # measured 2856; 3-tier recall harness, bounded seed collects

@@ -9128,9 +9128,36 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, agg, "q_streaming_contam_sink", output_mode="update"
     )
     # update-mode sink holds one row per trigger a key was touched; each
-    # doc's text arrives in exactly one slice, so max == final count
-    snap = out.groupBy("doc_id", "n_shingles").agg(
-        F.max("n_overlap").alias("n_overlap")
+    # doc's text is staged as ONE parquet row, so every emission for a doc
+    # carries the same n_shingles and max(n_overlap) is the final count.
+    # GUARD that invariant (r11 advice): if the staging shape ever splits
+    # a doc across triggers, its slices carry DIFFERENT n_shingles keys
+    # and max would silently undercount — min==max over n_shingles makes
+    # that fail loudly at runtime instead (one regular agg, same single
+    # exchange as the old (doc_id, n_shingles) grouping).
+    snap = (
+        out.groupBy("doc_id")
+        .agg(
+            F.min("n_shingles").alias("_n_sh_min"),
+            F.max("n_shingles").alias("n_shingles"),
+            F.max("n_overlap").alias("n_overlap"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("_n_sh_min") == F.col("n_shingles"),
+                F.concat(
+                    F.lit("q_streaming_contamination: doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        " emitted multiple n_shingles keys — staging no "
+                        "longer writes one row per doc, so max(n_overlap) "
+                        "would undercount; sum the per-slice deltas or "
+                        "restore one-row staging"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("_n_sh_min")
     )
     ratio = F.round(F.col("n_overlap") / F.col("n_shingles"), 4)
     return snap.filter(ratio >= 0.1).select(

@@ -106,24 +106,39 @@ def _tokens_expr(text_col: str, tokenizer: str) -> Column:
     raise ValueError(f"unknown tokenizer: {tokenizer!r}")
 
 
-def word_shingles(text_col: str, n: int) -> Column:
+def word_shingles(text_col: str, n: int, tokenizer: str = "whitespace") -> Column:
     """Distinct word n-gram shingles as an array<string> — JVM-side:
-    split → sequence → transform(slice+join) → array_distinct.
+    tokenize → sequence → transform(slice+join) → array_distinct.
+
+    Tokenization is :func:`_tokens_expr` — the SAME expression the batch
+    shingler (:func:`shingle_docs_exploded`) uses, so the stateless
+    array form (the only legal shape on a stream, where window-``lead``
+    shinglers are illegal) can never drift from the batch form under any
+    tokenizer: same İ→i pre-fold under ``whitespace_folded``/``bpe``,
+    same whitespace class, same slice-truncation semantics (docs with
+    < ``n`` tokens yield one truncated shingle; a zero-token bpe doc
+    yields an EMPTY array, matching the exploded form's zero rows).
 
     The token array is BOUND as a higher-order-function lambda variable
-    (transform over a single-element array) so the split evaluates once
-    per row: slicing the raw split expression inside the index-transform
-    lambda re-runs the tokenizer per SHINGLE — O(tokens · len) per doc,
-    the executor-side re-evaluation hazard measured at 26 s vs 0.9 s on
-    the r10 dup_ngram_fraction study (see operators/text.py:
-    dup_ngram_fraction)."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    (transform over a single-element array) so the tokenizer evaluates
+    once per row: slicing the raw split expression inside the
+    index-transform lambda re-runs the tokenizer per SHINGLE —
+    O(tokens · len) per doc, the executor-side re-evaluation hazard
+    measured at 26 s vs 0.9 s on the r10 dup_ngram_fraction study (see
+    operators/text.py: dup_ngram_fraction)."""
+    tokens = _tokens_expr(text_col, tokenizer)
 
     def _from_t(t: Column) -> Column:
         count = F.greatest(F.size(t) - n + 1, F.lit(1))
-        return F.transform(
+        shingles = F.transform(
             F.sequence(F.lit(1), count),
             lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        # only the bpe tokenizer can yield zero tokens (whitespace emits
+        # one "" token for an empty doc); an empty token array must give
+        # an empty shingle set, not [""], to mirror posexplode's no-rows
+        return F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+            shingles
         )
 
     return F.array_distinct(F.get(F.transform(F.array(tokens), _from_t), 0))

@@ -59,6 +59,51 @@ def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Plan-tree pass-through wrappers that sit between a Window node and the
+# operator that actually produces its input rows (sort/shuffle plumbing
+# plus AQE/codegen wrappers) — skipped when walking the printed child
+# chain to find the window's substantive input node.
+_PASSTHROUGH_NODES = (
+    "Sort ",
+    "Exchange",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "ReusedExchange",
+)
+
+_AGG_KEYS_RE = re.compile(
+    r"(?:Hash|SortAggregate|ObjectHashAggregate|Aggregate)[^(]*\(keys=\[([^\]]*)\]"
+)
+
+
+def _pid_window_input_bounded(lines: list[str], i: int) -> bool:
+    """Row-bound PROOF for the ``_pid`` boundary-window exemption.
+
+    ``range_prefix_sums`` (operators/windows.py) runs one deliberate
+    global window: the per-partition offset pass over
+    ``distinct(_pid, totals)`` — ≤ ``n_parts`` rows by construction,
+    because ``_tot_*`` is constant within a partition. In the printed
+    plan that construction is visible: the Window's child chain (through
+    sort/shuffle/AQE plumbing) reaches an aggregate node whose grouping
+    keys include ``_pid`` (the distinct). Requiring that evidence — not
+    just the column NAME in the order spec — means a future unbounded
+    global window ordered by something merely called ``_pid`` is flagged
+    instead of hiding behind the known-benign pattern (r11 verdict #5).
+    """
+    for nxt in lines[i + 1 : i + 10]:
+        node = re.sub(r"^[\s+\-:*()0-9]*", "", nxt)
+        if not node:
+            continue
+        if node.startswith(_PASSTHROUGH_NODES):
+            continue
+        m = _AGG_KEYS_RE.match(node)
+        return bool(m and "_pid#" in m.group(1))
+    return False
+
+
 # A line whose NODE NAME is the bare `Exchange` operator: optional
 # tree-drawing prefix (+- :  *(3) …) then the word. Anchoring at the
 # node-name position excludes BroadcastExchange, ReusedExchange, and the
@@ -152,12 +197,13 @@ def audit_plan(
     # funnels its whole input through ONE task ("No Partition Defined" in
     # the Spark log) — the plan shape that killed q_ks_test-class queries
     # at scale before the r5 prefix-sum rewrite. EXEMPT: windows ordered
-    # by `_pid` — operators/windows.py range_prefix_sums's boundary frame,
-    # whose input is the post-aggregate per-partition totals (O(#parts)
-    # rows by construction), so a real regression stands out instead of
-    # the benign boundary window crying wolf on every audit.
+    # by `_pid` — operators/windows.py range_prefix_sums's boundary frame
+    # — but ONLY when the printed child chain proves the bounded input
+    # (an aggregate keyed on `_pid`, i.e. the ≤ n_parts-row distinct):
+    # see :func:`_pid_window_input_bounded`.
     if not allow_unpartitioned_window:
-        for line in plan.splitlines():
+        plan_lines = plan.splitlines()
+        for i, line in enumerate(plan_lines):
             node = re.sub(r"^[\s+\-:*()0-9]*", "", line)
             if not node.startswith("Window "):
                 continue
@@ -176,8 +222,8 @@ def audit_plan(
                 last = node.rsplit("], [", 1)[1]
                 if " ASC" not in last and " DESC" not in last:
                     continue  # [exprs], [part] — partitioned, no order
-                if "_pid#" in last:
-                    continue  # range_prefix_sums boundary: O(#parts) rows
+                if "_pid#" in last and _pid_window_input_bounded(plan_lines, i):
+                    continue  # range_prefix_sums boundary: ≤ n_parts rows, proven
             # groups == 0: whole-relation frame — unpartitioned, flag
             findings.append(
                 Finding(

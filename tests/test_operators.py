@@ -2601,6 +2601,14 @@ def test_plan_advisor_flags_and_passes(spark, tmp_path):
 
     pfx = range_prefix_sums(a.withColumn("one", F.lit(1)), "id", ["one"], n_parts=4)
     assert "unpartitioned_window" not in rules(audit_plan(pfx))
+    # ...and the exemption demands the row-bound PROOF (an aggregate keyed
+    # on _pid below the window — the ≤ n_parts-row distinct), not just the
+    # column name: a global window over a big relation whose order column
+    # merely HAPPENS to be called _pid must still be flagged (r11 verdict)
+    impostor = spark.range(1000).selectExpr("id % 7 AS _pid", "id AS v")
+    assert "unpartitioned_window" in rules(
+        audit_plan(impostor.select(F.sum("v").over(Window.orderBy("_pid")).alias("s")))
+    )
     assert "unpartitioned_window" not in rules(
         audit_plan(
             a.select(F.sum("id").over(w_bad).alias("s")),
@@ -3722,6 +3730,52 @@ def test_shingle_docs_semantics_and_single_tokenize(spark):
     assert sorted(got[1]) == ["a b c", "b c d", "c d b", "d b c"]
     assert got[2] == ["one two"]
     assert got[3] == [None]
+
+
+def test_word_shingles_matches_exploded_shingler_per_tokenizer(spark):
+    """The stateless array shingler (word_shingles — the only legal shape
+    on a stream) must produce the SAME distinct (doc, shingle) set as the
+    batch window shingler (shingle_docs_exploded) under EVERY tokenizer,
+    on the hostile inputs that historically split the two: Turkish İ
+    (folded pre-lower by whitespace_folded/bpe, not by whitespace),
+    \\x0b whitespace, empty text (zero bpe tokens), punctuation, and
+    short (<n token) docs. r11 advice: both shinglers now build on one
+    _tokens_expr, so divergence is a construction bug, not a latent
+    tokenizer skew."""
+    from datalake_breweries_two_spark.operators.dedup import (
+        shingle_docs_exploded,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "İstanbul BÜYÜK İstanbul gezisi planı var"),
+            (2, "a\x0bb\tc  d\ne f"),
+            (3, ""),                      # zero bpe tokens, one "" ws token
+            (4, "don't stop. don' t stop ."),
+            (5, "two words"),             # <3 tokens → truncated shingle
+            (6, None),                    # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    for tok in ("whitespace", "whitespace_folded", "bpe"):
+        batch = {
+            (r["doc_id"], r["shingle"])
+            for r in shingle_docs_exploded(docs, n=3, tokenizer=tok).collect()
+        }
+        stream_form = (
+            docs.select(
+                "doc_id",
+                F.explode(word_shingles("text", 3, tokenizer=tok)).alias("shingle"),
+            )
+            # NULL text: the array form carries [NULL] (one NULL shingle)
+            # where posexplode of the exploded form emits zero rows — both
+            # vanish at the first equality probe (joins drop NULL keys)
+            .filter(F.col("shingle").isNotNull())
+            .distinct()
+        )
+        stream = {(r["doc_id"], r["shingle"]) for r in stream_form.collect()}
+        assert stream == batch, f"tokenizer={tok}: {stream ^ batch}"
 
 
 def test_rerank_topk_matches_reference_randomized(spark):

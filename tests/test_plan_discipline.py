@@ -616,21 +616,24 @@ PY4J_BUILD_BUDGET_DEFAULT = 2400  # covers everything measured ≤ 1469 at ≥1.
 # Queries measured above ~1300 filtered RTTs — each either executes
 # jobs at build time (iterative fixed points, multi-batch streaming
 # drives, e2e write-read pipelines) or drives a multi-tier harness.
-# Budgets are ~1.75-2x the r10 filtered in-suite measurement (noted
+# Budgets are ~1.75-2.1x the r10 filtered in-suite measurement (noted
 # per entry; the exact multiple varies — q_ann_recall 1.75x,
-# q_bloom_filter 1.87x, the iteratives 2.0x) — tightened from 2.5x per
-# the r10 advice so a near-doubling of construction chatter no longer
-# passes silently; the residual headroom still absorbs the
-# warm-session convergence-bookkeeping jitter of the iterative
-# queries (the r9 flake class was GC traffic, now filtered at the
-# counter).
+# q_bloom_filter 1.87x, the FIXED-POINT iteratives ~2.1x: their build
+# executes a convergence loop, so per-session iteration-count jitter
+# is real even with GC traffic filtered at the counter; r11 advice) —
+# tightened from 2.5x per the r10 advice so a near-doubling of
+# construction chatter no longer passes silently.
+# RE-MEASURE TRIGGER: if any entry here flakes ONCE on an otherwise
+# green run, re-calibrate with a PY4J_AUDIT_DUMP full-file pass and
+# re-base that entry to ≥2x the fresh measurement — do not churn the
+# query or widen the default.
 PY4J_BUILD_BUDGET = {
-    "q_pagerank": 6400,  # measured 3186 in-suite; fixed-point loop runs at build
+    "q_pagerank": 6700,  # measured 3186 in-suite; fixed-point loop runs at build
     "q_ann_recall": 5000,  # measured 2856; 3-tier recall harness, bounded seed collects
     "q_bloom_filter": 3600,  # measured 1928; build agg + k probe joins materialized
-    "q_token_dup_clusters": 2800,  # measured 1372; Pregel label propagation at build
-    "q_kmeans_1d": 3100,  # measured 1550; Lloyd iterations at build
-    "q_dedup_clusters": 2800,  # measured 1365 (r9 flake: 2667 unfiltered vs 2600); Pregel at build
+    "q_token_dup_clusters": 2900,  # measured 1372; Pregel label propagation at build
+    "q_kmeans_1d": 3300,  # measured 1550; Lloyd iterations at build
+    "q_dedup_clusters": 2900,  # measured 1365 (r9 flake: 2667 unfiltered vs 2600); Pregel at build
     "q_zorder_scan": 2600,  # measured 1352; z-order write + re-scan at build
     "q_cdc_apply": 2600,  # measured 1316; merge pipeline materializes at build
 }

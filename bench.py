@@ -128,6 +128,7 @@ HEADLINE = [
     "q_rerank_topk",
     "q_contamination_by_source",
     "q_data_card",
+    "q_shard_data_card",
     "q_streaming_contamination",
     "q_bm25",
     "q_token_entropy",
@@ -251,6 +252,7 @@ QUIET_HOST_REF_SEC = {
     "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
     "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
     "q_data_card": 0.43,  # r11: protocol 0.434 (0.98x-median quiet session) / 0.58 (1.10x session)
+    "q_shard_data_card": 1.15,  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,

@@ -9176,3 +9176,83 @@ QUERIES["q_streaming_contamination"] = q_streaming_contamination
 # broadcast probe preserves per-doc hit counts, and the single rounding
 # site (4dp ratio) is shared by filter and output.
 ORACLE_SQL["q_streaming_contamination"] = ORACLE_SQL["q_decontaminate"]
+
+
+def q_shard_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard data card: for each ~1000-BPE-token training shard from
+    the q_token_shards plan, the composition report a data lead reads
+    before a run — volume, within-shard exact-dup count, C4-style
+    low-quality share, and the source mix (distinct sources, dominant
+    source + share). Composes the distributed prefix-sum shard
+    assignment with source_data_card's aggregate battery (see
+    operators/sampling.py:shard_data_card)."""
+    return sampling.shard_data_card(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=1000,
+        min_tokens=16,
+        max_punct_ratio=0.3,
+    )
+
+
+QUERIES["q_shard_data_card"] = q_shard_data_card
+
+# Every scalar is integer-exact (counts, BIGINT sums, id min/max,
+# distinct fingerprints) or a single IEEE divide of exact operands
+# rounded ONCE; the quality bar compares the 4dp-rounded punct ratio on
+# both engines; the shard boundary is exact integer arithmetic on the
+# running token sum (same recurrence as q_token_shards); the dominant
+# source is tie-broken (count DESC, source ASC NULLS LAST) identically;
+# an all-NULL-text shard's dup rate is NULL on both engines (0/0).
+ORACLE_SQL["q_shard_data_card"] = """
+    WITH f AS (
+        SELECT doc_id, source,
+               coalesce(len(regexp_extract_all(
+                   lower(translate(text, 'İ', 'i')),
+                   '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')), 0) AS n_tokens,
+               md5(text) AS fp,
+               round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(len(text), 1), 4) AS punct_ratio
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM f
+    ),
+    sharded AS (
+        SELECT *, CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard_id
+        FROM cum
+    ),
+    agg AS (
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               min(doc_id) AS first_id,
+               max(doc_id) AS last_id,
+               count(fp) AS n_texts,
+               count(DISTINCT fp) AS n_distinct,
+               CAST(sum(CASE WHEN n_tokens < 16
+                             OR punct_ratio > 0.3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_quality_docs
+        FROM sharded GROUP BY shard_id
+    ),
+    cells AS (
+        SELECT shard_id, source, count(*) AS n
+        FROM sharded GROUP BY shard_id, source
+    ),
+    top AS (
+        SELECT shard_id AS ts_shard, source AS top_source, n AS top_n,
+               CAST(count(*) OVER (PARTITION BY shard_id) AS BIGINT) AS n_sources,
+               row_number() OVER (PARTITION BY shard_id
+                   ORDER BY n DESC, source ASC NULLS LAST) AS rn
+        FROM cells QUALIFY rn = 1
+    )
+    SELECT a.shard_id, a.n_docs, a.shard_tokens, a.first_id, a.last_id,
+           CAST(a.n_texts - a.n_distinct AS BIGINT) AS exact_dup_docs,
+           round((a.n_texts - a.n_distinct) * 100.0 / a.n_texts, 2) AS exact_dup_pct,
+           a.low_quality_docs,
+           round(a.low_quality_docs * 100.0 / a.n_docs, 2) AS low_quality_pct,
+           t.n_sources, t.top_source,
+           round(t.top_n * 100.0 / a.n_docs, 2) AS top_source_pct
+    FROM agg a LEFT JOIN top t ON a.shard_id = t.ts_shard
+"""

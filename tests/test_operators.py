@@ -4112,3 +4112,165 @@ def test_streaming_contamination_matches_reference_randomized(spark, tmp_path):
         if ratio >= 0.1:
             want[i] = (overlap, len(sh), ratio)
     assert got == want, (got, want)
+
+
+def test_shard_data_card_hand_computed(spark):
+    """Planted corpus with a known token layout: shard boundaries, the
+    within-shard dup count, the quality bar (length AND punctuation
+    branches), NULL text / NULL source / NULL doc_id handling, the
+    dominant-source tie-break, and the NULL dup rate of an all-NULL-text
+    shard — every scalar pinned by hand (budget 10, min_tokens 4)."""
+    from datalake_breweries_two_spark.operators.sampling import shard_data_card
+
+    docs = spark.createDataFrame(
+        [
+            # shard 0: starts at offsets 0 and 5 (5 BPE tokens each)
+            (1, "aa bb cc dd ee", "A"),
+            (2, "aa bb cc dd ee", "A"),      # exact dup of doc 1
+            # shard 1: offsets 10, 12, 12, 16
+            (3, "xx yy", "B"),               # 2 tokens -> low quality
+            (4, None, None),                 # NULL text: 0 tokens, low-q
+            (5, "!!!!", "B"),                # 4 punct tokens, ratio 1.0
+            (6, "aa bb cc dd ee ff gg hh", "A"),  # 8 tokens, clean
+            # shard 2: two zero-token docs at offset 24; sources tie 1-1
+            (8, None, "Z"),
+            (9, None, "Y"),
+            (None, "aa bb cc dd ee", "A"),   # NULL id -> excluded
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = {
+        r["shard_id"]: r
+        for r in shard_data_card(
+            docs, budget_tokens=10, min_tokens=4
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    s0 = out[0]
+    assert (s0["n_docs"], s0["shard_tokens"]) == (2, 10)
+    assert (s0["first_id"], s0["last_id"]) == (1, 2)
+    assert s0["exact_dup_docs"] == 1 and s0["exact_dup_pct"] == 50.0
+    assert s0["low_quality_docs"] == 0 and s0["low_quality_pct"] == 0.0
+    assert (s0["n_sources"], s0["top_source"], s0["top_source_pct"]) == (
+        1, "A", 100.0,
+    )
+    s1 = out[1]
+    assert (s1["n_docs"], s1["shard_tokens"]) == (4, 14)
+    assert (s1["first_id"], s1["last_id"]) == (3, 6)
+    # doc 4's NULL text has no fingerprint: dup denominator is 3
+    assert s1["exact_dup_docs"] == 0 and s1["exact_dup_pct"] == 0.0
+    # docs 3 (short), 4 (NULL), 5 (punct-saturated at exactly min length)
+    assert s1["low_quality_docs"] == 3 and s1["low_quality_pct"] == 75.0
+    # sources B=2, A=1, NULL=1 -> B dominates; NULL is its own mix group
+    assert (s1["n_sources"], s1["top_source"], s1["top_source_pct"]) == (
+        3, "B", 50.0,
+    )
+    s2 = out[2]
+    assert (s2["n_docs"], s2["shard_tokens"]) == (2, 0)
+    # no non-NULL text at all: dup rate is NULL (0/0), not 0
+    assert s2["exact_dup_docs"] == 0 and s2["exact_dup_pct"] is None
+    assert s2["low_quality_docs"] == 2 and s2["low_quality_pct"] == 100.0
+    # Y and Z tie on count 1 -> source ASC wins
+    assert (s2["n_sources"], s2["top_source"], s2["top_source_pct"]) == (
+        2, "Y", 50.0,
+    )
+
+
+def test_shard_data_card_matches_reference_randomized(spark):
+    """Property check: on randomized word-salad corpora (forced duplicate
+    texts, punctuation-heavy docs, empty strings, NULL text/source, a
+    NULL-id row) the per-shard card must equal an independent Python
+    reference — the BPE token count, the exact start-offset shard
+    boundary, dup denominator = non-NULL texts (NULL when zero), the
+    4dp-rounded punct bar, half-up percentage rounding, and the
+    (count DESC, source ASC NULLS LAST) dominant-source tie-break."""
+    import random
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_breweries_two_spark.operators.sampling import shard_data_card
+
+    BUDGET, MIN_TOK, MAX_PUNCT = 15, 4, 0.3
+    tok_re = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0b]")
+
+    def rnd(x, places):
+        q = Decimal(1).scaleb(-places)
+        return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP)) + 0.0
+
+    def n_tokens(text):
+        if text is None:
+            return 0
+        # fold BEFORE lower, as the operator does: post-lower the İ has
+        # already become i+U+0307 and the combining mark is its own token
+        return len(tok_re.findall(text.replace("İ", "i").lower()))
+
+    def low_q(text):
+        if text is None:
+            return True
+        nt = n_tokens(text)
+        pr = rnd(
+            sum(1 for ch in text if ch in ".,;:!?") / max(len(text), 1), 4
+        )
+        return nt < MIN_TOK or pr > MAX_PUNCT
+
+    vocab = ["aa", "b1", "cc", "!!", "..", "İst", "dd"]
+    for seed in (13, 41):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            roll = rng.random()
+            if roll < 0.08:
+                text = None
+            elif roll < 0.14:
+                text = ""
+            elif roll < 0.3:
+                text = ["aa b1 cc", "!! !! !! .. .."][rng.randint(0, 1)]
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                )
+            rows.append((i, text, rng.choice(["A", "B", None])))
+        rows.append((None, "aa bb", "A"))  # excluded: NULL id
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            r["shard_id"]: tuple(r)[1:]
+            for r in shard_data_card(
+                docs, budget_tokens=BUDGET, min_tokens=MIN_TOK
+            ).collect()
+        }
+        kept = sorted((r for r in rows if r[0] is not None))
+        shards = {}
+        cum = 0
+        for i, text, src in kept:
+            nt = n_tokens(text)
+            shards.setdefault(cum // BUDGET, []).append((i, text, src, nt))
+            cum += nt
+        want = {}
+        for sid, members in shards.items():
+            n_docs = len(members)
+            texts = [t for _, t, _, _ in members if t is not None]
+            dup = len(texts) - len(set(texts))
+            lq = sum(1 for _, t, _, _ in members if low_q(t))
+            src_counts = {}
+            for _, _, s, _ in members:
+                src_counts[s] = src_counts.get(s, 0) + 1
+            top = min(
+                src_counts,
+                key=lambda s: (-src_counts[s], s is None, s or ""),
+            )
+            want[sid] = (
+                n_docs,
+                sum(nt for *_, nt in members),
+                members[0][0],
+                members[-1][0],
+                dup,
+                rnd(dup * 100.0 / len(texts), 2) if texts else None,
+                lq,
+                rnd(lq * 100.0 / n_docs, 2),
+                len(src_counts),
+                top,
+                rnd(src_counts[top] * 100.0 / n_docs, 2),
+            )
+        assert got == want, (seed, got, want)

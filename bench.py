@@ -130,6 +130,7 @@ HEADLINE = [
     "q_data_card",
     "q_shard_data_card",
     "q_streaming_contamination",
+    "q_streaming_dq_gate",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -254,6 +255,7 @@ QUIET_HOST_REF_SEC = {
     "q_data_card": 0.43,  # r11: protocol 0.434 (0.98x-median quiet session) / 0.58 (1.10x session)
     "q_shard_data_card": 1.15,  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
+    "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,

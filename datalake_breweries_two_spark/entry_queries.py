@@ -9256,3 +9256,155 @@ ORACLE_SQL["q_shard_data_card"] = """
            round(t.top_n * 100.0 / a.n_docs, 2) AS top_source_pct
     FROM agg a LEFT JOIN top t ON a.shard_id = t.ts_shard
 """
+
+
+def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate — the in-flight twin of q_dq_audit's
+    orders checks: order rows arrive as micro-batches (staged slices with
+    a synthetic ingest timestamp; kafka in production) and ONE update-mode
+    keyed aggregate accumulates everything each check needs — per-orderkey
+    row counts (uniqueness), conditional violation counts for the
+    row-level invariants (totalprice positive / finite), and FK-orphan
+    flags from a stream-static BROADCAST probe against the static customer
+    key set (checkpointed once per run — the static side of a
+    stream-static join re-resolves every trigger, the r11 contamination
+    lesson). The drained sink's final per-key snapshot reassembles the
+    (check, n_violations, passed) audit rows, which must equal the batch
+    q_dq_audit recompute over the same orders — hash-checked against
+    exactly that SQL. Scale shape: state is one integer quad per distinct
+    orderkey (RocksDB-backed in production), the customer side ships as a
+    KB-scale distinct-key broadcast, and order rows never shuffle — the
+    aggregate's partial quads do."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_keys = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stage_dir = os.path.join(_SCRATCH, "orders_dq_stream")
+    (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            # synthetic ingest time folded into one bounded day (raw key
+            # seconds would overflow timestamp µs range on int64-extreme
+            # ids); coalesce keeps NULL-key rows ABOVE the watermark —
+            # a NULL event time would be silently dropped by the
+            # watermarked aggregate while the batch oracle counts the row
+            F.timestamp_seconds(
+                F.lit(1_600_000_000)
+                + F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(86_400))
+            ).alias("ingest_ts"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+            " ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    price = F.col("o_totalprice")
+    flagged = stream.join(
+        F.broadcast(cust_keys),
+        stream["o_custkey"] == cust_keys["c_custkey"],
+        "left",
+    ).select(
+        "o_orderkey",
+        "ingest_ts",
+        # NULL predicate result counts as a violation (unknown = broken),
+        # matching operators/quality.py predicate_violation_count
+        F.when(F.coalesce(price <= 0, F.lit(True)), 1).otherwise(0).alias("_pos"),
+        F.when(F.isnan(price) | (F.abs(price) == F.lit(float("inf"))), 1)
+        .otherwise(0)
+        .alias("_fin"),
+        # left-join miss == orphan; NULL custkeys never match (they
+        # reference nothing), same stance as fk_orphan_count's anti join
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("_orph"),
+    )
+    agg = (
+        flagged.withWatermark("ingest_ts", "3650 days")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_fin").alias("n_fin"),
+            F.sum("_orph").alias("n_orph"),
+        )
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_dq_sink", output_mode="update"
+    )
+    # update-mode sink holds one row per trigger a key was touched, each
+    # carrying the key's RUNNING quad; every component is monotone
+    # nondecreasing and the final emission maximizes all four at once, so
+    # per-key max() is the drained state (a key whose duplicates span
+    # slices emits once per slice — exactly the cross-batch accumulation
+    # the uniqueness check needs).
+    snap = out.groupBy("o_orderkey").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_fin").alias("n_fin"),
+        F.max("n_orph").alias("n_orph"),
+    )
+    tot = snap.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows") > 1, F.col("n_rows")).otherwise(0)),
+            F.lit(0),
+        ).alias("_uniq"),
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("_pos"),
+        F.coalesce(F.sum("n_fin"), F.lit(0)).alias("_fin"),
+        F.coalesce(F.sum("n_orph"), F.lit(0)).alias("_orph"),
+    )
+    return tot.select(
+        F.expr(
+            "stack(4,"
+            " 'orders_custkey_fk', _orph,"
+            " 'orders_orderkey_unique', _uniq,"
+            " 'orders_totalprice_positive', _pos,"
+            " 'orders_totalprice_finite', _fin) AS (check, n_violations)"
+        )
+    ).select(
+        "check",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+QUERIES["q_streaming_dq_gate"] = q_streaming_dq_gate
+
+# The drained stream must reproduce the batch audit bit-for-bit, so the
+# oracle IS q_dq_audit's proven SQL restricted to the four orders checks:
+# uniqueness counts ROWS participating in a duplicated key, NULL custkeys
+# are orphans, NULL prices violate the positivity invariant (unknown =
+# broken), and NULL prices do NOT count as non-finite — all integer-exact.
+ORACLE_SQL["q_streaming_dq_gate"] = """
+    SELECT 'orders_custkey_fk' AS check,
+           count(*) AS n_violations, count(*) = 0 AS passed
+    FROM orders WHERE o_custkey IS NULL
+       OR NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(coalesce(sum(n), 0) AS BIGINT), coalesce(sum(n), 0) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_finite',
+           CAST(coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN isnan(o_totalprice) OR isinf(o_totalprice)
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+"""

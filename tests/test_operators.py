@@ -4274,3 +4274,119 @@ def test_shard_data_card_matches_reference_randomized(spark):
                 rnd(src_counts[top] * 100.0 / n_docs, 2),
             )
         assert got == want, (seed, got, want)
+
+
+def _write_dq_lake(spark, lake_dir, order_rows, cust_keys):
+    """Stage a minimal orders+customer lake for the streaming DQ gate
+    (full catalog schemas — load_table reads with the explicit
+    StructType)."""
+    import os as _os
+
+    _os.makedirs(lake_dir, exist_ok=True)
+    orders = spark.createDataFrame(
+        [(k, c, "F", p, None, "1-URGENT") for k, c, p in order_rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(c, f"c{c}", 0, 1.0, "SEG") for c in cust_keys],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake_dir, "orders.parquet")
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake_dir, "customer.parquet")
+    )
+
+
+def test_streaming_dq_gate_hand_computed(spark, tmp_path):
+    """Planted violations, every check's branch pinned by hand: duplicate
+    orderkeys (including a duplicated NULL key group), orphan and NULL
+    custkeys, non-positive / NULL prices (NULL = violation), NaN and
+    ±Inf prices (NULL is NOT non-finite), and the clean remainder."""
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    order_rows = [
+        (1, 1, 100.0),            # clean
+        (1, 1, 50.0),             # dup of key 1 -> uniqueness += 2
+        (2, 99, 10.0),            # orphan custkey
+        (3, None, 20.0),          # NULL custkey -> orphan
+        (4, 1, -5.0),             # non-positive
+        (5, 1, 0.0),              # non-positive (boundary)
+        (6, 1, None),             # NULL price -> positivity violation only
+        (7, 1, float("nan")),     # non-finite (NaN <= 0 is false, not pos)
+        (8, 1, float("inf")),     # non-finite
+        (None, 1, 30.0),          # NULL-key group of 2 -> uniqueness += 2
+        (None, 1, 40.0),
+    ]
+    lake_dir = str(tmp_path / "dq_lake")
+    _write_dq_lake(spark, lake_dir, order_rows, [1, 2, 3])
+    got = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in eq.q_streaming_dq_gate(spark, lake_dir).collect()
+    }
+    assert got == {
+        "orders_custkey_fk": (2, False),
+        "orders_orderkey_unique": (4, False),
+        "orders_totalprice_positive": (3, False),
+        "orders_totalprice_finite": (2, False),
+    }
+
+
+def test_streaming_dq_gate_matches_reference_randomized(spark, tmp_path):
+    """Property check: the drained streaming audit over randomized staged
+    orders (keys drawn from a small range so duplicates span slices and
+    exercise cross-batch state, custkeys mixing valid / orphan / NULL,
+    prices mixing clean / zero / negative / NULL / NaN / ±Inf) must equal
+    an independent Python reference of the batch contract."""
+    import math
+    import random
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    valid_custs = list(range(1, 11))
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(200):
+            key = rng.choice([None] + list(range(1, 60)))
+            cust = rng.choice(valid_custs + [77, 88, None])
+            price = rng.choice(
+                [
+                    round(rng.uniform(0.01, 500.0), 2),
+                    0.0,
+                    -3.5,
+                    None,
+                    float("nan"),
+                    float("inf"),
+                    float("-inf"),
+                ]
+            )
+            rows.append((key, cust, price))
+        lake_dir = str(tmp_path / f"dq_lake_{seed}")
+        _write_dq_lake(spark, lake_dir, rows, valid_custs)
+        got = {
+            r["check"]: (r["n_violations"], r["passed"])
+            for r in eq.q_streaming_dq_gate(spark, lake_dir).collect()
+        }
+        key_counts: dict = {}
+        for k, _, _ in rows:
+            key_counts[k] = key_counts.get(k, 0) + 1
+        uniq = sum(n for n in key_counts.values() if n > 1)
+        orph = sum(1 for _, c, _ in rows if c is None or c not in valid_custs)
+        pos = sum(
+            1 for _, _, p in rows
+            if p is None or (not math.isnan(p) and p <= 0)
+        )
+        fin = sum(
+            1 for _, _, p in rows
+            if p is not None and (math.isnan(p) or math.isinf(p))
+        )
+        assert got == {
+            "orders_custkey_fk": (orph, orph == 0),
+            "orders_orderkey_unique": (uniq, uniq == 0),
+            "orders_totalprice_positive": (pos, pos == 0),
+            "orders_totalprice_finite": (fin, fin == 0),
+        }, (seed, got)

@@ -400,6 +400,7 @@ SHUFFLE_BUDGET = {
     "q_data_card": 4,           # two-phase distinct-agg on source + tiny (source,lang) agg/window; top-lang joins broadcast
     "q_shard_data_card": 5,     # checkpointed prefix-sum shard assign feeds shard distinct-agg (2) + (shard,source) cells (1) + mix window (1) + shard-keyed join (1)
     "q_streaming_contamination": 1,  # drained-sink snapshot agg; the stream itself shuffles only (doc_id, n_shingles) pairs
+    "q_streaming_dq_gate": 2,   # drained-sink per-key snapshot agg + single-row audit collapse; the stream shuffles only integer quads
     "q_pack_sequences": 1,      # only (id,group,count) crosses Arrow
     "q_repetition_stats": 3,
     "q_boilerplate_ngrams": 4,  # shingle agg + freq agg + semi-join

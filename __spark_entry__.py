@@ -87,13 +87,16 @@ _ROWS_ONLY_INTERLEAVE = [
     # q_ivf_assign left this list in r7: it gained a full oracle (the
     # md5-portable centroid seeding made the whole IVF tier
     # DuckDB-recomputable; the guard below would drop it anyway)
-    "q_kll_quantiles",
+    # q_kll_quantiles left this list in r12: the declared query now
+    # surfaces the sketch's bounded rank contract (exact counts +
+    # within-tolerance flags), giving it a full oracle
     # q_media_frame_sample left this list in r7: it gained a full
     # golden-VALUES oracle (the guard below would drop it anyway)
     # q_rolling_fingerprint left this list in r7: the declared query now
     # runs the portable md5-60bit variant, giving it a full oracle
     "q_sample_seeded",
-    "q_theta_overlap",
+    # q_theta_overlap left this list in r12: bounded accuracy contract
+    # (exact set cardinalities + within-tolerance flags) — full oracle
     # r6 additions (tokenizer-aware dedup tier; q_ann_recall left this
     # list in r7 — the portable md5 query/seed draws made the whole
     # recall harness DuckDB-recomputable, so it now has a full oracle)

@@ -5531,22 +5531,116 @@ ORACLE_SQL["q_nested_rollup"] = """
 
 
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable KLL quantile sketches per event type (p50/p90/p99) — the
-    KB-sized, associatively-mergeable replacement for exact percentile
-    buffering at 100 TB (operators/setops.py:kll_quantile_rollup).
-    Rows-only (sampling-randomized sketch); accuracy unit-tested."""
-    return setops.kll_quantile_rollup(
-        _t(spark, sf_dir, "events"), "event_type", "value"
+    """Mergeable KLL quantile sketches per event type (p50/p90/p99,
+    operators/setops.py:kll_quantile_rollup) surfaced as their BOUNDED
+    ACCURACY CONTRACT (r12, rows-only → oracle upgrade): the raw
+    estimates are sampling-randomized and engine-specific, so the
+    registry query instead measures each estimate's EXACT rank interval
+    in the data (count < / count <= via one broadcast join back — the
+    group estimates are a handful of rows, events never reshuffle for
+    them) and emits (event_type, n_rows, p50_ok, p90_ok, p99_ok) where
+    ok := the rank interval intersects p ± 0.05. The slack is a
+    deliberate ~3x headroom over KLL k=200's ~1.65% rank-error bound so
+    the driver check is deterministic; the TIGHT bound lives in
+    test_kll_quantiles_near_exact, and the production operator (which
+    returns the estimates themselves) is unchanged. Integer-exact
+    inequality arithmetic — no division, tie-safe (an all-ties group's
+    estimate has rank interval [0, n], which always intersects)."""
+    ev = _t(spark, sf_dir, "events")
+    est = setops.kll_quantile_rollup(ev, "event_type", "value")
+    j = ev.join(
+        F.broadcast(est.withColumnRenamed("event_type", "_et")),
+        ev["event_type"].eqNullSafe(F.col("_et")),
+        "left",
+    )
+    v = F.col("value")
+
+    def _lt(b):  # noqa: ANN001 - Column
+        return F.coalesce(F.sum(F.when(v < b, 1).otherwise(0)), F.lit(0))
+
+    def _le(b):  # noqa: ANN001 - Column
+        return F.coalesce(F.sum(F.when(v <= b, 1).otherwise(0)), F.lit(0))
+
+    agg = j.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n_rows"),
+        _lt(F.col("p5")).alias("_lt50"),
+        _le(F.col("p5")).alias("_le50"),
+        _lt(F.col("p9")).alias("_lt90"),
+        _le(F.col("p9")).alias("_le90"),
+        _lt(F.col("p99")).alias("_lt99"),
+        _le(F.col("p99")).alias("_le99"),
+    )
+    n = F.col("n_rows")
+
+    def _ok(lt, le, lo, hi):  # noqa: ANN001 - rank-interval intersection
+        return (F.col(lt) * 100 <= hi * n) & (F.col(le) * 100 >= lo * n)
+
+    return agg.select(
+        "event_type",
+        "n_rows",
+        _ok("_lt50", "_le50", 45, 55).alias("p50_ok"),
+        _ok("_lt90", "_le90", 85, 95).alias("p90_ok"),
+        _ok("_lt99", "_le99", 94, 104).alias("p99_ok"),
     )
 
 
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch distinct-set algebra: |view users|, |click users|,
-    union and inclusion-exclusion intersection — audience overlap without
-    shuffling raw keys. Rows-only (sketch estimates); tolerance
-    unit-tested."""
-    return setops.theta_distinct_overlap(
-        _t(spark, sf_dir, "events"), "event_type", "view", "click", "user_id"
+    """Theta-sketch distinct-set algebra (|view users|, |click users|,
+    union, inclusion-exclusion intersection — audience overlap WITHOUT
+    shuffling raw keys, operators/setops.py:theta_distinct_overlap)
+    surfaced as its BOUNDED ACCURACY CONTRACT (r12, rows-only → oracle
+    upgrade): the sketch estimates are engine-specific, so the registry
+    query emits the EXACT four cardinalities (one user-keyed flag agg →
+    1-row collapse) plus ok flags asserting each estimate lands within
+    8% relative (+2 absolute) — ~5x headroom over the 4096-entry theta
+    RSE (~1.6%), deliberate slack so the driver check is deterministic;
+    the tight bound lives in test_theta_overlap_near_exact. The two
+    1-row frames meet in a broadcast cross join (the sanctioned 1-row
+    pattern); the intersection's tolerance scales with the UNION (its
+    inclusion-exclusion error compounds all three sketches)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = setops.theta_distinct_overlap(
+        ev, "event_type", "view", "click", "user_id"
+    ).select(
+        F.col("n_a").alias("_ea"),
+        F.col("n_b").alias("_eb"),
+        F.col("n_union").alias("_eu"),
+        F.col("n_intersect").alias("_ei"),
+    )
+    flags = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("ha"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("hb"),
+        )
+    )
+    exact = flags.agg(
+        F.coalesce(F.sum("ha"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("hb"), F.lit(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.coalesce(
+            F.sum(F.when((F.col("ha") == 1) & (F.col("hb") == 1), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_intersect"),
+    )
+
+    def _ok(est, ex, scale):  # noqa: ANN001 - |est - exact| <= 8% + 2
+        e = F.coalesce(F.col(est), F.lit(0))
+        return F.abs(e - F.col(ex)) <= 0.08 * F.col(scale) + 2.0
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        _ok("_ea", "n_a", "n_a").alias("a_ok"),
+        _ok("_eb", "n_b", "n_b").alias("b_ok"),
+        _ok("_eu", "n_union", "n_union").alias("union_ok"),
+        _ok("_ei", "n_intersect", "n_union").alias("intersect_ok"),
     )
 
 
@@ -5566,6 +5660,35 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_kll_quantiles"] = q_kll_quantiles
 QUERIES["q_theta_overlap"] = q_theta_overlap
 QUERIES["q_kmv_overlap"] = q_kmv_overlap
+
+# The sketch-accuracy contracts (r12 upgrades): the oracle recomputes the
+# EXACT portable scalars and asserts the ok flags are TRUE — a hash match
+# means the engine's sketch estimates landed inside the documented
+# tolerance. The estimates themselves stay engine-specific by design.
+ORACLE_SQL["q_kll_quantiles"] = """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["q_theta_overlap"] = """
+    WITH f AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ha,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hb
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+        GROUP BY user_id
+    )
+    SELECT CAST(coalesce(sum(ha), 0) AS BIGINT) AS n_a,
+           CAST(coalesce(sum(hb), 0) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(coalesce(sum(CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_intersect,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS intersect_ok
+    FROM f
+"""
 
 
 def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,17 +88,24 @@ def kll_quantile_rollup(
     a proven error bound, partials merge associatively (map-side combine,
     AND across days/partitions of a gold table — store the sketch column,
     merge on read with kll_sketch_merge). Estimates are
-    sampling-randomized → rows-only contract; accuracy vs the exact
-    percentile is unit-tested."""
+    sampling-randomized → engine-specific; accuracy vs the exact
+    percentile is unit-tested, and the registry query surfaces the
+    bounded rank contract instead (q_kll_quantiles). An all-NULL group
+    yields a non-NULL EMPTY 8-byte sketch buffer that
+    ``kll_sketch_get_quantile_double`` REFUSES (r12 hostile-sweep find:
+    KLL_INVALID_INPUT_SKETCH_BUFFER on the nulls profile), so quantile
+    extraction is count-guarded — zero values → NULL quantiles."""
     sk = df.groupBy(group_col).agg(
-        F.kll_sketch_agg_double(F.col(value_col)).alias("sk")
+        F.kll_sketch_agg_double(F.col(value_col)).alias("sk"),
+        F.count(F.col(value_col)).alias("_n"),
     )
     return sk.select(
         F.col(group_col),
         *[
-            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(
-                f"p{str(p).replace('0.', '')}"
-            )
+            F.when(
+                F.col("_n") > 0,
+                F.kll_sketch_get_quantile_double("sk", F.lit(p)),
+            ).alias(f"p{str(p).replace('0.', '')}")
             for p in probs
         ],
     )

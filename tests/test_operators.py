@@ -4390,3 +4390,60 @@ def test_streaming_dq_gate_matches_reference_randomized(spark, tmp_path):
             "orders_totalprice_positive": (pos, pos == 0),
             "orders_totalprice_finite": (fin, fin == 0),
         }, (seed, got)
+
+
+def test_kll_rollup_all_null_group_yields_null_quantiles(spark):
+    """An all-NULL-value group produces a non-NULL EMPTY sketch buffer
+    that kll_sketch_get_quantile_double refuses (r12 hostile-sweep find)
+    — the rollup must count-guard it to NULL quantiles, not crash."""
+    from datalake_breweries_two_spark.operators.setops import kll_quantile_rollup
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), (None, None)],
+        "g string, v double",
+    )
+    out = {r["g"]: (r["p5"], r["p9"], r["p99"]) for r in
+           kll_quantile_rollup(df, "g", "v").collect()}
+    assert out["b"] == (None, None, None)
+    assert out[None] == (None, None, None)
+    assert all(x is not None for x in out["a"])
+
+
+def test_sketch_contract_queries_flags_and_exacts(spark, tmp_path):
+    """The upgraded sketch-contract queries emit exact portable scalars
+    plus TRUE tolerance flags on a planted lake: two overlapping user
+    populations for theta, a skewed value column (plus an all-NULL
+    group) for KLL."""
+    import os as _os
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rows = []
+    # users 1..10 view, 6..15 click -> a=10, b=10, union=15, intersect=5
+    for u in range(1, 11):
+        rows.append((u, u, "view", float(u), "{}"))
+    for u in range(6, 16):
+        rows.append((100 + u, u, "click", float(u) * 2, "{}"))
+    rows.append((200, None, "view", None, "{}"))       # NULL user ignored
+    rows.append((201, 1, "purchase", None, "{}"))      # all-NULL value type
+    lake = str(tmp_path / "lake")
+    _os.makedirs(lake, exist_ok=True)
+    spark.createDataFrame(
+        [(eid, "2024-01-01 00:00:00", uid, et, v, p) for eid, uid, et, v, p in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake, "events.parquet")
+    )
+    theta = eq.QUERIES["q_theta_overlap"](spark, lake).first()
+    assert (theta["n_a"], theta["n_b"], theta["n_union"], theta["n_intersect"]) == (
+        10, 10, 15, 5,
+    )
+    assert all(theta[k] for k in ("a_ok", "b_ok", "union_ok", "intersect_ok"))
+    kll = {r["event_type"]: r for r in eq.QUERIES["q_kll_quantiles"](spark, lake).collect()}
+    assert kll["view"]["n_rows"] == 10 and kll["purchase"]["n_rows"] == 0
+    for r in kll.values():
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]

@@ -5555,11 +5555,15 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = F.col("value")
 
+    # no NULL guard needed: a groupBy group has ≥1 row and the summed
+    # expression is otherwise(0), so sum() can never be NULL here
+    # (unlike q_theta_overlap's GLOBAL agg, whose empty-input coalesce
+    # is load-bearing)
     def _lt(b):  # noqa: ANN001 - Column
-        return F.coalesce(F.sum(F.when(v < b, 1).otherwise(0)), F.lit(0))
+        return F.sum(F.when(v < b, 1).otherwise(0))
 
     def _le(b):  # noqa: ANN001 - Column
-        return F.coalesce(F.sum(F.when(v <= b, 1).otherwise(0)), F.lit(0))
+        return F.sum(F.when(v <= b, 1).otherwise(0))
 
     agg = j.groupBy("event_type").agg(
         F.count("value").cast("long").alias("n_rows"),
@@ -9209,27 +9213,15 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    stage_dir = os.path.join(_SCRATCH, "docs_contam_stream")
-    (
-        docs.filter(F.col("doc_id") % 20 != 0)
-        .select(
-            "doc_id",
-            "text",
-            # synthetic ingest time, doc_id folded into one bounded day:
-            # raw doc_id seconds would overflow the timestamp µs range on
-            # int64-extreme ids (doc_id > 2^53 in the extremes profile)
-            F.timestamp_seconds(
-                F.lit(1_600_000_000) + F.pmod(F.col("doc_id"), F.lit(86_400))
-            ).alias("ingest_ts"),
-        )
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(stage_dir)
-    )
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string, ingest_ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
+    # shared staging scaffold (streaming/windows.py): synthetic bounded-day
+    # ingest_ts folded from doc_id (int64-extreme ids would overflow the
+    # timestamp µs range — the r11 extremes-profile find), 4 round-robin
+    # slices replayed one file per trigger
+    stream = stream_windows.stage_keyed_micro_batches(
+        spark,
+        docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
+        "doc_id",
+        os.path.join(_SCRATCH, "docs_contam_stream"),
     )
     exploded = stream.select(
         "doc_id",
@@ -9405,33 +9397,15 @@ def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    stage_dir = os.path.join(_SCRATCH, "orders_dq_stream")
-    (
-        orders.select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            # synthetic ingest time folded into one bounded day (raw key
-            # seconds would overflow timestamp µs range on int64-extreme
-            # ids); coalesce keeps NULL-key rows ABOVE the watermark —
-            # a NULL event time would be silently dropped by the
-            # watermarked aggregate while the batch oracle counts the row
-            F.timestamp_seconds(
-                F.lit(1_600_000_000)
-                + F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(86_400))
-            ).alias("ingest_ts"),
-        )
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(stage_dir)
-    )
-    stream = (
-        spark.readStream.schema(
-            "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
-            " ingest_ts timestamp"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
+    # shared staging scaffold (streaming/windows.py): synthetic bounded-day
+    # ingest_ts (NULL orderkeys coalesced so their rows survive the
+    # epoch-0 initial watermark — the batch oracle counts them), 4
+    # round-robin slices so duplicate keys cross trigger boundaries
+    stream = stream_windows.stage_keyed_micro_batches(
+        spark,
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey",
+        os.path.join(_SCRATCH, "orders_dq_stream"),
     )
     price = F.col("o_totalprice")
     flagged = stream.join(

@@ -431,6 +431,7 @@ def shard_data_card(
     from pyspark.sql import Window
 
     from .dedup import _tokens_expr
+    from .text import c4_low_quality_expr
     from .windows import range_prefix_sums
 
     t = F.col(text_col)
@@ -438,24 +439,23 @@ def shard_data_card(
         F.coalesce(F.size(_tokens_expr(text_col, "bpe")), F.lit(0))
         .cast("long")
     )
-    # rounded ONCE, compared on the rounded value in both engines (the
-    # double-rounding half-rule; same bar as source_data_card)
-    punct_ratio = F.round(
-        F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-        / F.greatest(F.length(t), F.lit(1)),
-        4,
-    )
-    low_q = (n_tokens < F.lit(min_tokens)) | (
-        punct_ratio > F.lit(max_punct_ratio)
+    # the SHARED C4-style bar (operators/text.py — one definition for
+    # both data cards); NULL text → n_tokens is a REAL 0 → low-quality
+    # (the null_text flag keeps the NULL punct_ratio branch from
+    # nulling the whole predicate)
+    low_q = c4_low_quality_expr(
+        text_col,
+        n_tokens,
+        min_tokens,
+        max_punct_ratio,
+        null_text_is_low_quality=True,
     )
     per_doc = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.col("source"),
         n_tokens.alias("n_tokens"),
         F.md5(t).alias("_fp"),
-        # NULL text → n_tokens is a REAL 0 → low-quality (fillna so the
-        # NULL punct_ratio branch cannot null the whole predicate)
-        F.coalesce(low_q, F.lit(True)).alias("_low_q"),
+        low_q.alias("_low_q"),
     )
     cum = range_prefix_sums(per_doc, id_col, ["n_tokens"])
     # EAGER checkpoint: the shard assignment feeds TWO aggregates (the

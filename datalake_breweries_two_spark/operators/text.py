@@ -219,6 +219,37 @@ def text_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+def c4_low_quality_expr(
+    text_col: str,
+    n_tokens: Column,
+    min_tokens: int,
+    max_punct_ratio: float,
+    null_text_is_low_quality: bool = False,
+) -> Column:
+    """The ONE definition of the cheap C4-style quality bar shared by the
+    per-source and per-shard data cards (r12 review: the punct-ratio
+    expression and bar composition were duplicated and could drift, and
+    both oracles encode them byte-for-byte): too few tokens, or
+    punctuation-saturated on the ratio rounded ONCE at 4dp — the rounded
+    value is what both engines compare (double-rounding half-rule).
+
+    ``n_tokens`` is caller-supplied because the two cards deliberately
+    count differently (whitespace vs BPE-ish tokens), as their oracles
+    do. ``null_text_is_low_quality`` encodes the cards' one deliberate
+    divergence: a NULL text's NULL ratio nulls the predicate, which the
+    per-source card counts as NOT low quality (CASE ... ELSE 0) while
+    the per-shard card coalesces to True (0 tokens < min on both
+    engines)."""
+    t = F.col(text_col)
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+        / F.greatest(F.length(t), F.lit(1)),
+        4,
+    )
+    low_q = (n_tokens < F.lit(min_tokens)) | (punct_ratio > F.lit(max_punct_ratio))
+    return F.coalesce(low_q, F.lit(True)) if null_text_is_low_quality else low_q
+
+
 def source_data_card(
     docs: DataFrame,
     min_tokens: int = 16,
@@ -249,16 +280,9 @@ def source_data_card(
     """
     t = F.col(text_col)
     n_tokens = whitespace_token_count(text_col)
-    # rounded ONCE, compared on the rounded value in both engines (the
-    # double-rounding half-rule)
-    punct_ratio = F.round(
-        F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-        / F.greatest(F.length(t), F.lit(1)),
-        4,
-    )
     # NULL text → NULL comparison → otherwise(0): counted as NOT low
     # quality, mirroring SQL's CASE WHEN ... THEN 1 ELSE 0 END
-    low_q = (n_tokens < F.lit(min_tokens)) | (punct_ratio > F.lit(max_punct_ratio))
+    low_q = c4_low_quality_expr(text_col, n_tokens, min_tokens, max_punct_ratio)
     # no raw text survives the projection: the md5 fingerprint is NULL
     # iff the text is NULL, so count(_fp) serves as the non-NULL-text
     # count and the aggregate input stays 16-bytes-per-doc wide

@@ -71,7 +71,10 @@ _PASSTHROUGH_NODES = (
     "InputAdapter",
     "WholeStageCodegen",
     "ColumnarToRow",
-    "ReusedExchange",
+    # ReusedExchange is deliberately NOT here: it is a LEAF reference
+    # node (the next printed line belongs to a sibling branch), resolved
+    # explicitly in _pid_window_input_bounded via its [plan_id=N]
+    # back-reference to the original exchange.
 )
 
 _AGG_KEYS_RE = re.compile(
@@ -92,12 +95,49 @@ def _pid_window_input_bounded(lines: list[str], i: int) -> bool:
     just the column NAME in the order spec — means a future unbounded
     global window ordered by something merely called ``_pid`` is flagged
     instead of hiding behind the known-benign pattern (r11 verdict #5).
+
+    Two walk details matter (r12 review find). A ``ReusedExchange`` in
+    the chain is a LEAF reference, not a wrapper — skipping it as
+    pass-through would read the NEXT printed line, which belongs to a
+    sibling branch of the tree (arbitrary verdict). It is resolved
+    instead: the reuse line re-prints the original's ``[plan_id=N]``,
+    so the walk jumps below that original node and continues;
+    unresolvable reuse returns False (flag loudly, never exempt on
+    guesswork). And the chain is walked to the end of the plan rather
+    than a fixed lookahead — deep AQE/codegen plumbing stacks can
+    exceed any small cap.
     """
-    for nxt in lines[i + 1 : i + 10]:
-        node = re.sub(r"^[\s+\-:*()0-9]*", "", nxt)
+    j = i + 1
+    seen: set[int] = set()
+    while j < len(lines):
+        if j in seen:  # defensive: plan_id cycles cannot happen, but
+            return False  # never loop forever on a malformed dump
+        seen.add(j)
+        node = re.sub(r"^[\s+\-:*()0-9]*", "", lines[j])
         if not node:
+            j += 1
+            continue
+        if node.startswith("ReusedExchange"):
+            pid = re.search(r"\[plan_id=(\d+)\]\s*$", node)
+            if not pid:
+                return False
+            suffix = f"[plan_id={pid.group(1)}]"
+            target = None
+            for k, cand in enumerate(lines):
+                c = re.sub(r"^[\s+\-:*()0-9]*", "", cand)
+                if (
+                    k != j
+                    and not c.startswith("ReusedExchange")
+                    and c.rstrip().endswith(suffix)
+                ):
+                    target = k
+                    break
+            if target is None:
+                return False
+            j = target + 1
             continue
         if node.startswith(_PASSTHROUGH_NODES):
+            j += 1
             continue
         m = _AGG_KEYS_RE.match(node)
         return bool(m and "_pid#" in m.group(1))

@@ -84,6 +84,44 @@ def windowed_event_counts(
     )
 
 
+def stage_keyed_micro_batches(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    dest_dir: str,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Stage a batch relation as a replayable micro-batch stream (the
+    shared scaffold behind the streaming gate queries — contamination,
+    DQ — extracted r12 so its hard-won subtleties live ONCE):
+
+    * a synthetic ``ingest_ts`` is appended, folded from ``key_col``
+      into one bounded day (``1_600_000_000 + pmod(key, 86_400)`` —
+      raw int64-extreme keys as seconds would overflow the timestamp
+      µs range, the r11 extremes-profile find), with NULL keys
+      coalesced to 0 so their rows stay ABOVE the stream's epoch-0
+      initial watermark instead of being silently dropped while the
+      batch oracle counts them;
+    * ``repartition(n_slices)`` round-robin staging, so duplicate keys
+      can land in different files and exercise cross-trigger state;
+    * the returned stream reads the staged parquet with the staged
+      relation's OWN schema (no inference) at ``maxFilesPerTrigger=1``.
+    """
+    staged = df.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(
+            F.lit(1_600_000_000)
+            + F.pmod(F.coalesce(F.col(key_col), F.lit(0)), F.lit(86_400))
+        ),
+    )
+    staged.repartition(n_slices).write.mode("overwrite").parquet(dest_dir)
+    return (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dest_dir)
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     stream_df: DataFrame,

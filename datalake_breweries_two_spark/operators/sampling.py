@@ -344,6 +344,37 @@ def class_balance_weights(
     )
 
 
+def token_shard_assignment(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document shard assignment — the (id, n_tokens, shard_id)
+    relation behind :func:`token_budget_shards`, exposed on its own
+    (r13) so downstream composites (the streaming shard-progress card)
+    can join a document stream to the PLAN without recomputing the
+    prefix sum. Same recurrence: ``shard_id = (cum_tokens - n_tokens)
+    DIV budget`` over the distributed prefix sum, NULL ids excluded."""
+    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
+    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
+
+    per_doc = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.coalesce(F.size(_tokens_expr(text_col, "bpe")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = range_prefix_sums(per_doc, id_col, ["n_tokens"])
+    return cum.select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr(f"(cum_n_tokens - n_tokens) div {int(budget_tokens)}").alias(
+            "shard_id"
+        ),
+    )
+
+
 def token_budget_shards(
     docs: DataFrame,
     budget_tokens: int,
@@ -364,23 +395,7 @@ def token_budget_shards(
     aggregate at any corpus size. Rows with a NULL id are excluded (a
     shard plan needs stable ids; mirrored in the oracle), and the
     ordering is total because ids are unique."""
-    from datalake_breweries_two_spark.operators.dedup import _tokens_expr
-    from datalake_breweries_two_spark.operators.windows import range_prefix_sums
-
-    per_doc = docs.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
-        F.coalesce(F.size(_tokens_expr(text_col, "bpe")), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    cum = range_prefix_sums(per_doc, id_col, ["n_tokens"])
-    sharded = cum.select(
-        F.col(id_col),
-        "n_tokens",
-        F.expr(f"(cum_n_tokens - n_tokens) div {int(budget_tokens)}").alias(
-            "shard_id"
-        ),
-    )
+    sharded = token_shard_assignment(docs, budget_tokens, id_col, text_col)
     return sharded.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("shard_tokens"),

@@ -111,6 +111,73 @@ def kll_quantile_rollup(
     )
 
 
+def kll_merge_on_read(
+    spark,
+    df: DataFrame,
+    group_col: str,
+    part_expr,
+    value_col: str,
+    gold_path: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Sketch-once / merge-forever, made PHYSICAL (r13 growth — the r12
+    plan's own candidate): per-(group, partition) KLL sketches are built
+    in ONE pass, persisted as a partitioned parquet gold table (the
+    sketch is just a binary column), then the rollup READS BACK the
+    stored sketch bytes and merges them per group with
+    ``kll_merge_agg_double`` — raw values are never re-scanned.
+
+    This is the 100 TB quantile story end-to-end: a new day lands → one
+    day-local sketch pass appends one partition of KB-sized state; every
+    later rollup (any group slice, any day range via partition pruning)
+    is a merge over sketch bytes. The exact `percentile` alternative
+    re-shuffles every raw value on every rollup.
+
+    Determinism contract: quantile ESTIMATES are sampling-randomized
+    (engine-specific), but the merged sketch's ``n`` is EXACT — it must
+    equal the raw count of non-NULL values, which is the hash-checkable
+    proof that the persisted partials covered every row exactly once.
+    Empty cells (a partition whose values are all NULL) produce the
+    empty 8-byte sketch buffer that the KLL merge/extract functions
+    REFUSE (the r12 nulls-profile find), so merge-on-read filters on
+    the stored ``n_values`` count — the gold table keeps the empty cells
+    (they carry the count), the merge just skips their buffers.
+
+    Returns (group, n_parts, sketch_n, p50/p90/p99...) — one row per
+    group that had ≥1 value.
+    """
+    cells = df.groupBy(F.col(group_col), part_expr.alias("part_key")).agg(
+        F.kll_sketch_agg_double(F.col(value_col)).alias("sk"),
+        F.count(F.col(value_col)).alias("n_values"),
+    )
+    # STATIC overwrite: the engine-wide dynamic partition-overwrite
+    # default (session.py) would keep partitions absent from this rebuild
+    # — correct for incremental appends, but this query REBUILDS the gold
+    # table from scratch, and a stale partition from a previous run (a
+    # different scale factor in the same scratch root) would silently
+    # merge into the rollup. Caught by the sf0.001→sf0.01 cross-run
+    # mismatch on first contact.
+    cells.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("part_key").parquet(gold_path)
+    gold = spark.read.parquet(gold_path)
+    merged = gold.filter(F.col("n_values") > 0).groupBy(group_col).agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return merged.select(
+        F.col(group_col),
+        F.col("n_parts"),
+        F.kll_sketch_get_n_double("sk").cast("long").alias("sketch_n"),
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(
+                f"p{str(p).replace('0.', '')}"
+            )
+            for p in probs
+        ],
+    )
+
+
 def theta_distinct_overlap(
     df: DataFrame, type_col: str, type_a: str, type_b: str, key_col: str
 ) -> DataFrame:

@@ -4599,3 +4599,191 @@ def test_windowexec_warning_demoted(spark):
         "org.apache.spark.sql.execution.window.WindowExec"
     )
     assert str(logger.getLevel()) == "ERROR"
+
+
+# --------------------------------------------------- r13 growth queries
+
+def _write_events_lake(spark, lake_dir, rows):
+    """Stage a minimal events lake: rows = (event_id, ts_string_or_None,
+    user_id, event_type, value)."""
+    import os as _os
+
+    _os.makedirs(lake_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake_dir, "events.parquet")
+    )
+
+
+def test_kll_rollup_merge_hand_computed(spark, tmp_path):
+    """Planted gold-partition shapes, every deterministic column pinned by
+    hand: a 3-day group plus a NULL-ts cell (4 merged parts), an
+    all-NULL-value group (0 parts — its empty sketch buffers must be
+    skipped, not crash the merge), and a NULL event_type group."""
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rows = []
+    # 'view': values 1..10 over days 01/02/03 -> 3 cells
+    for i in range(1, 11):
+        rows.append((i, f"2024-01-0{(i - 1) % 3 + 1} 00:00:00", 1, "view", float(i)))
+    # plus one NULL-ts row WITH a value -> a 4th (NULL-pk) cell
+    rows.append((11, None, 1, "view", 5.5))
+    # 'purchase': only NULL values -> empty sketch cells, skipped at merge
+    rows.append((20, "2024-01-01 00:00:00", 2, "purchase", None))
+    rows.append((21, "2024-01-02 00:00:00", 2, "purchase", None))
+    # NULL event_type: 2 values, 1 day
+    rows.append((30, "2024-01-05 00:00:00", 3, None, 1.0))
+    rows.append((31, "2024-01-05 12:30:00", 3, None, 2.0))
+    lake = str(tmp_path / "kll_lake")
+    _write_events_lake(spark, lake, rows)
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in eq.QUERIES["q_kll_rollup_merge"](spark, lake).collect()
+    }
+    assert got == {
+        "view": (11, 4, 11, "ok", "ok", "ok"),
+        "purchase": (0, 0, 0, "ok", "ok", "ok"),
+        None: (2, 1, 2, "ok", "ok", "ok"),
+    }
+
+
+def test_kll_rollup_merge_matches_reference_randomized(spark, tmp_path):
+    """Property check: over randomized events (NULL values, NULL ts, NULL
+    types, skewed days) the deterministic columns must equal a pure-
+    Python reference and every bounded-rank flag must read 'ok' (the ±5%
+    band has ~3x headroom over the merged sketch's rank-error bound)."""
+    import random
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(300):
+            et = rng.choice(["a", "b", "c", None])
+            ts = (
+                None
+                if rng.random() < 0.05
+                else f"2024-01-{rng.randint(1, 9):02d} "
+                f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00"
+            )
+            v = None if rng.random() < 0.15 else round(rng.uniform(0, 100), 3)
+            rows.append((i, ts, 1, et, v))
+        lake = str(tmp_path / f"kll_lake_{seed}")
+        _write_events_lake(spark, lake, rows)
+        got = {
+            r["event_type"]: tuple(r)[1:]
+            for r in eq.QUERIES["q_kll_rollup_merge"](spark, lake).collect()
+        }
+        days: dict = {}
+        counts: dict = {}
+        for _, ts, _, et, v in rows:
+            counts.setdefault(et, 0)
+            if v is not None:
+                counts[et] += 1
+                days.setdefault(et, set()).add(ts[:10] if ts else None)
+        want = {
+            et: (n, len(days.get(et, ())), n, "ok", "ok", "ok")
+            for et, n in counts.items()
+        }
+        assert got == want, (seed, got, want)
+
+
+def _write_docs_lake(spark, lake_dir, rows):
+    """Stage a minimal documents lake: rows = (doc_id, text)."""
+    import os as _os
+
+    _os.makedirs(lake_dir, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (i, t, "en", "src", len(t) if t is not None else None)
+            for i, t in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(lake_dir, "documents.parquet")
+    )
+
+
+def test_streaming_shard_progress_hand_computed(spark, tmp_path):
+    """Planted token counts, the exact start-offset shard boundary pinned
+    by hand: 600/600/600/250-token docs pack as shards {0: docs 1-2},
+    {1: docs 3-4}, a zero-token (NULL text) doc opens shard 2, and a
+    NULL-id row is excluded — drained state == the batch plan."""
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rows = [
+        (1, "a " * 600),
+        (2, "a " * 600),
+        (3, "a " * 600),
+        (4, "a " * 250),
+        (5, None),
+        (None, "a a a"),
+    ]
+    lake = str(tmp_path / "docs_lake")
+    _write_docs_lake(spark, lake, rows)
+    got = {
+        r["shard_id"]: tuple(r)[1:]
+        for r in eq.QUERIES["q_streaming_shard_progress"](spark, lake).collect()
+    }
+    assert got == {
+        0: (2, 1200, 1, 2),
+        1: (2, 850, 3, 4),
+        2: (1, 0, 5, 5),
+    }
+
+
+def test_streaming_shard_progress_matches_reference_randomized(spark, tmp_path):
+    """Property check: drained per-shard progress over randomized staged
+    documents (duplicate keys impossible — ids are unique — but texts mix
+    empty / NULL / İ-fold shapes across trigger boundaries) must equal an
+    independent Python reference of the prefix-sum shard plan."""
+    import random
+    import re as _re
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    tok_re = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0b]")
+
+    def n_tokens(text):
+        if text is None:
+            return 0
+        return len(tok_re.findall(text.replace("İ", "i").lower()))
+
+    vocab = ["aa", "b1", "!!", "İst", "dd ee"]
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(60):
+            roll = rng.random()
+            if roll < 0.08:
+                text = None
+            elif roll < 0.14:
+                text = ""
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 400))
+                )
+            rows.append((i, text))
+        rows.append((None, "aa bb"))
+        lake = str(tmp_path / f"docs_lake_{seed}")
+        _write_docs_lake(spark, lake, rows)
+        got = {
+            r["shard_id"]: tuple(r)[1:]
+            for r in eq.QUERIES["q_streaming_shard_progress"](spark, lake).collect()
+        }
+        want: dict = {}
+        cum = 0
+        for i, text in sorted(r for r in rows if r[0] is not None):
+            nt = n_tokens(text)
+            sid = cum // 1000
+            nd, st, fi, la = want.get(sid, (0, 0, i, i))
+            want[sid] = (nd + 1, st + nt, min(fi, i), max(la, i))
+            cum += nt
+        assert got == want, (seed, got, want)

@@ -401,6 +401,8 @@ SHUFFLE_BUDGET = {
     "q_shard_data_card": 5,     # checkpointed prefix-sum shard assign feeds shard distinct-agg (2) + (shard,source) cells (1) + mix window (1) + shard-keyed join (1)
     "q_streaming_contamination": 1,  # drained-sink snapshot agg; the stream itself shuffles only (doc_id, n_shingles) pairs
     "q_streaming_dq_gate": 2,   # drained-sink per-key snapshot agg + single-row audit collapse; the stream shuffles only integer quads
+    "q_kll_rollup_merge": 2,    # gold read-back merge agg (1) + the bounded-rank probe's group agg (1); the gold WRITE happens at build, events join the KB-scale estimates by broadcast
+    "q_streaming_shard_progress": 1,  # drained-sink per-shard snapshot agg; the stream shuffles only (shard_id, quad) state — the shard plan ships as an eager-checkpointed broadcast
     "q_pack_sequences": 1,      # only (id,group,count) crosses Arrow
     "q_repetition_stats": 3,
     "q_boilerplate_ngrams": 4,  # shingle agg + freq agg + semi-join

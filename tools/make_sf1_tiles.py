@@ -1,0 +1,109 @@
+"""Build a synthetic sf1 decade for the dedup/ANN scaling study (r13).
+
+/root/testdata stops at sf0.1, so the sf0.1 → sf1 decade of SCALING.md's
+ratio study needs a 10x corpus with the SAME statistical shape — naive
+10x replication would give every document 10 exact copies and explode the
+dup-cluster structure the near-dup tiers are sized by. Instead, sf1 is
+built as TEN DISJOINT TILES of the real sf0.1 tables:
+
+* documents: tile t applies a Caesar rotation by t to the LETTERS of the
+  text (digits, punctuation, whitespace untouched) and offsets doc_id by
+  t * 10^9. A letter rotation preserves character classes, token
+  boundaries, token counts, text lengths, punct ratios, and the exact /
+  near-dup structure WITHIN the tile bit-for-bit, while making every
+  cross-tile shingle distinct — so the sf1 corpus has exactly 10x the
+  volume and 10x the dup clusters of sf0.1, none of them cross-tile.
+* embeddings: tile t cyclically shifts the vector components by t and
+  offsets doc_id the same way. A cyclic shift preserves norms and every
+  within-tile dot product exactly; cross-tile cosines decorrelate.
+
+Output: /root/repo/.scaling/sf1/{documents,embeddings}.parquet (plus a
+pass-through events table if ever needed). Deterministic — no RNG.
+
+Usage:  python tools/make_sf1_tiles.py [out_root]
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalake_breweries_two_spark.session import build_session  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+N_TILES = 10
+ID_STRIDE = 10**9
+
+
+def caesar_maps(t: int) -> tuple[str, str]:
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    return (
+        lower + upper,
+        lower[t:] + lower[:t] + upper[t:] + upper[:t],
+    )
+
+
+def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
+    spark = build_session(app_name="make_sf1_tiles")
+    os.makedirs(out_root, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    tiles = []
+    for t in range(N_TILES):
+        src_chars, dst_chars = caesar_maps(t)
+        tiles.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(t * ID_STRIDE)).alias("doc_id"),
+                F.translate(F.col("text"), src_chars, dst_chars).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = tiles[0]
+    for tl in tiles[1:]:
+        out = out.unionByName(tl)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    vec = "embedding"
+    etiles = []
+    for t in range(N_TILES):
+        # cyclic shift by t: slice(v, t+1, n-t) || slice(v, 1, t)
+        shifted = F.concat(
+            F.slice(F.col(vec), t + 1, F.size(F.col(vec)) - t),
+            F.slice(F.col(vec), 1, t),
+        ) if t else F.col(vec)
+        etiles.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(t * ID_STRIDE)).alias("vec_id"),
+                shifted.alias(vec),
+                "label",
+            )
+        )
+    eout = etiles[0]
+    for tl in etiles[1:]:
+        eout = eout.unionByName(tl)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "embeddings.parquet")
+    )
+    # the study queries only read documents/embeddings; symlink the other
+    # tables at sf0.1 so _t() resolves whatever a plan happens to touch
+    for name in os.listdir(SRC):
+        dst = os.path.join(out_root, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, name), dst)
+    print("wrote", out_root)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

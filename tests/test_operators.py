@@ -267,6 +267,73 @@ def test_wav_codec_round_trip():
         multimodal.decode_wav(buf.getvalue())
 
 
+def test_bmp_codec_round_trip():
+    """REAL image codec (r13): encode_bmp → decode_bmp is lossless
+    (including the 4-byte row padding an odd width forces and the
+    bottom-up/top-down storage orders), and the analytic features of a
+    known gradient come out exactly."""
+    import struct
+
+    import numpy as np
+
+    w, h = 5, 4  # odd width -> 1 pad byte per stored row
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 50, y * 60, 128)
+    payload = multimodal.encode_bmp(img)
+    assert payload[:2] == b"BM"
+    w2, h2, back = multimodal.decode_bmp(payload)
+    assert (w2, h2) == (w, h) and (back == img).all()
+    feats = multimodal.bmp_features(payload)
+    assert feats["mean_r"] == img[:, :, 0].mean()
+    luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    assert abs(feats["brightness"] - luma.mean()) < 1e-9
+    # the gradient brightens left->right and top->bottom: the 2x2 tile
+    # vector must be strictly increasing in raster order
+    t = feats["feature"]
+    assert len(t) == 4 and t[0] < t[1] < t[2] < t[3]
+    # top-down storage (negative height) decodes to the flipped image
+    td = bytearray(payload)
+    struct.pack_into("<i", td, 22, -h)
+    _, _, flip = multimodal.decode_bmp(bytes(td))
+    assert (flip == img[::-1]).all()
+    # genuine codec boundaries, not silent corruption
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_bmp(b"PNG not a bmp")
+    bad_depth = bytearray(payload)
+    struct.pack_into("<H", bad_depth, 28, 8)  # 8-bit palette BMP
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_bmp(bytes(bad_depth))
+
+
+def test_extract_bmp_features_spark_plumbing(spark):
+    """The real BMP codec rides the same mapInPandas plumbing as the WAV
+    and stub paths: image rows with genuine BMP payloads decode
+    distributedly; non-image blobs are filtered JVM-side."""
+    import numpy as np
+
+    rows = []
+    for i, shade in enumerate([0, 100, 200]):
+        img = np.full((8, 8, 3), shade, dtype=np.uint8)
+        rows.append(
+            (i, "image", "image/bmp", 8, 8, 0, multimodal.encode_bmp(img))
+        )
+    rows.append((99, "audio", "audio/fake", 0, 0, 9, b"not-a-bmp"))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(2)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_bmp_features(media, grid=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for i, shade in enumerate([0, 100, 200]):
+        r = got[i]
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == float(shade)
+        assert abs(r["brightness"] - shade) < 1e-9
+        assert r["feature"] == [float(shade)] * 4
+
+
 def test_extract_wav_features_spark_plumbing(spark):
     """The real WAV codec rides the SAME mapInPandas plumbing as the stub
     path: audio rows with genuine RIFF payloads decode distributedly; the

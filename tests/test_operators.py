@@ -334,6 +334,42 @@ def test_extract_bmp_features_spark_plumbing(spark):
         assert r["feature"] == [float(shade)] * 4
 
 
+def test_codec_round_trip_properties():
+    """Hypothesis-style randomized round-trip properties for both real
+    codecs (seeded stdlib RNG — the hypothesis package is available but
+    a plain loop keeps the corpus deterministic): arbitrary float
+    samples encode→decode within 16-bit quantization for every channel
+    count, and arbitrary uint8 images (including 1×1 and odd widths
+    that force row padding) round-trip bit-exactly."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(99)
+    for _ in range(25):
+        n = rng.randint(1, 400)
+        nch = rng.choice([1, 2, 3])
+        sr = rng.choice([8000, 16000, 44100])
+        samples = [rng.uniform(-1.2, 1.2) for _ in range(n * nch)]  # clips
+        payload = multimodal.encode_wav(samples, sample_rate=sr, n_channels=nch)
+        got_sr, got_nch, x = multimodal.decode_wav(payload)
+        assert (got_sr, got_nch, len(x)) == (sr, nch, n)
+        # exact quantized reference: encode scales by 32767, decode
+        # normalizes by 32768 (the int16 PCM convention)
+        q = np.round(np.clip(np.array(samples), -1, 1) * 32767.0) / 32768.0
+        want = q.reshape(-1, nch).mean(axis=1)
+        assert np.abs(x - want).max() < 1e-12
+    for _ in range(25):
+        h, w = rng.randint(1, 17), rng.randint(1, 17)
+        img = np.array(
+            [[[rng.randint(0, 255) for _ in range(3)] for _ in range(w)]
+             for _ in range(h)],
+            dtype=np.uint8,
+        )
+        w2, h2, back = multimodal.decode_bmp(multimodal.encode_bmp(img))
+        assert (w2, h2) == (w, h) and (back == img).all()
+
+
 def test_extract_wav_features_spark_plumbing(spark):
     """The real WAV codec rides the SAME mapInPandas plumbing as the stub
     path: audio rows with genuine RIFF payloads decode distributedly; the

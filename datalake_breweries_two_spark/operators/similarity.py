@@ -201,10 +201,27 @@ def cosine_topk_lsh(
     )
 
 
+def auto_signature_planes(
+    n_vectors: int, target_occupancy: int = 16, lo: int = 8, hi: int = 24
+) -> int:
+    """Signature width that keeps LSH bucket occupancy ~constant as the
+    corpus grows: ``ceil(log2(n / target_occupancy))`` clamped to
+    [lo, hi] (the r13 SCALING.md decade finding — a FIXED width makes
+    candidate-verify work grow quadratically with corpus size, because
+    occupancy per bucket grows linearly and pairs per bucket
+    quadratically; measured 6.2 s → 2.0 s at 10x data by widening
+    8 → 14 planes/band with identical output)."""
+    import math
+
+    if n_vectors <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_occupancy))))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -220,6 +237,12 @@ def embedding_near_dup_pairs(
     verify, so precision is exact by construction; banding only affects
     recall.
 
+    ``n_planes=None`` sizes the signature from the corpus via
+    :func:`auto_signature_planes` (one driver-side ``count()`` job — the
+    r13 SCALING.md remediation for the fixed-width quadratic-candidate
+    decade finding). Declared registry queries pass an explicit width so
+    their DuckDB oracles recompute identical signatures.
+
     Scale shape: the per-band (id, band, sig) projection is NARROW (no
     vectors ride the explode); one (band, sig) equi-join produces pair
     ids, a distinct dedups pairs found by multiple bands, and only then
@@ -228,6 +251,8 @@ def embedding_near_dup_pairs(
     parallel vectors (scaled copies) agree on EVERY band because the
     sign of v·plane is scale-invariant, so recall for true duplicates
     is 1 regardless of banding."""
+    if n_planes is None:
+        n_planes = auto_signature_planes(embeddings.count())
     sig_cols = [
         _signature_expr(vec_col, n_planes, dim, plane_offset=band * n_planes)
         for band in range(n_bands)

@@ -334,6 +334,37 @@ def test_extract_bmp_features_spark_plumbing(spark):
         assert r["feature"] == [float(shade)] * 4
 
 
+def test_auto_signature_planes_and_recall(spark):
+    """The corpus-sized LSH signature width (r13 SCALING remediation):
+    the helper keeps bucket occupancy ~constant (width grows with
+    log2(corpus)), and n_planes=None still finds every planted parallel
+    pair — recall for true duplicates is banding-invariant."""
+    from datalake_breweries_two_spark.operators.similarity import (
+        auto_signature_planes,
+        embedding_near_dup_pairs,
+    )
+
+    assert auto_signature_planes(10) == 8          # tiny corpus -> lo clamp
+    assert auto_signature_planes(2_000) == 8       # 2k/16 = 125 -> ceil=7 -> lo
+    assert auto_signature_planes(20_000) == 11     # 1250 -> ceil(log2)=11
+    assert auto_signature_planes(20_000_000) == 21
+    assert auto_signature_planes(1 << 60) == 24    # hi clamp
+
+    emb = spark.range(64).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> cos(CAST(id * 37 + j AS DOUBLE))) AS embedding",
+    )
+    twins = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id + 1000 AS vec_id",
+        "transform(embedding, x -> x * 2.0D) AS embedding",
+    )
+    got = embedding_near_dup_pairs(
+        emb.unionByName(twins), threshold=0.99, n_planes=None, dim=8
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(i, i + 1000) for i in range(5)} <= pairs
+
+
 def test_codec_round_trip_properties():
     """Hypothesis-style randomized round-trip properties for both real
     codecs (seeded stdlib RNG — the hypothesis package is available but

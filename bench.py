@@ -402,7 +402,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    spark = build_session(app_name="bench", shuffle_partitions=cpus)
+    spark = build_session(
+        app_name="bench", shuffle_partitions=cpus, quiet_bounded_window_warn=True
+    )
 
     # Warmup: run every headline query once at the smallest SF so JVM JIT +
     # whole-stage-codegen compilation (dominant one-time costs for the wide

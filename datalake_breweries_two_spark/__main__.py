@@ -47,7 +47,10 @@ def _build_session(app_name: str):
         # crash.
         or getattr(SparkSession, "_instantiatedSession", None) is not None
     )
-    return build_session(app_name=app_name), not preexisting
+    return (
+        build_session(app_name=app_name, quiet_bounded_window_warn=True),
+        not preexisting,
+    )
 
 
 def _maybe_stop(spark, owns: bool) -> None:

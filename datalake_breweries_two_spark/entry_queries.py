@@ -9563,11 +9563,11 @@ def q_kll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT row count — must equal the raw non-NULL value count, proving
     the persisted partials covered every row exactly once through the
     parquet round-trip; (2) ``n_parts`` — the number of non-empty
-    minute cells merged — is recomputed by the oracle; (3) the merged
+    day cells merged — is recomputed by the oracle; (3) the merged
     quantile estimates surface as the same self-diagnosing bounded-rank
     flags as q_kll_quantiles (merging preserves KLL's k-based rank
     bound, so the ±5% band keeps its ~3x headroom). Empty cells (all
-    NULL values in a minute) stay in the gold table but their 8-byte
+    NULL values in a day) stay in the gold table but their 8-byte
     empty buffers are skipped at merge (the r12 nulls-profile find)."""
     ev = _t(spark, sf_dir, "events")
     est = setops.kll_merge_on_read(

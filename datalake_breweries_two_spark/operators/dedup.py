@@ -381,6 +381,49 @@ def _observe_dropped_sentinels(
     return observed.filter(F.col(size_col).isNull()).drop(size_col)
 
 
+def auto_band_rows(
+    n_docs: int,
+    threshold: float = 0.5,
+    target_occupancy: int = 16,
+    lo: int = 4,
+    hi: int = 12,
+) -> int:
+    """Corpus-sized LSH band width (rows per band) — the minhash twin of
+    :func:`similarity.auto_signature_planes` (r14, wiring the r13 decade
+    finding into this tier's defaults).
+
+    A FIXED band width is a scale trap: a pair at similarity j collides
+    in a band with probability j^r, so with r constant the candidate
+    volume from the sub-threshold similarity tail grows quadratically
+    with corpus size while true output grows linearly. Sizing r so that
+    ``n · threshold^r ≤ target_occupancy`` — i.e.
+    ``r = ceil(ln(n/occupancy) / ln(1/threshold))`` — bounds the
+    EXPECTED threshold-level collisions per document to ~occupancy even
+    in the worst case where every other document sits exactly at the
+    threshold. Clamped to [lo, hi]: below lo the S-curve is too flat to
+    discriminate, above hi signature-build cost (num_hashes = bands·r
+    hash evaluations per shingle on the xx path) dominates while the
+    j≤threshold tail is already suppressed ≥ 2^hi/2^lo ≈ 256x, and the
+    ``max_bucket`` cap + dropped-bucket Observation remain the backstop
+    for adversarial buckets.
+
+    The honest trade (inherent to banded LSH, not this sizing): with
+    bands fixed, growing r raises the S-curve midpoint (1/b)^(1/r)
+    toward 1, so recall AT the threshold boundary decays as the corpus
+    grows; exact dups (j=1) always collide, and holding
+    boundary-recall constant instead would need bands ∝ (1/t)^r —
+    exponential, i.e. no-free-lunch. Production dedup at 100 TB targets
+    high-j near-dups, where recall stays high."""
+    import math
+
+    if threshold <= 0.0 or threshold >= 1.0:
+        return lo
+    if n_docs <= target_occupancy:
+        return lo
+    r = math.ceil(math.log(n_docs / target_occupancy) / math.log(1.0 / threshold))
+    return max(lo, min(hi, r))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -484,7 +527,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int | None = None,
     bands: int = 16,
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
@@ -496,10 +539,20 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, est_jaccard ≥ threshold). The verify join ships
     signatures (num_hashes × 8 bytes) only for CANDIDATE ids, not the corpus.
 
+    ``num_hashes=None`` (production default since r14) sizes the band
+    width from the corpus — ``bands × auto_band_rows(count, threshold)``
+    (one driver-side ``count()`` job; see :func:`auto_band_rows` for the
+    quadratic-candidate rationale and the boundary-recall trade). Small
+    corpora (≤ 16·2^4 = 256 docs at t=0.5) resolve to the historical 64
+    (16 bands × 4 rows). Declared registry queries pass explicit widths
+    so their DuckDB oracles recompute identical signatures.
+
     ``hash_fn="portable"`` (with an İ-folded tokenizer) makes every stage
     — signature values, band buckets, agreement fractions — recomputable
     by a DuckDB oracle; production default stays xxhash64.
     """
+    if num_hashes is None:
+        num_hashes = bands * auto_band_rows(docs.count(), threshold)
     shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n, tokenizer)
     # The signature table feeds THREE consumers (banding + both sides of the
     # verify join). Eager localCheckpoint materializes it ONCE and truncates
@@ -754,7 +807,7 @@ def near_duplicates_verified(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int | None = None,
     bands: int = 8,
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
@@ -771,7 +824,14 @@ def near_duplicates_verified(
     ids. Returns (id_a, id_b, jaccard ≥ threshold) — exact values, LSH
     recall (pairs LSH never proposes are absent; raise num_hashes/bands for
     higher recall).
+
+    ``num_hashes=None`` (production default since r14) sizes the band
+    width from the corpus as ``bands × auto_band_rows(count, threshold)``
+    — see :func:`minhash_near_duplicates`; corpora ≤ 256 docs at t=0.5
+    resolve to the historical 32 (8 bands × 4 rows).
     """
+    if num_hashes is None:
+        num_hashes = bands * auto_band_rows(docs.count(), threshold)
     # checkpoint the exploded shingle table ONCE: both the signature
     # pipeline and the shingle-set agg consume it, and the window+distinct
     # shingler is the expensive common prefix (at 100 TB: a parquet stage)

@@ -127,24 +127,37 @@ WAV_FEATURE_SCHEMA = T.StructType(
 
 
 def encode_wav(
-    samples: "list[float]", sample_rate: int = 16000, n_channels: int = 1
+    samples: "list[float]",
+    sample_rate: int = 16000,
+    n_channels: int = 1,
+    sampwidth: int = 2,
 ) -> bytes:
-    """Encode float samples in [-1, 1] as 16-bit PCM WAV bytes (stdlib
-    ``wave`` writer) — the test-side twin of :func:`decode_wav`, and a
-    deterministic way to mint REAL media payloads without codec deps."""
+    """Encode float samples in [-1, 1] as PCM WAV bytes (stdlib ``wave``
+    writer) — the test-side twin of :func:`decode_wav`, and a
+    deterministic way to mint REAL media payloads without codec deps.
+    ``sampwidth`` 2 (16-bit, default) or 3 (24-bit packed little-endian —
+    the r14 codec-boundary widening's round-trip source)."""
     import io
     import wave
 
     import numpy as np
 
     arr = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm = (arr * 32767.0).round().astype("<i2")
+    if sampwidth == 2:
+        frames = (arr * 32767.0).round().astype("<i2").tobytes()
+    elif sampwidth == 3:
+        ints = (arr * 8388607.0).round().astype("<i4")
+        # pack each 32-bit int's low 3 little-endian bytes (two's
+        # complement survives truncation for values in 24-bit range)
+        frames = ints.astype("<u4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    else:
+        raise NotImplementedError(f"encode_wav sampwidth {sampwidth}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(n_channels)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(frames)
     return buf.getvalue()
 
 
@@ -153,23 +166,38 @@ def decode_wav(payload: bytes) -> "tuple[int, int, object]":
     float64 mono samples in [-1, 1]).
 
     Stdlib ``wave`` handles the chunk parsing; PCM widths 1 (unsigned),
-    2 and 4 (signed little-endian) decode via numpy. Multi-channel audio
-    downmixes by mean. 24-bit and compressed WAV raise
-    ``NotImplementedError`` — a genuine codec boundary, not a stub."""
+    2, 3 (packed 24-bit, r14) and 4 (signed little-endian) decode via
+    numpy. Multi-channel audio downmixes by mean. Anything else raises
+    ``NotImplementedError`` — a genuine codec boundary, not a stub — and
+    that includes non-PCM containers (IEEE-float fmt 3, ADPCM, …), which
+    ``wave.open`` itself rejects: its ``wave.Error`` is re-raised as
+    ``NotImplementedError`` so callers see ONE exception type at the
+    codec boundary (r14 ADVICE item)."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(f"unsupported WAV container: {e}") from e
     if width == 1:  # unsigned 8-bit PCM centered at 128
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 3:
+        # packed little-endian signed 24-bit (the most common PCM width
+        # after 16-bit): widen each 3-byte group into an int32 via a
+        # zero-padded 4th byte, then arithmetic-shift to sign-extend
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = b  # value lands in bits 8..31
+        x = (padded.view("<i4")[:, 0] >> 8).astype(np.float64) / 8388608.0
     elif width == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:

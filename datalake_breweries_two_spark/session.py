@@ -93,11 +93,22 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    quiet_bounded_window_warn: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) the shared tuned SparkSession.
 
     One session per process — the reference's 3-cold-JVMs-per-run pattern
     (SURVEY.md §3 "Critical deployment fact") is deliberately not replicated.
+
+    ``quiet_bounded_window_warn`` (r14, ADVICE item): the WindowExec
+    "No Partition Defined" WARN demotion is OPT-IN per caller —
+    bench/tests/CLI pass ``True`` (their only unpartitioned window is the
+    advisor-proof-gated ≤ n_parts-row offsets frame, so the warning is
+    pure cry-wolf there), while ad-hoc/interactive sessions keep the
+    genuine warning for user queries the declared-plan gate never sees.
+    ``None`` defers to env ``SPARK_GRAFT_QUIET_WINDOW_WARN`` (default off).
+    Note the demotion is JVM-logger-wide once applied: any opt-in caller
+    in the same process quiets subsequent sessions too.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
@@ -134,13 +145,20 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _silence_bounded_window_warning(spark)
+    if quiet_bounded_window_warn is None:
+        quiet_bounded_window_warn = (
+            os.environ.get("SPARK_GRAFT_QUIET_WINDOW_WARN", "0") == "1"
+        )
+    if quiet_bounded_window_warn:
+        _silence_bounded_window_warning(spark)
     return spark
 
 
 def _silence_bounded_window_warning(spark: SparkSession) -> None:
     """Demote WindowExec's "No Partition Defined" WARN to ERROR (r12
-    verdict item 4).
+    verdict item 4; opt-in per session since r14 — see ``build_session``'s
+    ``quiet_bounded_window_warn``, so interactive sessions keep the
+    warning for plans the advisor gate never reads).
 
     The only unpartitioned window any declared plan is ALLOWED to contain
     is ``range_prefix_sums``' per-partition offsets pass — a frame of

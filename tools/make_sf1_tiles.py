@@ -6,13 +6,20 @@ ratio study needs a 10x corpus with the SAME statistical shape — naive
 dup-cluster structure the near-dup tiers are sized by. Instead, sf1 is
 built as TEN DISJOINT TILES of the real sf0.1 tables:
 
-* documents: tile t applies a Caesar rotation by t to the LETTERS of the
-  text (digits, punctuation, whitespace untouched) and offsets doc_id by
-  t * 10^9. A letter rotation preserves character classes, token
-  boundaries, token counts, text lengths, punct ratios, and the exact /
-  near-dup structure WITHIN the tile bit-for-bit, while making every
-  cross-tile shingle distinct — so the sf1 corpus has exactly 10x the
-  volume and 10x the dup clusters of sf0.1, none of them cross-tile.
+* documents: tile t applies a Caesar rotation by t to the LETTERS AND
+  DIGITS of the text (punctuation/whitespace untouched; digits rotate
+  mod 10 since r14 — an ADVICE item: letter-only rotation left
+  digit-only tokens identical across tiles, so shingles made entirely
+  of such tokens were cross-tile dups beyond the designed structure)
+  and offsets doc_id by t * 10^9. The rotation preserves character
+  classes, token boundaries, token counts, text lengths, punct ratios,
+  and the exact / near-dup structure WITHIN the tile bit-for-bit, while
+  making every cross-tile shingle distinct unless it consists solely of
+  punctuation tokens (the one residual identity class — no rotation can
+  move punctuation without changing punct ratios; negligible for the
+  word-shingle tiers, which require alphanumeric tokens) — so the sf1
+  corpus has 10x the volume and 10x the dup clusters of sf0.1, none of
+  them cross-tile.
 * embeddings: tile t cyclically shifts the vector components by t and
   offsets doc_id the same way. A cyclic shift preserves norms and every
   within-tile dot product exactly; cross-tile cosines decorrelate.
@@ -43,9 +50,11 @@ ID_STRIDE = 10**9
 def caesar_maps(t: int) -> tuple[str, str]:
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
+    digits = string.digits
+    d = t % 10
     return (
-        lower + upper,
-        lower[t:] + lower[:t] + upper[t:] + upper[:t],
+        lower + upper + digits,
+        lower[t:] + lower[:t] + upper[t:] + upper[:t] + digits[d:] + digits[:d],
     )
 
 

@@ -416,3 +416,128 @@ def kmv_set_overlap(
         .cast("long")
         .alias("exact_intersect"),
     )
+
+
+def hll_merge_on_read(
+    spark,
+    df: DataFrame,
+    group_col: str,
+    part_expr,
+    key_col: str,
+    gold_path: str,
+) -> DataFrame:
+    """Sketch-once / merge-forever for DISTINCT COUNTS, made PHYSICAL
+    (r14 growth — the r13 plan's own candidate, completing the pair with
+    :func:`kll_merge_on_read`): per-(group, partition) portable-HLL
+    register vectors are built in ONE pass over the raw keys, persisted
+    as a partition-keyed parquet gold table (registers as a sparse
+    ``map<bucket, reg>`` column — the "sketch bytes"; plus the cell's
+    exact non-NULL key-row count), then the rollup READS BACK the stored
+    registers and merges them per group by register-wise MAX — raw keys
+    are never re-scanned.
+
+    This is the 100 TB distinct-count story end-to-end: a new day lands →
+    one day-local register pass appends one partition of ≤ m=256-entry
+    state; every later rollup (any group slice, any day range via
+    partition pruning) is a max-merge over stored registers. The exact
+    ``count_distinct`` alternative re-shuffles every raw key on every
+    rollup.
+
+    Unlike the Datasketches tier (:func:`hll_partitioned_distinct`,
+    rows-only by nature), EVERY output here is cross-engine checkable:
+    the md5-derived registers, the merged max, the integer-exact harmonic
+    denominator, and the estimate reuse :func:`hll_union_portable`'s
+    textbook construction, so a DuckDB oracle recomputes the whole
+    lifecycle from the raw table. Two physical-coverage proofs ride
+    along, both exact: ``n_rows_covered`` = Σ per-cell counts over the
+    read-back gold table must equal the raw non-NULL key-row count
+    (a lost/stale/duplicated gold partition breaks the sum — the same
+    proof shape as kll_merge_on_read's ``sketch_n``), and ``n_parts`` =
+    the number of persisted cells merged.
+
+    Returns (group, n_parts, n_rows_covered, n_used, hll_estimate,
+    exact_distinct, abs_rel_err) — ``exact_distinct`` is the sf-scale
+    error probe a production rollup would drop.
+    """
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        part_expr.alias("part_key"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    bucket, rho, _ = _hll_register_exprs()
+    cells = (
+        keyed.select("g", "part_key", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "part_key", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("_n"))
+        .groupBy("g", "part_key")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bucket", "reg")))
+            ).alias("registers"),
+            F.sum("_n").alias("n_values"),
+        )
+    )
+    # STATIC overwrite for the same reason as kll_merge_on_read: this
+    # query REBUILDS the gold table; the session-wide dynamic default
+    # would silently keep stale partitions from a previous run at a
+    # different scale factor in the same scratch root.
+    cells.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("part_key").parquet(gold_path)
+    gold = spark.read.parquet(gold_path)
+    merged = (
+        gold.select(
+            "g",
+            F.col("n_values"),
+            F.explode(F.col("registers")).alias("bucket", "reg"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_used"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).alias(
+                "s_present"
+            ),
+        )
+    )
+    coverage = gold.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n_values").cast("long").alias("n_rows_covered"),
+    )
+    exact = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g2"))
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
+    )
+    m = HLL_M
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_used")).cast("long") * F.lit(1 << 53).cast("long")
+    )
+    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    v_zero = F.lit(m) - F.col("n_used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    coverage = coverage.withColumnRenamed("g", "g3")
+    return (
+        # eqNullSafe twice: a NULL group key is a real group in all three
+        # branches (the nulls hostile profile)
+        merged.join(coverage, merged["g"].eqNullSafe(coverage["g3"]))
+        .join(exact, merged["g"].eqNullSafe(exact["g2"]))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_parts"),
+            F.col("n_rows_covered"),
+            F.col("n_used"),
+            est.alias("hll_estimate"),
+            F.col("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("abs_rel_err"),
+        )
+    )

@@ -202,7 +202,7 @@ def cosine_topk_lsh(
 
 
 def auto_signature_planes(
-    n_vectors: int, target_occupancy: int = 16, lo: int = 8, hi: int = 24
+    n_vectors: int, target_occupancy: int = 2, lo: int = 8, hi: int = 32
 ) -> int:
     """Signature width that keeps LSH bucket occupancy ~constant as the
     corpus grows: ``ceil(log2(n / target_occupancy))`` clamped to
@@ -210,7 +210,21 @@ def auto_signature_planes(
     candidate-verify work grow quadratically with corpus size, because
     occupancy per bucket grows linearly and pairs per bucket
     quadratically; measured 6.2 s → 2.0 s at 10x data by widening
-    8 → 14 planes/band with identical output)."""
+    8 → 14 planes/band with identical output).
+
+    ``target_occupancy=2`` (r14, was 16): the default-path decade re-run
+    showed occupancy-16 widths leave ~n·8 candidate pairs for the exact
+    verify, whose higher-order-function cosine is interpreted per
+    element — at the sf1 tile corpus the 11-plane auto width read 3.55 s
+    vs 1.28 s at 14 planes for identical output. Occupancy ~2 makes
+    expected false-pair volume ~n (one extra signature bit halves it)
+    while exact-duplicate recall is width-invariant; near-dup recall at
+    the threshold boundary is the ``n_bands`` knob's job, not width's.
+    ``hi=32`` (was 24): a 10⁹-vector corpus needs 29 planes to hold
+    occupancy 2, and the per-plane signature cost is one codegen'd
+    64-mult dot per row — linear, amortized at any scale where the
+    clamp would bind (the old 24 existed for test-scale JIT cost, which
+    the lo clamp already bounds)."""
     import math
 
     if n_vectors <= target_occupancy:
@@ -255,6 +269,17 @@ def embedding_near_dup_pairs(
     sign of v·plane is scale-invariant, so recall for true duplicates
     is 1 regardless of banding."""
     if n_planes is None:
+        # Auto path (production default): materialize the narrow (id, vec)
+        # projection ONCE — the plan otherwise re-derives the input lineage
+        # four times (count job, banded explode, and both verify sides),
+        # which the r14 decade measurement showed dominating the sf1 cost
+        # (the same single-materialization discipline as the minhash tier's
+        # signature checkpoint; at 100 TB: a parquet stage). Declared
+        # registry queries pass an explicit width and keep their exact
+        # pre-r14 plan.
+        embeddings = embeddings.select(
+            F.col(id_col), F.col(vec_col)
+        ).localCheckpoint(eager=True)
         n_planes = auto_signature_planes(embeddings.count())
     sig_cols = [
         _signature_expr(vec_col, n_planes, dim, plane_offset=band * n_planes)

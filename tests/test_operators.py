@@ -359,11 +359,13 @@ def test_auto_signature_planes_and_recall(spark):
         embedding_near_dup_pairs,
     )
 
+    # r14 pins: target_occupancy 2 (expected false-pair volume ~n under
+    # the interpreted-HOF verify), hi 32 (occupancy 2 up to ~8.6e9 vectors)
     assert auto_signature_planes(10) == 8          # tiny corpus -> lo clamp
-    assert auto_signature_planes(2_000) == 8       # 2k/16 = 125 -> ceil=7 -> lo
-    assert auto_signature_planes(20_000) == 11     # 1250 -> ceil(log2)=11
-    assert auto_signature_planes(20_000_000) == 21
-    assert auto_signature_planes(1 << 60) == 24    # hi clamp
+    assert auto_signature_planes(2_000) == 10      # ceil(log2(1000))
+    assert auto_signature_planes(20_000) == 14     # ceil(log2(10000))
+    assert auto_signature_planes(20_000_000) == 24
+    assert auto_signature_planes(1 << 60) == 32    # hi clamp
 
     emb = spark.range(64).selectExpr(
         "id AS vec_id",

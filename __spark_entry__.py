@@ -83,7 +83,12 @@ def _driver_checked() -> set[str]:
 # forever. They are interleaved INSIDE the first ~50 so each finally gets
 # a recorded `spark_rows` run (`err: no_oracle` is the expected result).
 _ROWS_ONLY_INTERLEAVE = [
-    "q_hll_partitioned",
+    # q_hll_partitioned left this list in r14: the declared query now
+    # surfaces the bounded accuracy contract (deterministic n_parts +
+    # exact counts + self-diagnosing tolerance flag), giving it a full
+    # oracle; its physical merge-on-read twin q_hll_rollup_merge makes
+    # even the estimate hash-checkable via portable md5 registers
+    # (the guard below would drop it anyway)
     # q_ivf_assign left this list in r7: it gained a full oracle (the
     # md5-portable centroid seeding made the whole IVF tier
     # DuckDB-recomputable; the guard below would drop it anyway)

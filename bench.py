@@ -132,6 +132,8 @@ HEADLINE = [
     "q_streaming_contamination",
     "q_streaming_dq_gate",
     "q_kll_rollup_merge",
+    "q_hll_rollup_merge",
+    "q_wav_decode",
     "q_streaming_shard_progress",
     "q_bm25",
     "q_token_entropy",
@@ -248,7 +250,7 @@ QUIET_HOST_REF_SEC = {
     "q_gold_agg": 0.22,
     "q_grouping_sets": 0.26,
     "q_hash_split": 0.11,
-    "q_hll_partitioned": 0.18,
+    "q_hll_partitioned": 0.34,  # r14 plan-change re-base 0.18 -> 0.34: the rows-only -> oracle contract upgrade added the exact count_distinct probe (standalone min-of-4 0.341)
     "q_hll_union_portable": 0.57,  # r8 protocol-context reading
     "q_kmv_overlap": 0.6,  # r8 quiet protocol reading
     "q_vocab_coverage": 1.04,  # r9: corpus token agg + prefix-rank + checkpointed milestone aggs
@@ -258,6 +260,8 @@ QUIET_HOST_REF_SEC = {
     "q_shard_data_card": 1.15,  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
+    "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
+    "q_wav_decode": 0.66,  # r14 first entry: 24-payload real-codec decode through mapInPandas (standalone min-of-4 0.659)
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
     "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)
     "q_impute_group_mean": 0.19,

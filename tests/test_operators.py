@@ -4983,3 +4983,207 @@ def test_streaming_shard_progress_matches_reference_randomized(spark, tmp_path):
             want[sid] = (nd + 1, st + nt, min(fi, i), max(la, i))
             cum += nt
         assert got == want, (seed, got, want)
+
+
+# --------------------------------------------------- r14 growth queries
+
+def _portable_hll_reference(pairs):
+    """Pure-Python portable-HLL reference (hashlib md5, the same register
+    rule as setops._hll_register_exprs): pairs = [(group, key), ...] with
+    keys already stringified; returns {group: (n_used, estimate)}."""
+    import hashlib
+    import math
+
+    from datalake_breweries_two_spark.operators.setops import (
+        HLL_M,
+        HLL_NUMERATOR,
+    )
+
+    regs: dict = {}
+    for g, k in pairs:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        sub = h[2:15]
+        stripped = sub.lstrip("0")
+        if not stripped:
+            rho = 53
+        else:
+            nz = (13 - len(stripped)) * 4
+            first = stripped[0]
+            within = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+                first, 0
+            )
+            rho = nz + within + 1
+        r = regs.setdefault(g, {})
+        r[bucket] = max(r.get(bucket, 0), rho)
+    out = {}
+    for g, r in regs.items():
+        n_used = len(r)
+        s = sum(1 << (53 - reg) for reg in r.values()) + (HLL_M - n_used) * (1 << 53)
+        raw = HLL_NUMERATOR / float(s)
+        v_zero = HLL_M - n_used
+        if raw <= 2.5 * HLL_M and v_zero > 0:
+            est = float(HLL_M) * math.log(float(HLL_M) / float(v_zero))
+        else:
+            est = raw
+        out[g] = (n_used, est)
+    return out
+
+
+def test_hll_rollup_merge_hand_computed(spark, tmp_path):
+    """The physical merge-on-read HLL rollup (r14 growth), deterministic
+    columns pinned by hand on planted gold-partition shapes: a 3-day
+    group with repeated users + a NULL-ts cell, an all-NULL-user group
+    (no cells at all — absent from the output, matching the oracle), a
+    NULL event_type group; and the ESTIMATE pinned against the pure-
+    Python md5-register reference (not just another Spark path)."""
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rows = []
+    # 'view': user 1 repeated every day plus users {2,3},{4,5},{6,7} per
+    # day, plus one NULL-ts row for user 6 -> 4 cells, 10 rows, 7 distinct
+    for d in (1, 2, 3):
+        rows.append((d * 10, f"2024-01-0{d} 08:00:00", 1, "view", 0.0))
+        rows.append((d * 10 + 1, f"2024-01-0{d} 09:00:00", d * 2, "view", 0.0))
+        rows.append((d * 10 + 2, f"2024-01-0{d} 10:00:00", d * 2 + 1, "view", 0.0))
+    rows.append((99, None, 6, "view", 0.0))
+    # 'purchase': only NULL user_ids -> no keyed rows, no cells, NO row out
+    rows.append((200, "2024-01-01 00:00:00", None, "purchase", 1.0))
+    # NULL event_type: 2 users, 1 day
+    rows.append((300, "2024-01-05 00:00:00", 7, None, 1.0))
+    rows.append((301, "2024-01-05 12:00:00", 8, None, 1.0))
+    lake = str(tmp_path / "hll_lake")
+    _write_events_lake(spark, lake, rows)
+    got = {
+        r["event_type"]: r
+        for r in eq.QUERIES["q_hll_rollup_merge"](spark, lake).collect()
+    }
+    assert set(got) == {"view", None}
+    assert (got["view"]["n_parts"], got["view"]["n_rows_covered"]) == (4, 10)
+    assert got["view"]["exact_distinct"] == 7
+    assert (got[None]["n_parts"], got[None]["n_rows_covered"]) == (1, 2)
+    assert got[None]["exact_distinct"] == 2
+    ref = _portable_hll_reference(
+        [("view", u) for u in (1, 2, 3, 4, 5, 6, 7, 6)] + [(None, 7), (None, 8)]
+    )
+    for g in ("view", None):
+        assert got[g]["n_used"] == ref[g][0]
+        assert abs(got[g]["hll_estimate"] - ref[g][1]) < 1e-3
+
+
+def test_hll_rollup_merge_matches_reference_randomized(spark, tmp_path):
+    """Property check: over randomized events (NULL users, NULL ts, NULL
+    types, skewed days) every column of the physical rollup must equal
+    the pure-Python register reference + exact Python recounts — and the
+    parquet round-trip must be invisible (the in-memory portable rollup
+    hll_union_portable agrees estimate-for-estimate)."""
+    import random
+
+    from datalake_breweries_two_spark import entry_queries as eq
+    from datalake_breweries_two_spark.operators import setops
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(400):
+            et = rng.choice(["a", "b", None])
+            ts = (
+                None
+                if rng.random() < 0.06
+                else f"2024-02-{rng.randint(1, 9):02d} "
+                f"{rng.randint(0, 23):02d}:00:00"
+            )
+            u = None if rng.random() < 0.12 else rng.randint(1, 120)
+            rows.append((i, ts, u, et, 0.0))
+        lake = str(tmp_path / f"hll_lake_{seed}")
+        _write_events_lake(spark, lake, rows)
+        got = {
+            r["event_type"]: r
+            for r in eq.QUERIES["q_hll_rollup_merge"](spark, lake).collect()
+        }
+        days: dict = {}
+        users: dict = {}
+        n_rows: dict = {}
+        pairs = []
+        for _, ts, u, et, _v in rows:
+            if u is None:
+                continue
+            days.setdefault(et, set()).add(ts[:10] if ts else None)
+            users.setdefault(et, set()).add(u)
+            n_rows[et] = n_rows.get(et, 0) + 1
+            pairs.append((et, u))
+        ref = _portable_hll_reference(pairs)
+        assert set(got) == set(n_rows)
+        for et in n_rows:
+            assert got[et]["n_parts"] == len(days[et]), (seed, et)
+            assert got[et]["n_rows_covered"] == n_rows[et], (seed, et)
+            assert got[et]["exact_distinct"] == len(users[et]), (seed, et)
+            assert got[et]["n_used"] == ref[et][0], (seed, et)
+            assert abs(got[et]["hll_estimate"] - ref[et][1]) < 1e-3, (seed, et)
+
+
+def test_hll_partitioned_contract_upgrade(spark, tmp_path):
+    """q_hll_partitioned's r14 rows-only -> oracle upgrade: deterministic
+    n_parts (cells INCLUDE all-NULL-user days — the sketch cell exists)
+    and exact counts pinned by hand, and the Datasketches estimate lands
+    inside the declared 0.15·exact + 2 band ('ok' flag) on every group,
+    including an all-NULL-user group whose estimate coalesces to 0."""
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rows = []
+    for d in (1, 2):
+        for u in range(5):
+            rows.append((d * 100 + u, f"2024-03-0{d} 06:00:00", u, "view", 0.0))
+    rows.append((900, None, 99, "view", 0.0))       # NULL-day cell
+    rows.append((901, "2024-03-01 00:00:00", None, "err", 0.0))  # all-NULL users
+    rows.append((902, "2024-03-05 00:00:00", 3, None, 0.0))      # NULL type
+    lake = str(tmp_path / "hllp_lake")
+    _write_events_lake(spark, lake, rows)
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in eq.QUERIES["q_hll_partitioned"](spark, lake).collect()
+    }
+    assert got == {
+        "view": (3, 6, "ok"),   # days 01,02,NULL; users 0-4 + 99
+        "err": (1, 0, "ok"),    # one cell, zero distinct users, est->0
+        None: (1, 1, "ok"),
+    }
+
+
+def test_wav_decode_query_analytic_pins(spark):
+    """q_wav_decode (r14 growth): every row of the declared query must
+    equal the analytic expectation computed HERE from the spec with
+    exact rational arithmetic (Fraction — independent of both numpy's
+    decode math and the DuckDB oracle): rms = peak = envelope = the
+    PCM-quantized magnitude, zcr exactly 0 (constant) or 1 (period-2
+    alternation), integer duration. Covers both sample widths (16/24
+    bit), both channel layouts, and the stereo downmix."""
+    from fractions import Fraction
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    got = {r["media_id"]: r for r in eq.QUERIES["q_wav_decode"](spark, None).collect()}
+    assert len(got) == 24
+    for i, width, nch, kind, amp, ns, sr in eq._wav_corpus_spec():
+        full = 1 << (8 * width - 1)
+        a = Fraction(i + 1, 32)
+
+        def q(x):
+            # numpy half-even rounding of x*(full-1); ties in this spec
+            # land on odd floors where half-even == half-away (asserted)
+            scaled = x * (full - 1)
+            fl = scaled.numerator // scaled.denominator
+            frac = scaled - fl
+            if frac == Fraction(1, 2):
+                assert fl % 2 == 1, "tie on even floor would diverge"
+                return Fraction(fl + 1, full)
+            return Fraction(round(float(scaled)), full)
+
+        mag = (q(a) + q(a / 2)) / 2 if nch == 2 else q(a)
+        r = got[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (sr, nch, ns)
+        assert r["duration_ms"] == ns // 8
+        want = round(float(mag) * 10**4 + 0.5 * 10**-9) / 10**4  # HALF_UP at 4dp
+        for col in ("rms", "peak", "env0", "env1", "env2", "env3"):
+            assert abs(r[col] - want) < 1e-12, (i, col, r[col], want)
+        assert r["zcr"] == (0.0 if kind == "const" else 1.0), i

@@ -412,7 +412,9 @@ SHUFFLE_BUDGET = {
     "q_quantize_embeddings": 0, # pure projections
     "q_kmeans_1d": 1,
     "q_chunk_documents": 0,
-    "q_hll_partitioned": 2,     # partial sketches + merge
+    "q_hll_partitioned": 4,     # partial sketches + merge (2) + the r14 contract upgrade's exact count_distinct probe (2); estimate side joins back by broadcast
+    "q_hll_rollup_merge": 5,    # register build (g,part,bucket) + cell agg (g,part) at gold-write; read-back merge (g,bucket)->(g) + coverage (g) + exact probe — everything after stage 1 moves <=256 registers/cell
+    "q_wav_decode": 0,          # driver-minted bounded corpus -> mapInPandas decode; no exchange
     "q_hll_union_portable": 5,  # register build/merge/rollup + exact-probe distinct pair; post-stage-1 volume is O(groups x 256 registers)
     "q_kmv_overlap": 6,         # one (tag,hash) distinct + per-set TakeOrderedAndProject min-k heaps + union-sketch distinct + exact-probe distinct pair; every post-stage-1 exchange moves <=2k sketch rows
     "q_bm25": 6,                # tf/df/len aggs over ONE text scan (plan-tested)

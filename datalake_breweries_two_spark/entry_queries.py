@@ -9999,7 +9999,7 @@ ORACLE_SQL["q_wav_decode"] = """
            CAST(ns / 8 AS INT) AS duration_ms,
            round(mag, 4) AS rms,
            round(mag, 4) AS peak,
-           CASE WHEN is_const THEN 0.0 ELSE 1.0 END AS zcr,
+           CAST(CASE WHEN is_const THEN 0.0 ELSE 1.0 END AS DOUBLE) AS zcr,
            round(mag, 4) AS env0, round(mag, 4) AS env1,
            round(mag, 4) AS env2, round(mag, 4) AS env3
     FROM m

@@ -27,6 +27,7 @@ ARROW_PYTHON_OK = {
     "q_streaming_sessionize",
     "q_pack_sequences",
     "q_udtf_chunk",  # ArrowEvalPythonUDTF — the lateral table-function API
+    "q_wav_decode",  # r14: the REAL-codec decode IS the declared Python stage
 }
 
 # Streaming queries produce no batch plan to inspect the same way.

@@ -24,8 +24,15 @@ built as TEN DISJOINT TILES of the real sf0.1 tables:
   offsets doc_id the same way. A cyclic shift preserves norms and every
   within-tile dot product exactly; cross-tile cosines decorrelate.
 
-Output: /root/repo/.scaling/sf1/{documents,embeddings}.parquet (plus a
-pass-through events table if ever needed). Deterministic — no RNG.
+* facts (r14): events/orders/lineitem/customer tile by offsetting every
+  ENTITY key (event/user/order/customer id) per tile — per-entity
+  structure preserved within a tile, disjoint across tiles; timestamps,
+  measures, and the shared dims (nation/region/supplier/part, still
+  symlinked) untouched. 10x facts over fixed dims in a fixed time
+  window — day-cell COUNTS constant, cell CONTENTS 10x.
+
+Output: /root/repo/.scaling/sf1/{documents,embeddings,events,orders,
+lineitem,customer}.parquet (+ symlinked dims). Deterministic — no RNG.
 
 Usage:  python tools/make_sf1_tiles.py [out_root]
 """
@@ -61,6 +68,13 @@ def caesar_maps(t: int) -> tuple[str, str]:
 def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
     spark = build_session(app_name="make_sf1_tiles")
     os.makedirs(out_root, exist_ok=True)
+    # SAFETY: a previous build symlinked fact tables to the read-only
+    # /root/testdata; writing "through" such a symlink would hit the
+    # target. Unlink every symlink before any write.
+    for name in os.listdir(out_root):
+        p = os.path.join(out_root, name)
+        if os.path.islink(p):
+            os.unlink(p)
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     tiles = []
@@ -104,8 +118,102 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
     eout.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_root, "embeddings.parquet")
     )
-    # the study queries only read documents/embeddings; symlink the other
-    # tables at sf0.1 so _t() resolves whatever a plan happens to touch
+    # r14: fact-table tiles so the behavioral/relational tiers get a real
+    # second decade too (events/orders/lineitem/customer were symlinks to
+    # sf0.1 before, which made any decade reading over them meaningless).
+    # Tiling discipline: tile t offsets every ENTITY key (event/user/
+    # order/customer ids) by t * a per-entity stride so per-entity
+    # structure (sessions per user, lineitems per order, orders per
+    # customer) is preserved bit-for-bit within a tile and disjoint
+    # across tiles; timestamps, types, measures, and the SHARED dimension
+    # tables (nation/region/supplier/part) stay untouched — 10x facts
+    # over fixed dims and a fixed time window is exactly how a real lake
+    # grows, and it keeps day-cell COUNTS constant while cell CONTENTS
+    # grow 10x (the merge-on-read gold-table stress case).
+    USER_STRIDE = 10**7
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    vtiles = []
+    for t in range(N_TILES):
+        vtiles.append(
+            ev.select(
+                (F.col("event_id") + F.lit(t * ID_STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(t * USER_STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    vout = vtiles[0]
+    for tl in vtiles[1:]:
+        vout = vout.unionByName(tl)
+    vout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "events.parquet")
+    )
+
+    cust = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+    ctiles = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(t * ID_STRIDE)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        for t in range(N_TILES)
+    ]
+    cout = ctiles[0]
+    for tl in ctiles[1:]:
+        cout = cout.unionByName(tl)
+    cout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "customer.parquet")
+    )
+
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    otiles = [
+        orders.select(
+            (F.col("o_orderkey") + F.lit(t * ID_STRIDE)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(t * ID_STRIDE)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for t in range(N_TILES)
+    ]
+    oout = otiles[0]
+    for tl in otiles[1:]:
+        oout = oout.unionByName(tl)
+    oout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "orders.parquet")
+    )
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    ltiles = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(t * ID_STRIDE)).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        for t in range(N_TILES)
+    ]
+    lout = ltiles[0]
+    for tl in ltiles[1:]:
+        lout = lout.unionByName(tl)
+    lout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_root, "lineitem.parquet")
+    )
+
+    # remaining tables (nation/region/supplier/part) are shared dims;
+    # symlink them at sf0.1 so _t() resolves whatever a plan touches
     for name in os.listdir(SRC):
         dst = os.path.join(out_root, name)
         if not os.path.exists(dst):

@@ -261,7 +261,7 @@ QUIET_HOST_REF_SEC = {
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
     "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
-    "q_wav_decode": 0.82,  # r14 first entry at protocol-context median (0.72/0.82/1.02 across the three entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, so expect q_udtf_chunk-style host-phase spread
+    "q_wav_decode": 0.90,  # r14 first entry at the protocol-context band center (0.72/0.82/1.02 quiet + 1.19 noisy across the four entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, same host-phase spread as q_udtf_chunk
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
     "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)
     "q_impute_group_mean": 0.19,
@@ -351,7 +351,7 @@ QUIET_HOST_REF_SEC = {
     "q_topk": 0.15,
     "q_training_pipeline_e2e": 0.4,
     "q_tumbling_window": 0.21,
-    "q_udtf_chunk": 1.05,  # r14 RE-TIGHTEN 1.30 -> 1.05: three r14 protocol sessions read 1.00/1.05/1.04 — the r13 host drift (which re-based 0.83 -> 1.30 on 1.32/1.26/1.46 reads) partially reverted, and the ledger discipline says stale-high bars mask regressions; plan unchanged throughout (single stage, no shuffle, the deliberate extension-point twin of text.chunk_documents; original 0.83 entry and the r13 drift reads kept here for the audit trail)
+    "q_udtf_chunk": 1.20,  # r14 RE-TIGHTEN 1.30 -> 1.20: the per-row-Python host-phase band is BIMODAL across seven protocol sessions (r13: 1.32/1.26/1.46; r14 quiet: 1.00/1.05/1.04; r14 noisy s4: 1.50) — 1.20 sits at the band center, so a real 2x regression (bar 2.4 s) clears the 1.5 s phase ceiling while quiet-phase reads stop crying wolf; plan unchanged throughout (single stage, no shuffle, the deliberate extension-point twin of text.chunk_documents; original 0.83 entry kept for the audit trail)
     "q_variant_extract": 0.16,
     "q_versioned_compact_e2e": 0.73,
     "q_weighted_sample": 0.19,

@@ -3021,10 +3021,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY date_trunc('day', ts)
     """,
     "q_tumbling_window": """
+        -- WHERE mirrors F.window(ts, ...): NULL event time has no window
+        -- (the r14 nulls-profile NULL-ts row)
         SELECT date_trunc('hour', ts) AS window_start,
                count(value) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('hour', ts)
     """,
     "q_sliding_window": """
         WITH expanded AS (
@@ -4996,10 +4998,13 @@ ORACLE_SQL["q_weighted_sample_per_group"] = """
 # staging/watermark choices in each query guarantee no late drops — see
 # the query docstrings).
 ORACLE_SQL["q_streaming_tumbling"] = """
+    -- WHERE mirrors the streaming window(ts, ...): NULL event time has
+    -- no window and never enters watermarked state (r14 nulls row)
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(event_id) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY date_trunc('hour', ts), event_type
 """
 
 ORACLE_SQL["q_streaming_sliding"] = """
@@ -5018,7 +5023,9 @@ ORACLE_SQL["q_streaming_sliding"] = """
 """
 
 ORACLE_SQL["q_streaming_dedup"] = """
-    SELECT event_id, user_id, event_type FROM events
+    -- WHERE mirrors dropDuplicatesWithinWatermark: a row with NULL event
+    -- time cannot be placed in the watermark horizon (r14 nulls row)
+    SELECT event_id, user_id, event_type FROM events WHERE ts IS NOT NULL
 """
 
 ORACLE_SQL["q_streaming_enrich"] = """
@@ -5482,11 +5489,12 @@ from datalake_breweries_two_spark.operators.setops import (
     HLL_NUMERATOR as _HLL_NUM,
 )
 
-ORACLE_SQL["q_hll_union_portable"] = f"""
-    WITH keyed AS (
-        SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h, user_id AS k
-        FROM events WHERE user_id IS NOT NULL
-    ),
+# Shared register/rho/estimate CTE block for BOTH portable-HLL oracles
+# (r14 review finding: the rollup oracle had copy-pasted this verbatim,
+# and the one freshly-written CTE it added was where its NULL-day bug
+# crept in). References a `keyed` CTE with columns (g, h, k); ends at
+# `fin` with (g, n_used, exact_distinct, hll_estimate).
+_HLL_REGISTER_ESTIMATE_CTES = f"""
     br AS (
         SELECT g,
                CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
@@ -5525,7 +5533,14 @@ ORACLE_SQL["q_hll_union_portable"] = f"""
                     THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v_zero AS DOUBLE)), 4)
                     ELSE round(raw, 4) END AS hll_estimate
         FROM est
-    )
+    )"""
+
+ORACLE_SQL["q_hll_union_portable"] = f"""
+    WITH keyed AS (
+        SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h, user_id AS k
+        FROM events WHERE user_id IS NOT NULL
+    ),
+{_HLL_REGISTER_ESTIMATE_CTES}
     SELECT g AS event_type, n_used, hll_estimate, exact_distinct,
            round(abs(hll_estimate - CAST(exact_distinct AS DOUBLE))
                  / CAST(exact_distinct AS DOUBLE), 4) AS abs_rel_err
@@ -5976,7 +5991,7 @@ ORACLE_SQL["q_session_window"] = """
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 2 MINUTE
                     THEN 1 ELSE 0 END AS opens
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),
     islands AS (
@@ -9819,65 +9834,31 @@ def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_hll_rollup_merge"] = q_hll_rollup_merge
 
-# Same register/estimate SQL as q_hll_union_portable (the merge of
+# The register/estimate CTEs are the SHARED fragment above (the merge of
 # per-day register maxes equals the global per-group max), plus the two
-# physical-coverage integers: n_parts = day cells with >=1 non-NULL key,
-# n_rows_covered = the non-NULL key-row count re-summed per group.
-from datalake_breweries_two_spark.operators.setops import (  # noqa: E402
-    HLL_M as _HLL_M2,
-    HLL_NUMERATOR as _HLL_NUM2,
-)
-
+# physical-coverage integers. n_parts counts day CELLS including the
+# NULL-day cell (a NULL-ts row with a non-NULL key is a real gold
+# partition — r14 review find: count(DISTINCT pk) skipped it, diverging
+# from the Spark query and its own hand test; cells are materialized
+# with GROUP BY instead, the same fix the kll and hll_partitioned
+# oracles already carry).
 ORACLE_SQL["q_hll_rollup_merge"] = f"""
     WITH keyed AS (
         SELECT event_type AS g, date_trunc('day', ts) AS pk,
                md5(CAST(user_id AS VARCHAR)) AS h, user_id AS k
         FROM events WHERE user_id IS NOT NULL
     ),
+    cells AS (SELECT g, pk FROM keyed GROUP BY g, pk),
+    np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_parts FROM cells GROUP BY g),
+    nr AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_rows_covered
+        FROM keyed GROUP BY g
+    ),
     cov AS (
-        SELECT g, CAST(count(DISTINCT pk) AS BIGINT) AS n_parts,
-               CAST(count(*) AS BIGINT) AS n_rows_covered
-        FROM keyed GROUP BY g
+        SELECT np.g, np.n_parts, nr.n_rows_covered
+        FROM np JOIN nr ON np.g IS NOT DISTINCT FROM nr.g
     ),
-    br AS (
-        SELECT g,
-               CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
-               CASE WHEN ltrim(substr(h, 3, 13), '0') = '' THEN 53
-                    ELSE (13 - length(ltrim(substr(h, 3, 13), '0'))) * 4
-                         + CASE substr(ltrim(substr(h, 3, 13), '0'), 1, 1)
-                             WHEN '1' THEN 3
-                             WHEN '2' THEN 2 WHEN '3' THEN 2
-                             WHEN '4' THEN 1 WHEN '5' THEN 1
-                             WHEN '6' THEN 1 WHEN '7' THEN 1
-                             ELSE 0 END
-                         + 1 END AS rho
-        FROM keyed
-    ),
-    regs AS (SELECT g, bucket, max(rho) AS reg FROM br GROUP BY g, bucket),
-    pg AS (
-        SELECT g, CAST(count(*) AS INT) AS n_used,
-               CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s_present
-        FROM regs GROUP BY g
-    ),
-    ex AS (
-        SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
-        FROM keyed GROUP BY g
-    ),
-    est AS (
-        SELECT pg.g, pg.n_used, ex.exact_distinct,
-               {_HLL_NUM2!r} / CAST(pg.s_present
-                   + CAST({_HLL_M2} - pg.n_used AS BIGINT) * CAST({1 << 53} AS BIGINT)
-                   AS DOUBLE) AS raw,
-               {_HLL_M2} - pg.n_used AS v_zero
-        FROM pg JOIN ex ON pg.g IS NOT DISTINCT FROM ex.g
-    ),
-    fin AS (
-        SELECT g, n_used, exact_distinct,
-               CASE WHEN raw <= {2.5 * _HLL_M2!r} AND v_zero > 0
-                    THEN round({float(_HLL_M2)!r} * ln({float(_HLL_M2)!r} / CAST(v_zero AS DOUBLE)), 4)
-                    ELSE round(raw, 4) END AS hll_estimate
-        FROM est
-    )
+{_HLL_REGISTER_ESTIMATE_CTES}
     SELECT fin.g AS event_type, cov.n_parts, cov.n_rows_covered,
            fin.n_used, fin.hll_estimate, fin.exact_distinct,
            round(abs(fin.hll_estimate - CAST(fin.exact_distinct AS DOUBLE))

@@ -250,6 +250,28 @@ def _hll_register_exprs() -> tuple:
     return bucket, rho, sub
 
 
+def _hll_estimate_expr():
+    """The portable-HLL estimate over a (n_used, s_present) register
+    summary — ONE definition shared by :func:`hll_union_portable` and
+    :func:`hll_merge_on_read` (r14 review finding: the expression was
+    duplicated, so an estimator change could silently diverge the two
+    portable-HLL queries). Integer-exact harmonic denominator; the
+    small-range linear-counting branch's ``ln`` rounds at 4dp per the
+    established libm discipline. Value-identical to the inline form it
+    replaced (same operations, same literals)."""
+    m = HLL_M
+    s_total = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_used")).cast("long") * F.lit(1 << 53).cast("long")
+    )
+    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    v_zero = F.lit(m) - F.col("n_used")
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+
+
 def hll_union_portable(
     df: DataFrame,
     group_col: str,
@@ -300,17 +322,7 @@ def hll_union_portable(
         .groupBy(F.col(group_col).alias("g2"))
         .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
     )
-    m = HLL_M
-    s_total = (
-        F.col("s_present")
-        + (F.lit(m) - F.col("n_used")).cast("long") * F.lit(1 << 53).cast("long")
-    )
-    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
-    v_zero = F.lit(m) - F.col("n_used")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 4),
-    ).otherwise(F.round(raw, 4))
+    est = _hll_estimate_expr()
     return (
         # eqNullSafe: a NULL group key is a real group on both sides
         per_group.join(exact, per_group["g"].eqNullSafe(exact["g2"]))
@@ -510,17 +522,7 @@ def hll_merge_on_read(
         .groupBy(F.col(group_col).alias("g2"))
         .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
     )
-    m = HLL_M
-    s_total = (
-        F.col("s_present")
-        + (F.lit(m) - F.col("n_used")).cast("long") * F.lit(1 << 53).cast("long")
-    )
-    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
-    v_zero = F.lit(m) - F.col("n_used")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")), 4),
-    ).otherwise(F.round(raw, 4))
+    est = _hll_estimate_expr()
     coverage = coverage.withColumnRenamed("g", "g3")
     return (
         # eqNullSafe twice: a NULL group key is a real group in all three

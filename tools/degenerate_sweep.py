@@ -151,7 +151,12 @@ def build_nulls(d):
       [(1, _TS, 1, "click", 1.0, "{}"),
        (2, _TS + dt.timedelta(seconds=30), 1, None, None, None),   # NULL type/value/props
        (3, _TS + dt.timedelta(seconds=60), 2, "view", 2.0, '{"k": null}'),
-       (4, _TS + dt.timedelta(seconds=90), None, "click", None, "{}")])  # NULL user
+       (4, _TS + dt.timedelta(seconds=90), None, "click", None, "{}"),  # NULL user
+       # NULL ts with a REAL user/value: a NULL day/window cell whose
+       # contents still count — the r14 coverage hole that let the
+       # q_hll_rollup_merge oracle's count(DISTINCT pk) NULL-day skip
+       # reach the tree (caught by review, not by this sweep)
+       (5, None, 3, "view", 4.0, "{}")])
     w(d, "documents", pa.schema([("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
       ("source", pa.string()), ("n_chars", pa.int64())]),
       [(1, "hello world hello", "en", "web", 17),

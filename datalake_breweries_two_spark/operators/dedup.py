@@ -566,9 +566,22 @@ def minhash_near_duplicates(
     )
     cands = lsh_candidate_pairs(
         sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    # same candidate-id pruning as near_duplicates_verified (r14
+    # third-decade find): the signature table is num_hashes×8 bytes per
+    # DOC — broadcast-fatal at corpus scale; prune it to candidate ids
+    # (bare-long lists) before the verify attach so only candidate
+    # signatures ever move
+    sa = (
+        sigs.join(cands.select(F.col("id_a").alias(id_col)).distinct(),
+                  id_col, "leftsemi")
+        .select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    sb = (
+        sigs.join(cands.select(F.col("id_b").alias(id_col)).distinct(),
+                  id_col, "leftsemi")
+        .select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    )
     # signature agreement unrolled to num_hashes codegen'd positional
     # comparisons — zip_with/filter lambdas are interpreted per-row, the
     # unrolled sum stays inside whole-stage codegen (~10× measured); one
@@ -578,9 +591,11 @@ def minhash_near_duplicates(
             f"CAST(sig_a[{s}] = sig_b[{s}] AS INT)" for s in range(num_hashes)
         )
     )
+    # hint("merge") on the signature side: same sf10 rationale as
+    # near_duplicates_verified's attach joins
     est = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -845,14 +860,40 @@ def near_duplicates_verified(
         F.collect_set(F.col("shingle")).alias("shingles")
     )
     sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn)
+    # Eager checkpoint: the candidate set feeds THREE consumers below (two
+    # id-list prunes + the verify chain); it is candidate-bounded (small),
+    # and the accurate post-materialization stats keep AQE building the
+    # verify joins on the candidate side.
     cands = lsh_candidate_pairs(
         sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    # r14 third-decade find (sf1→sf10 study): without the pruning below,
+    # the second verify join's build side is the FULL (id, shingle-set)
+    # table — the planner broadcast it on size-underestimates, which fit
+    # at 50k docs and OOM'd the driver at 500k (and would at 100 TB).
+    # Semi-joining the array table down to CANDIDATE ids first makes the
+    # docstring's contract ("ship shingle sets only for candidate ids")
+    # physical: the id lists are bare longs (auto-broadcastable far past
+    # the point arrays are; AQE falls back to SMJ beyond that), and the
+    # attach joins then move candidate-bounded relations at any scale.
+    a = (
+        arrs.join(cands.select(F.col("id_a").alias(id_col)).distinct(),
+                  id_col, "leftsemi")
+        .select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     )
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    b = (
+        arrs.join(cands.select(F.col("id_b").alias(id_col)).distinct(),
+                  id_col, "leftsemi")
+        .select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    )
+    # hint("merge"): the attach joins must NEVER broadcast the array side
+    # — post-semi-join size estimates are unreliable (the sf10 study saw
+    # the planner broadcast a pruned-but-still-corpus-scale token-shingle
+    # table and OOM the driver), and sort-merge is spillable at any
+    # scale; AQE still shrinks the exchanges at test scale.
     scored = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -366,12 +366,12 @@ SHUFFLE_BUDGET = {
     "q_versioned_compact_e2e": 1,
     "q_dedup_clusters": 0,      # converged labels read from checkpoint
     "q_scd2": 1,
-    "q_dedup_near_verified": 5, # band agg + pair distinct + verify joins
-    "q_dedup_near": 2,
+    "q_dedup_near_verified": 6, # band agg + pair distinct + shuffle-hash verify joins (r14: the attach joins are hinted shuffle_hash after the sf10 study saw the planner broadcast the corpus-scale array/signature side on post-semi-join underestimates and OOM; the 2 extra candidate-bounded exchanges are the price of never broadcasting a corpus table)
+    "q_dedup_near": 6,          # same r14 shuffle-hash attach rationale (was 2 with broadcast attach)
     "q_ngram_jaccard": 1,
     "q_token_jaccard": 1,
-    "q_token_dedup_near": 5,  # same tiered shape as q_dedup_near_verified
-    "q_token_dup_clusters": 1,  # bounded pairs; CC labels read from checkpoint
+    "q_token_dedup_near": 6,  # same tiered shape as q_dedup_near_verified (r14 shuffle-hash attach)
+    "q_token_dup_clusters": 1,  # bounded pairs; CC labels read from checkpoint (0 since the r14 cands checkpoint truncates the pair lineage)
     "q_quality_funnel": 1,      # one conditional-sum aggregate
     "q_bigram_logprob": 6,      # bigram window + 2 stats aggs + per-doc joins + final agg
     "q_dedup_rate_report": 4,   # md5 count-distinct + bounded pair count

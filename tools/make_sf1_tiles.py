@@ -34,7 +34,10 @@ built as TEN DISJOINT TILES of the real sf0.1 tables:
 Output: /root/repo/.scaling/sf1/{documents,embeddings,events,orders,
 lineitem,customer}.parquet (+ symlinked dims). Deterministic — no RNG.
 
-Usage:  python tools/make_sf1_tiles.py [out_root]
+Usage:  python tools/make_sf1_tiles.py [out_root] [n_tiles] [nofacts]
+(r14: 100-tile "sf10" builds use distinct (letter%26, digit%10) rotation
+pairs — unique below 130 tiles — and negate embedding tiles 64+ so the
+third decade keeps every cross-tile pair non-duplicate.)
 """
 
 from __future__ import annotations
@@ -55,17 +58,26 @@ ID_STRIDE = 10**9
 
 
 def caesar_maps(t: int) -> tuple[str, str]:
+    # letters rotate mod 26, digits mod 10: the (t%26, t%10) pair is
+    # unique for t < lcm(26,10) = 130, so up to 130 tiles have pairwise
+    # distinct rotations (needed by the r14 sf10 build's 100 tiles;
+    # identical to the original maps for the sf1 build's t < 10)
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
     digits = string.digits
+    c = t % 26
     d = t % 10
     return (
         lower + upper + digits,
-        lower[t:] + lower[:t] + upper[t:] + upper[:t] + digits[d:] + digits[:d],
+        lower[c:] + lower[:c] + upper[c:] + upper[:c] + digits[d:] + digits[:d],
     )
 
 
-def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
+def main(
+    out_root: str = "/root/repo/.scaling/sf1",
+    n_tiles: int = N_TILES,
+    facts: bool = True,
+) -> None:
     spark = build_session(app_name="make_sf1_tiles")
     os.makedirs(out_root, exist_ok=True)
     # SAFETY: a previous build symlinked fact tables to the read-only
@@ -78,7 +90,7 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
 
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     tiles = []
-    for t in range(N_TILES):
+    for t in range(n_tiles):
         src_chars, dst_chars = caesar_maps(t)
         tiles.append(
             docs.select(
@@ -99,12 +111,18 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     vec = "embedding"
     etiles = []
-    for t in range(N_TILES):
-        # cyclic shift by t: slice(v, t+1, n-t) || slice(v, 1, t)
+    for t in range(n_tiles):
+        # cyclic shift by t%64 (the vector dim); tiles 64 apart negate
+        # every component instead — negation preserves norms and every
+        # within-tile dot product while sending cross-tile cosines to the
+        # OPPOSITE sign, so 100-tile builds stay pairwise non-near-dup
+        sh = t % 64
         shifted = F.concat(
-            F.slice(F.col(vec), t + 1, F.size(F.col(vec)) - t),
-            F.slice(F.col(vec), 1, t),
-        ) if t else F.col(vec)
+            F.slice(F.col(vec), sh + 1, F.size(F.col(vec)) - sh),
+            F.slice(F.col(vec), 1, sh),
+        ) if sh else F.col(vec)
+        if (t // 64) % 2 == 1:
+            shifted = F.transform(shifted, lambda x: -x)
         etiles.append(
             emb.select(
                 (F.col("vec_id") + F.lit(t * ID_STRIDE)).alias("vec_id"),
@@ -131,9 +149,19 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
     # grows, and it keeps day-cell COUNTS constant while cell CONTENTS
     # grow 10x (the merge-on-read gold-table stress case).
     USER_STRIDE = 10**7
+    if not facts:
+        # LLM-tier-only build (the sf10 third decade): skip fact tiling,
+        # symlink everything else below
+        for name in os.listdir(SRC):
+            dst = os.path.join(out_root, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC, name), dst)
+        print("wrote", out_root, f"({n_tiles} tiles, docs/embeddings only)")
+        spark.stop()
+        return
     ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
     vtiles = []
-    for t in range(N_TILES):
+    for t in range(n_tiles):
         vtiles.append(
             ev.select(
                 (F.col("event_id") + F.lit(t * ID_STRIDE)).alias("event_id"),
@@ -160,7 +188,7 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
             "c_acctbal",
             "c_mktsegment",
         )
-        for t in range(N_TILES)
+        for t in range(n_tiles)
     ]
     cout = ctiles[0]
     for tl in ctiles[1:]:
@@ -179,7 +207,7 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
             "o_orderdate",
             "o_orderpriority",
         )
-        for t in range(N_TILES)
+        for t in range(n_tiles)
     ]
     oout = otiles[0]
     for tl in otiles[1:]:
@@ -203,7 +231,7 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
             "l_linestatus",
             "l_shipdate",
         )
-        for t in range(N_TILES)
+        for t in range(n_tiles)
     ]
     lout = ltiles[0]
     for tl in ltiles[1:]:
@@ -223,4 +251,11 @@ def main(out_root: str = "/root/repo/.scaling/sf1") -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    # usage: make_sf1_tiles.py [out_root] [n_tiles] [nofacts]
+    args = sys.argv[1:]
+    kw = {}
+    if len(args) >= 2:
+        kw["n_tiles"] = int(args[1])
+    if len(args) >= 3 and args[2] == "nofacts":
+        kw["facts"] = False
+    main(*(args[:1]), **kw)

@@ -238,7 +238,7 @@ QUIET_HOST_REF_SEC = {
     "q_dedup_clusters": 4.05,
     "q_dedup_exact": 0.22,
     "q_dedup_near": 2.25,
-    "q_dedup_near_verified": 2.38,
+    "q_dedup_near_verified": 3.10,  # r14 PLAN-CHANGE re-base 2.38 -> 3.10: the sf10 broadcast fix (shuffle_hash attach + candidate pruning, SCALING.md r14 part 3) costs ~1.08x standalone (floor 2.565 min-of-4) and read 3.67 (1.54x of the old bar) at first protocol contact; entry = floor x the tier's typical ~1.2x protocol uplift, the never-broadcast-a-corpus-table price
     "q_embedding_near_dup": 2.4,
     "q_equi_depth_bins": 0.22,
     "q_ann_recall": 3.7,

@@ -22,6 +22,8 @@ executors (no Python ``hash()``, which is salted per process).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,57 @@ def dedup_exact_keep_first(docs: DataFrame, subset: list[str]) -> DataFrame:
     """``dropDuplicates`` semantics (arbitrary survivor) — the Spark-native
     one-liner; use :func:`dedup_exact` when the survivor must be stable."""
     return docs.dropDuplicates(subset)
+
+
+# --------------------------------------------------------------------------
+# Intermediate materialization (shared by the LSH / Jaccard tiers)
+# --------------------------------------------------------------------------
+
+# Session conf consulted when a dedup entry point's ``stage_dir=None``:
+# point it at a scratch directory (HDFS/S3/local) to switch EVERY
+# multi-consumer intermediate in this module from in-memory
+# localCheckpoint blocks to durable parquet stages without touching
+# call sites.
+STAGE_DIR_CONF = "spark.sparkGraft.dedup.stageDir"
+
+_stage_counter = 0
+
+
+def _stage(df: DataFrame, tag: str, stage_dir: str | None) -> DataFrame:
+    """Materialize a multi-consumer intermediate relation exactly once.
+
+    Two media, one contract (lineage truncated, accurate post-
+    materialization stats for AQE, nothing registered in the session
+    CacheManager):
+
+    * ``stage_dir`` unset (and ``STAGE_DIR_CONF`` unset): eager
+      ``localCheckpoint`` — zero-copy reuse, but the blocks live in
+      EXECUTOR MEMORY, where storage contends with execution. Fine at
+      test scale; the r14 sf10 study (500k docs) needed a 24 GiB heap
+      because the shingle/signature/candidate checkpoints fought the
+      shuffle for the same heap.
+    * ``stage_dir`` set: write/read a parquet stage under it — the
+      100 TB medium. Durable, columnar-compressed, read back with file-
+      size stats Catalyst trusts, and ZERO heap residency; the shuffle
+      gets the whole execution region. The caller owns the directory
+      lifecycle (unique per-stage subdirs prevent collisions between
+      queries sharing one scratch root; wipe the root when the query's
+      consumers are done).
+    """
+    if stage_dir is None:
+        try:
+            stage_dir = df.sparkSession.conf.get(STAGE_DIR_CONF, None) or None
+        except Exception:
+            stage_dir = None
+    if not stage_dir:
+        return df.localCheckpoint(eager=True)
+    global _stage_counter
+    _stage_counter += 1
+    # counter for readable ordering in the scratch dir, uuid for collision
+    # safety across processes/sessions sharing one root
+    path = f"{stage_dir.rstrip('/')}/stage_{_stage_counter:06d}_{tag}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 # --------------------------------------------------------------------------
@@ -532,6 +585,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
     hash_fn: str = "xx",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH candidates →
     verify with estimated Jaccard (signature agreement fraction).
@@ -550,23 +604,31 @@ def minhash_near_duplicates(
     ``hash_fn="portable"`` (with an İ-folded tokenizer) makes every stage
     — signature values, band buckets, agreement fractions — recomputable
     by a DuckDB oracle; production default stays xxhash64.
+
+    ``stage_dir`` (or session conf ``STAGE_DIR_CONF``) switches the
+    signature/candidate intermediates from in-memory localCheckpoint
+    blocks to durable parquet stages — the 100 TB medium; see
+    :func:`_stage`.
     """
     if num_hashes is None:
         num_hashes = bands * auto_band_rows(docs.count(), threshold)
     shingled = shingle_docs_exploded(docs, text_col, id_col, shingle_n, tokenizer)
     # The signature table feeds THREE consumers (banding + both sides of the
-    # verify join). Eager localCheckpoint materializes it ONCE and truncates
-    # lineage WITHOUT registering a CacheManager entry — a leaked .persist()
-    # here survives the query and silently substitutes into later queries'
+    # verify join). _stage materializes it ONCE and truncates lineage
+    # WITHOUT registering a CacheManager entry — a leaked .persist() here
+    # survives the query and silently substitutes into later queries'
     # plans (order-dependent timings; blocks never freed in a long-lived
-    # session). At 100 TB: write sigs to a parquet stage instead — same
-    # idea, durable.
-    sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn).localCheckpoint(
-        eager=True
+    # session). At 100 TB pass stage_dir (or set STAGE_DIR_CONF) so the
+    # signature/candidate intermediates live in a parquet stage instead of
+    # executor heap — same contract, durable, zero heap residency.
+    sigs = _stage(
+        minhash_signatures(shingled, num_hashes, id_col, hash_fn),
+        "minhash_sigs", stage_dir,
     )
-    cands = lsh_candidate_pairs(
-        sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    cands = _stage(
+        lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn),
+        "lsh_cands", stage_dir,
+    )
     # same candidate-id pruning as near_duplicates_verified (r14
     # third-decade find): the signature table is num_hashes×8 bytes per
     # DOC — broadcast-fatal at corpus scale; prune it to candidate ids
@@ -591,8 +653,9 @@ def minhash_near_duplicates(
             f"CAST(sig_a[{s}] = sig_b[{s}] AS INT)" for s in range(num_hashes)
         )
     )
-    # hint("merge") on the signature side: same sf10 rationale as
-    # near_duplicates_verified's attach joins
+    # hint("shuffle_hash") on the signature side: same sf10 rationale as
+    # near_duplicates_verified's attach joins — never broadcast, build side
+    # candidate-bounded per partition (see the comment there)
     est = (
         cands.join(sa.hint("shuffle_hash"), "id_a")
         .join(sb.hint("shuffle_hash"), "id_b")
@@ -777,6 +840,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets: explode shingles → self-join on
     shingle → |∩| per pair → |∪| from per-doc set sizes.
@@ -785,16 +849,19 @@ def ngram_jaccard_pairs(
     candidates. At 100 TB run it ONLY on candidate pairs (join against the
     candidate set before the explode), never corpus-wide; corpus-wide here
     is for the oracle-checkable declared query on the small test table.
+    ``stage_dir`` (or session conf ``STAGE_DIR_CONF``) puts the exploded
+    shingle table in a parquet stage instead of executor heap.
     """
-    # eager localCheckpoint: both sides of the self-join re-derive the
-    # shingling otherwise; checkpoint (not persist) so nothing leaks into
-    # the session CacheManager across queries
+    # _stage: both sides of the self-join re-derive the shingling
+    # otherwise; checkpoint/parquet-stage (not persist) so nothing leaks
+    # into the session CacheManager across queries
     sized = shingle_docs_exploded(docs, text_col, id_col, n, tokenizer).withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int")
     )
-    exploded = sized.select(
-        F.col(id_col), F.col("set_size"), F.col("shingle")
-    ).localCheckpoint(eager=True)
+    exploded = _stage(
+        sized.select(F.col(id_col), F.col("set_size"), F.col("shingle")),
+        "jaccard_shingles", stage_dir,
+    )
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("set_size").alias("sz_a"), "shingle"
     )
@@ -827,6 +894,7 @@ def near_duplicates_verified(
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
     hash_fn: str = "xx",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """The full tiered near-dup pipeline as it runs at 100 TB:
     MinHash+LSH proposes candidate pairs (sub-quadratic), then EXACT n-gram
@@ -844,15 +912,24 @@ def near_duplicates_verified(
     width from the corpus as ``bands × auto_band_rows(count, threshold)``
     — see :func:`minhash_near_duplicates`; corpora ≤ 256 docs at t=0.5
     resolve to the historical 32 (8 bands × 4 rows).
+
+    ``stage_dir`` (or session conf ``STAGE_DIR_CONF``) switches the
+    shingle/candidate intermediates — the tier's biggest heap residents —
+    from in-memory localCheckpoint blocks to durable parquet stages; the
+    r15 sf10 re-run at the DEFAULT 8 GiB heap (SCALING.md) is the measured
+    proof this is the 100 TB medium.
     """
     if num_hashes is None:
         num_hashes = bands * auto_band_rows(docs.count(), threshold)
-    # checkpoint the exploded shingle table ONCE: both the signature
+    # materialize the exploded shingle table ONCE: both the signature
     # pipeline and the shingle-set agg consume it, and the window+distinct
-    # shingler is the expensive common prefix (at 100 TB: a parquet stage)
-    shingled = shingle_docs_exploded(
-        docs, text_col, id_col, shingle_n, tokenizer
-    ).localCheckpoint(eager=True)
+    # shingler is the expensive common prefix. This is the LARGEST
+    # intermediate in the tier (~|corpus| × shingles/doc rows) — at 100 TB
+    # pass stage_dir so it lands in a parquet stage, not executor heap
+    shingled = _stage(
+        shingle_docs_exploded(docs, text_col, id_col, shingle_n, tokenizer),
+        "verified_shingles", stage_dir,
+    )
     # (id, shingle-set array) via codegen'd shingler + one collect_set agg —
     # the array form lets the verify tier be a per-pair array_intersect
     # instead of a shingle self-join
@@ -860,13 +937,14 @@ def near_duplicates_verified(
         F.collect_set(F.col("shingle")).alias("shingles")
     )
     sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn)
-    # Eager checkpoint: the candidate set feeds THREE consumers below (two
-    # id-list prunes + the verify chain); it is candidate-bounded (small),
-    # and the accurate post-materialization stats keep AQE building the
-    # verify joins on the candidate side.
-    cands = lsh_candidate_pairs(
-        sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    # _stage: the candidate set feeds THREE consumers below (two id-list
+    # prunes + the verify chain); it is candidate-bounded (small), and the
+    # accurate post-materialization stats keep AQE building the verify
+    # joins on the candidate side.
+    cands = _stage(
+        lsh_candidate_pairs(sigs, bands, num_hashes // bands, id_col, hash_fn=hash_fn),
+        "verified_cands", stage_dir,
+    )
     # r14 third-decade find (sf1→sf10 study): without the pruning below,
     # the second verify join's build side is the FULL (id, shingle-set)
     # table — the planner broadcast it on size-underestimates, which fit
@@ -886,11 +964,14 @@ def near_duplicates_verified(
                   id_col, "leftsemi")
         .select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     )
-    # hint("merge"): the attach joins must NEVER broadcast the array side
-    # — post-semi-join size estimates are unreliable (the sf10 study saw
-    # the planner broadcast a pruned-but-still-corpus-scale token-shingle
-    # table and OOM the driver), and sort-merge is spillable at any
-    # scale; AQE still shrinks the exchanges at test scale.
+    # hint("shuffle_hash"): the attach joins must NEVER broadcast the array
+    # side — post-semi-join size estimates are unreliable (the sf10 study
+    # saw the planner broadcast a pruned-but-still-corpus-scale
+    # token-shingle table and OOM the driver). Shuffled-hash forces the
+    # candidate-pruned side to be a NON-broadcast build side whose
+    # per-partition size is candidate-bounded; the sort-merge variant was
+    # measured and rejected (1.24-1.42x at test scale vs shuffle_hash
+    # ~1.0x — SCALING.md r14 part 3).
     scored = (
         cands.join(a.hint("shuffle_hash"), "id_a")
         .join(b.hint("shuffle_hash"), "id_b")
@@ -981,6 +1062,7 @@ def decontaminate(
     threshold: float = 0.1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Flag training documents whose word-``n``-gram overlap with a held-out
     benchmark set exceeds ``threshold`` — the standard eval-contamination
@@ -996,10 +1078,12 @@ def decontaminate(
     ``threshold``, ratio rounded to 4dp for cross-engine hash stability.
     """
     # codegen'd exploded shingler (~7x the interpreted array-lambda form at
-    # sf0.1), checkpointed once for its two consumers (per-doc size + probe)
-    corpus_sh = shingle_docs_exploded(
-        corpus, text_col=text_col, id_col=id_col, n=n
-    ).localCheckpoint(eager=True)
+    # sf0.1), materialized once for its two consumers (per-doc size +
+    # probe); corpus-scale, so stage_dir applies here too
+    corpus_sh = _stage(
+        shingle_docs_exploded(corpus, text_col=text_col, id_col=id_col, n=n),
+        "decontam_shingles", stage_dir,
+    )
     n_shingles = corpus_sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles")
     )

@@ -172,7 +172,9 @@ def decode_wav(payload: bytes) -> "tuple[int, int, object]":
     that includes non-PCM containers (IEEE-float fmt 3, ADPCM, …), which
     ``wave.open`` itself rejects: its ``wave.Error`` is re-raised as
     ``NotImplementedError`` so callers see ONE exception type at the
-    codec boundary (r14 ADVICE item)."""
+    codec boundary (r14 ADVICE item) — and so does a truncated/corrupt
+    data chunk whose payload is not a whole number of frames (r15 ADVICE
+    item; stdlib wave returns the short buffer without complaint)."""
     import io
     import wave
 
@@ -186,6 +188,15 @@ def decode_wav(payload: bytes) -> "tuple[int, int, object]":
             raw = w.readframes(w.getnframes())
     except wave.Error as e:
         raise NotImplementedError(f"unsupported WAV container: {e}") from e
+    # Truncated/corrupt data chunks (payload not a whole number of frames)
+    # would otherwise escape as raw numpy reshape/frombuffer ValueErrors —
+    # normalize them to the one documented boundary exception (r15 ADVICE
+    # item) before any numpy call sees the buffer.
+    if width > 0 and nch > 0 and len(raw) % (width * nch) != 0:
+        raise NotImplementedError(
+            f"corrupt WAV data chunk: {len(raw)} bytes is not a whole number "
+            f"of frames (sample width {width} × {nch} channel(s))"
+        )
     if width == 1:  # unsigned 8-bit PCM centered at 128
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif width == 2:

@@ -280,6 +280,36 @@ def test_wav_codec_round_trip():
     # 64-bit PCM: stdlib wave OPENS it (sampwidth 8) — still a width boundary
     with pytest.raises(NotImplementedError):
         multimodal.decode_wav(_wav(64, 1))
+    # truncated/corrupt DATA chunk (r15 ADVICE item): a payload that is not
+    # a whole number of frames must surface as the SAME boundary exception,
+    # not a raw numpy reshape/frombuffer ValueError — for every PCM width
+    # and for a stereo frame-misaligned case
+    def _wav_rawdata(width, nch, data, declared=None):
+        # declared > len(data) models a file truncated mid-frame: stdlib
+        # wave sizes nframes from the DECLARED chunk length but returns
+        # only the bytes actually present, so the buffer readframes hands
+        # back is not a whole number of frames
+        fmtc = struct.pack(
+            "<HHIIHH", 1, nch, 8000, 8000 * width * nch, width * nch, 8 * width
+        )
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", declared or len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for width, nch, nbytes in [(2, 1, 3), (3, 1, 11), (4, 1, 6), (2, 2, 6)]:
+        frame = width * nch
+        declared = ((nbytes // frame) + 1) * frame
+        with pytest.raises(NotImplementedError, match="corrupt WAV data chunk"):
+            multimodal.decode_wav(
+                _wav_rawdata(width, nch, b"\x01" * nbytes, declared=declared)
+            )
+    # aligned payloads still decode fine through the same constructor
+    sr_ok, nch_ok, x_ok = multimodal.decode_wav(
+        _wav_rawdata(2, 2, struct.pack("<4h", 100, -100, 200, -200))
+    )
+    assert (sr_ok, nch_ok, len(x_ok)) == (8000, 2, 2)
 
 
 def test_bmp_codec_round_trip():
@@ -813,6 +843,78 @@ def test_near_duplicates_verified_subset_of_exact(spark):
         key = (r["id_a"], r["id_b"])
         assert key in exact, f"tiered invented pair {key}"
         assert abs(exact[key] - r["jaccard"]) < 1e-9, f"score mismatch at {key}"
+
+
+def test_dedup_stage_dir_parquet_medium(spark, tmp_path):
+    """The r15 parquet-stage medium (VERDICT r14 item 1): with stage_dir
+    set — per-call or via the STAGE_DIR_CONF session conf — every dedup
+    entry point must (a) return byte-identical results to the default
+    localCheckpoint medium, (b) actually write its intermediates as
+    parquet stages under the dir (heap-free at 100 TB), and (c) register
+    nothing in the session CacheManager."""
+    from datalake_breweries_two_spark.operators import dedup
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    stage_root = str(tmp_path / "stages")
+
+    def canon(rows):
+        return sorted(tuple(r) for r in rows)
+
+    # (a) result parity on all three entry points + decontaminate
+    base_ver = canon(dedup.near_duplicates_verified(docs, threshold=0.2).collect())
+    staged_ver = canon(
+        dedup.near_duplicates_verified(
+            docs, threshold=0.2, stage_dir=stage_root
+        ).collect()
+    )
+    assert staged_ver == base_ver and len(staged_ver) > 0
+    base_est = canon(dedup.minhash_near_duplicates(docs, num_hashes=32).collect())
+    staged_est = canon(
+        dedup.minhash_near_duplicates(
+            docs, num_hashes=32, stage_dir=stage_root
+        ).collect()
+    )
+    assert staged_est == base_est
+    base_jac = canon(dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect())
+    staged_jac = canon(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.2, stage_dir=stage_root).collect()
+    )
+    assert staged_jac == base_jac
+    bench = docs.limit(3)
+    base_dec = canon(dedup.decontaminate(docs, bench).collect())
+    staged_dec = canon(dedup.decontaminate(docs, bench, stage_dir=stage_root).collect())
+    assert staged_dec == base_dec
+
+    # (b) stages are real parquet directories with the expected tags
+    import os
+
+    stages = sorted(os.listdir(stage_root))
+    tags = {s.split("_", 2)[2].rsplit("_", 1)[0] for s in stages}
+    assert {
+        "verified_shingles",
+        "verified_cands",
+        "minhash_sigs",
+        "lsh_cands",
+        "jaccard_shingles",
+        "decontam_shingles",
+    } <= tags
+    for s in stages:
+        assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(stage_root, s)))
+
+    # (c) nothing leaked into the CacheManager
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # session-conf route: stage_dir=None + conf set → same medium
+    conf_root = str(tmp_path / "conf_stages")
+    spark.conf.set(dedup.STAGE_DIR_CONF, conf_root)
+    try:
+        conf_ver = canon(
+            dedup.near_duplicates_verified(docs, threshold=0.2).collect()
+        )
+    finally:
+        spark.conf.unset(dedup.STAGE_DIR_CONF)
+    assert conf_ver == base_ver
+    assert len(os.listdir(conf_root)) >= 2
 
 
 def test_portable_minhash_near_dup_family(spark):

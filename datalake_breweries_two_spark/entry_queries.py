@@ -10008,3 +10008,168 @@ ORACLE_SQL["q_hll_partitioned"] = """
     SELECT ex.event_type, np.n_parts, ex.exact_distinct, 'ok' AS est_ok
     FROM ex JOIN np ON ex.event_type IS NOT DISTINCT FROM np.event_type
 """
+
+
+def q_streaming_hll_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming producer for the merge-on-read distinct-count gold table
+    (r15 growth — the r14 plan's own candidate, composing
+    q_hll_rollup_merge's register store with q_streaming_upsert's
+    foreachBatch-MERGE publish pattern): micro-batches fold event keys
+    into per-(event_type, day, bucket) portable-HLL register state, each
+    trigger MERGEs the changed registers into a versioned lake table, and
+    after the drain the rollup reads the PUBLISHED store back and
+    max-merges registers per event type (operators/setops.py:
+    hll_streaming_merge_on_read).
+
+    The oracle is q_hll_rollup_merge's verbatim (the shared register/
+    estimate CTE fragment): update-mode emission + null-safe keyed MERGE
+    must converge the published register store to exactly the batch
+    register build, so the streaming lifecycle — state, publish,
+    merge-on-read, estimate, and both physical-coverage integers —
+    hash-checks end to end. Streaming state is bounded by
+    |types| × |days| × 256 registers, never by key cardinality."""
+    import shutil
+
+    from datalake_breweries_two_spark.catalog import read_events
+
+    stage_dir = os.path.join(_SCRATCH, "events_stream_hll")
+    root = os.path.join(_SCRATCH, "stream_hll_register_table")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = stream_windows.read_events_stream(spark, stage_dir)
+    out = setops.hll_streaming_merge_on_read(
+        spark,
+        stream,
+        ev,
+        "event_type",
+        F.date_trunc("day", F.col("ts")),
+        "user_id",
+        root,
+    )
+    return out
+
+
+QUERIES["q_streaming_hll_upsert"] = q_streaming_hll_upsert
+
+# Verbatim the q_hll_rollup_merge oracle (the streaming register store
+# must converge to the batch register build — that IS the check).
+ORACLE_SQL["q_streaming_hll_upsert"] = ORACLE_SQL["q_hll_rollup_merge"]
+
+
+def _bmp_corpus_spec(n: int = 24) -> list[tuple]:
+    """Deterministic analytic BMP corpus spec, shared by the Spark query
+    and (re-derived arithmetically) the DuckDB oracle: per media_id —
+    width 3..7 (odd widths force the 4-byte BMP row padding), even height
+    4..10 (so the 2×2 luminance grid splits exactly on the color
+    boundary), constant-color vs top/bottom two-tone, with channel values
+    from fixed modular ramps."""
+    specs = []
+    for i in range(n):
+        w = 3 + (i % 5)
+        h = 4 + 2 * (i % 4)
+        top = ((17 * i + 5) % 256, (29 * i + 40) % 256, (53 * i + 90) % 256)
+        bot = (
+            top
+            if i % 3 == 0
+            else ((23 * i + 11) % 256, (41 * i + 3) % 256, (7 * i + 200) % 256)
+        )
+        specs.append((i, w, h, top, bot))
+    return specs
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image decode as a declared query (r15 growth — the r14
+    plan's own candidate, copying q_wav_decode's computed-golden
+    construction onto the BMP codec): a bounded corpus of genuine
+    uncompressed 24-bit BI_RGB BMP payloads (minted by the encode_bmp
+    twin — real container bytes with bottom-up rows and 4-byte padding,
+    not digest fakes) flows through the standard Arrow-batched
+    mapInPandas plumbing (multimodal.extract_bmp_features) and the
+    decoded features come out ANALYTICALLY checkable: images are
+    constant-color or exact top/bottom two-tone with even heights, so
+    per-channel means are half-sums of integers, Rec. 601 luma is a
+    3-decimal rational, and every 2×2 grid tile mean equals its half's
+    luma exactly. The oracle recomputes all of it from the spec's modular
+    ramps — a regression in header parsing, BGR→RGB ordering, row-order
+    flip, padding arithmetic, or the luma constants breaks the hash
+    (reference: the reference has no media path at all; this completes
+    SURVEY §2.2's multimodal tier alongside q_wav_decode).
+
+    Corpus minting is driver-side by design: 24 payloads of ≤ ~300 bytes
+    (the bounded-golden-set class); the DISTRIBUTED part under test is
+    the mapInPandas decode plumbing."""
+    rows = []
+    for i, w, h, top, bot in _bmp_corpus_spec():
+        pixels = [[list(top)] * w for _ in range(h // 2)] + [
+            [list(bot)] * w for _ in range(h // 2)
+        ]
+        rows.append((i, "image", bytearray(multimodal.encode_bmp(pixels))))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    feats = multimodal.extract_bmp_features(media, grid=2)
+    tiles = [
+        F.round(F.element_at("feature", k + 1).cast("double"), 4).alias(f"tile{k}")
+        for k in range(4)
+    ]
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("brightness", 4).alias("brightness"),
+        *tiles,
+    )
+
+
+QUERIES["q_bmp_decode"] = q_bmp_decode
+
+# Computed golden: channel means are integer half-sums, luma is the
+# Rec. 601 dot product of integers (exactly 3 decimals — never at a 4dp
+# rounding boundary, so the float eval order and the feature array's
+# float32 truncation, error ≤ ~1.5e-5, both round away), brightness is
+# the 4-decimal half-sum of the two half lumas, and each grid tile is
+# its half's luma verbatim.
+ORACLE_SQL["q_bmp_decode"] = """
+    WITH spec AS (
+        SELECT i AS media_id,
+               CAST(3 + (i % 5) AS INT) AS w,
+               CAST(4 + 2 * (i % 4) AS INT) AS h,
+               (i % 3 = 0) AS is_const,
+               CAST((17*i + 5) % 256 AS DOUBLE) AS r1,
+               CAST((29*i + 40) % 256 AS DOUBLE) AS g1,
+               CAST((53*i + 90) % 256 AS DOUBLE) AS b1,
+               CAST((23*i + 11) % 256 AS DOUBLE) AS r2x,
+               CAST((41*i + 3) % 256 AS DOUBLE) AS g2x,
+               CAST((7*i + 200) % 256 AS DOUBLE) AS b2x
+        FROM generate_series(0, 23) t(i)
+    ),
+    c AS (
+        SELECT media_id, w, h, r1, g1, b1,
+               CASE WHEN is_const THEN r1 ELSE r2x END AS r2,
+               CASE WHEN is_const THEN g1 ELSE g2x END AS g2,
+               CASE WHEN is_const THEN b1 ELSE b2x END AS b2
+        FROM spec
+    ),
+    l AS (
+        SELECT media_id, w, h, r1, g1, b1, r2, g2, b2,
+               0.299*r1 + 0.587*g1 + 0.114*b1 AS luma1,
+               0.299*r2 + 0.587*g2 + 0.114*b2 AS luma2
+        FROM c
+    )
+    SELECT media_id,
+           w AS width,
+           h AS height,
+           round((r1 + r2) / 2, 4) AS mean_r,
+           round((g1 + g2) / 2, 4) AS mean_g,
+           round((b1 + b2) / 2, 4) AS mean_b,
+           round((luma1 + luma2) / 2, 4) AS brightness,
+           round(luma1, 4) AS tile0,
+           round(luma1, 4) AS tile1,
+           round(luma2, 4) AS tile2,
+           round(luma2, 4) AS tile3
+    FROM l
+"""

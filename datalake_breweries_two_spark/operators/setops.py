@@ -543,3 +543,113 @@ def hll_merge_on_read(
             ).alias("abs_rel_err"),
         )
     )
+
+
+def hll_streaming_merge_on_read(
+    spark,
+    stream: DataFrame,
+    raw: DataFrame,
+    group_col: str,
+    part_expr,
+    key_col: str,
+    root: str,
+) -> DataFrame:
+    """The STREAMING producer for the merge-on-read distinct-count gold
+    table (r15 growth — the r14 plan's own candidate, closing the loop
+    between :func:`hll_merge_on_read` and the ``stream_upsert_versioned``
+    publish pattern): micro-batches maintain per-(group, partition,
+    bucket) portable-HLL register state as a streaming max/count
+    aggregate, each trigger MERGEs the changed registers into the
+    versioned register table at ``root``, and the final rollup reads the
+    PUBLISHED store back and max-merges registers per group — raw keys
+    are never re-scanned after their micro-batch.
+
+    This is the 100 TB continuous-ingest story: events arrive forever;
+    register state is bounded by |groups| × |partitions| × m=256 (never
+    by raw cardinality — ten billion user_ids still fold into 256
+    registers per cell); each trigger ships only the registers whose max
+    changed; and any later distinct-count rollup is a max-merge over the
+    published store. Update-mode emission + null-safe keyed MERGE makes
+    the drained table equal a batch register build, so the whole
+    lifecycle stays hash-checkable by the same DuckDB oracle as
+    :func:`hll_merge_on_read` (the batch twin) — including the NULL
+    partition cell (a NULL event time is a real register cell here;
+    date-bucketing is plain ``date_trunc``, not a watermarked window).
+
+    Store grain is (group, partition, bucket) scalar rows rather than the
+    batch twin's map column: streaming state lives at the grain the
+    aggregate updates, and MERGE replaces single registers instead of
+    rewriting whole cell maps.
+
+    Returns the same schema as :func:`hll_merge_on_read`:
+    (group, n_parts, n_rows_covered, n_used, hll_estimate,
+    exact_distinct, abs_rel_err) — ``exact_distinct`` recomputed from
+    ``raw`` as the sf-scale error probe, ``n_rows_covered`` = Σ per-cell
+    counts over the READ-BACK store == raw non-NULL key rows (the
+    physical-coverage proof: a lost or stale published register partition
+    breaks the sum).
+    """
+    from datalake_breweries_two_spark.sources import lake
+    from datalake_breweries_two_spark.streaming.sinks import stream_upsert_versioned
+
+    keyed = stream.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        part_expr.alias("part_key"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    )
+    bucket, rho, _ = _hll_register_exprs()
+    updates = (
+        keyed.select("g", "part_key", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "part_key", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    stream_upsert_versioned(
+        spark, updates, root, ["g", "part_key", "bucket"], "hll_register_upsert"
+    )
+    store = lake.read_versioned(spark, root)
+    merged = (
+        store.groupBy("g", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_used"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).alias(
+                "s_present"
+            ),
+        )
+    )
+    coverage = (
+        store.groupBy("g", "part_key")
+        .agg(F.sum("n_rows").alias("n_values"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("n_values").cast("long").alias("n_rows_covered"),
+        )
+        .withColumnRenamed("g", "g3")
+    )
+    exact = (
+        raw.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g2"))
+        .agg(F.count_distinct(F.col(key_col)).cast("long").alias("exact_distinct"))
+    )
+    est = _hll_estimate_expr()
+    return (
+        # eqNullSafe twice: a NULL group key is a real group in all three
+        # branches (the nulls hostile profile), same as hll_merge_on_read
+        merged.join(coverage, merged["g"].eqNullSafe(coverage["g3"]))
+        .join(exact, merged["g"].eqNullSafe(exact["g2"]))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_parts"),
+            F.col("n_rows_covered"),
+            F.col("n_used"),
+            est.alias("hll_estimate"),
+            F.col("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("abs_rel_err"),
+        )
+    )

@@ -5289,3 +5289,200 @@ def test_wav_decode_query_analytic_pins(spark):
         for col in ("rms", "peak", "env0", "env1", "env2", "env3"):
             assert abs(r[col] - want) < 1e-12, (i, col, r[col], want)
         assert r["zcr"] == (0.0 if kind == "const" else 1.0), i
+
+
+# ------------------------------------------------- r15 growth: streaming HLL
+
+def test_streaming_hll_upsert_hand_pins(spark, tmp_path):
+    """q_streaming_hll_upsert (r15 growth): the streaming register
+    producer must converge to EXACTLY the batch register build — checked
+    at two levels on a hand lake: (a) the declared query's output equals
+    the q_hll_rollup_merge hand pins (same fixture, same expected rows —
+    they share an oracle by construction), and (b) the PUBLISHED
+    versioned register store row-for-row equals a batch groupBy register
+    build over the same events (grain (g, day, bucket): max rho + row
+    count), including the NULL-day and NULL-type cells."""
+    import os as _os
+
+    from datalake_breweries_two_spark import entry_queries as eq
+    from datalake_breweries_two_spark.operators import setops
+    from datalake_breweries_two_spark.sources import lake as lakemod
+
+    rows = []
+    for d in (1, 2, 3):
+        rows.append((d * 10, f"2024-01-0{d} 08:00:00", 1, "view", 0.0))
+        rows.append((d * 10 + 1, f"2024-01-0{d} 09:00:00", d * 2, "view", 0.0))
+        rows.append((d * 10 + 2, f"2024-01-0{d} 10:00:00", d * 2 + 1, "view", 0.0))
+    rows.append((99, None, 6, "view", 0.0))
+    rows.append((200, "2024-01-01 00:00:00", None, "purchase", 1.0))
+    rows.append((300, "2024-01-05 00:00:00", 7, None, 1.0))
+    rows.append((301, "2024-01-05 12:00:00", 8, None, 1.0))
+    lake = str(tmp_path / "shll_lake")
+    _write_events_lake(spark, lake, rows)
+    got = {
+        r["event_type"]: r
+        for r in eq.QUERIES["q_streaming_hll_upsert"](spark, lake).collect()
+    }
+    assert set(got) == {"view", None}
+    assert (got["view"]["n_parts"], got["view"]["n_rows_covered"]) == (4, 10)
+    assert got["view"]["exact_distinct"] == 7
+    assert (got[None]["n_parts"], got[None]["n_rows_covered"]) == (1, 2)
+    assert got[None]["exact_distinct"] == 2
+    ref = _portable_hll_reference(
+        [("view", u) for u in (1, 2, 3, 4, 5, 6, 7, 6)] + [(None, 7), (None, 8)]
+    )
+    for g in ("view", None):
+        assert got[g]["n_used"] == ref[g][0]
+        assert abs(got[g]["hll_estimate"] - ref[g][1]) < 1e-3
+
+    # (b) published store == batch register build at (g, day, bucket) grain
+    store = lakemod.read_versioned(
+        spark, _os.path.join(eq._SCRATCH, "stream_hll_register_table")
+    )
+    ev = spark.read.parquet(_os.path.join(lake, "events.parquet"))
+    keyed = ev.filter(F.col("user_id").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("part_key"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    bucket, rho, _ = setops._hll_register_exprs()
+    batch = (
+        keyed.select("g", "part_key", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "part_key", "bucket")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    cols = ["g", "part_key", "bucket", "reg", "n_rows"]
+    # key=str: NULL g / NULL part_key cells are real rows and tuples with
+    # None don't sort under plain <
+    got_store = sorted(
+        (tuple(r) for r in store.select(*cols).collect()), key=str
+    )
+    want_store = sorted((tuple(r) for r in batch.select(*cols).collect()), key=str)
+    assert got_store == want_store and len(got_store) > 0
+
+
+def test_streaming_hll_upsert_matches_reference_randomized(spark, tmp_path):
+    """Property check: over randomized events (NULL users, NULL ts, NULL
+    types, skewed days) every output column of the streaming lifecycle
+    must equal the pure-Python register reference + exact Python
+    recounts — the same bar the batch twin's property test sets."""
+    import random
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(400):
+        et = rng.choice(["a", "b", None])
+        ts = (
+            None
+            if rng.random() < 0.06
+            else f"2024-02-{rng.randint(1, 9):02d} {rng.randint(0, 23):02d}:00:00"
+        )
+        u = None if rng.random() < 0.12 else rng.randint(1, 120)
+        rows.append((i, ts, u, et, 0.0))
+    lake = str(tmp_path / "shll_rand_lake")
+    _write_events_lake(spark, lake, rows)
+    got = {
+        r["event_type"]: r
+        for r in eq.QUERIES["q_streaming_hll_upsert"](spark, lake).collect()
+    }
+    days: dict = {}
+    users: dict = {}
+    n_rows: dict = {}
+    pairs = []
+    for _, ts, u, et, _v in rows:
+        if u is None:
+            continue
+        days.setdefault(et, set()).add(ts[:10] if ts else None)
+        users.setdefault(et, set()).add(u)
+        n_rows[et] = n_rows.get(et, 0) + 1
+        pairs.append((et, u))
+    ref = _portable_hll_reference(pairs)
+    assert set(got) == set(n_rows)
+    for et in n_rows:
+        assert got[et]["n_parts"] == len(days[et]), et
+        assert got[et]["n_rows_covered"] == n_rows[et], et
+        assert got[et]["exact_distinct"] == len(users[et]), et
+        assert got[et]["n_used"] == ref[et][0], et
+        assert abs(got[et]["hll_estimate"] - ref[et][1]) < 1e-3, et
+
+
+# ------------------------------------------------------ r15 growth: BMP query
+
+def test_bmp_decode_query_analytic_pins(spark):
+    """q_bmp_decode (r15 growth): every row of the declared query must
+    equal the analytic expectation computed HERE from the spec with
+    exact rational arithmetic (Fraction — independent of both numpy's
+    decode math and the DuckDB oracle): channel means are integer
+    half-sums, luma is the exact (299r+587g+114b)/1000 rational, grid
+    tiles equal their half's luma. Covers odd-width padding, both
+    storage patterns (const / two-tone), and the BGR→RGB + bottom-up
+    row-order decode."""
+    from fractions import Fraction
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    got = {r["media_id"]: r for r in eq.QUERIES["q_bmp_decode"](spark, None).collect()}
+    assert len(got) == 24
+    for i, w, h, top, bot in eq._bmp_corpus_spec():
+        luma1 = Fraction(299 * top[0] + 587 * top[1] + 114 * top[2], 1000)
+        luma2 = Fraction(299 * bot[0] + 587 * bot[1] + 114 * bot[2], 1000)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h), i
+        for col, a, b in (("mean_r", top[0], bot[0]),
+                          ("mean_g", top[1], bot[1]),
+                          ("mean_b", top[2], bot[2])):
+            assert abs(r[col] - float(Fraction(a + b, 2))) < 1e-9, (i, col)
+        assert abs(r["brightness"] - float((luma1 + luma2) / 2)) < 1e-9, i
+        for col, want in (("tile0", luma1), ("tile1", luma1),
+                          ("tile2", luma2), ("tile3", luma2)):
+            assert abs(r[col] - float(want)) < 1e-9, (i, col)
+
+
+def test_bmp_features_matches_python_reference_randomized():
+    """Property check for the BMP feature path under arbitrary pixels and
+    dimensions (including 1-pixel edges and odd widths): bmp_features'
+    output must match a pure-Python recomputation from the raw pixel
+    list — independent of numpy's mean/stack order — through the real
+    encode→decode round trip."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(12):
+        w = rng.randint(1, 9)
+        h = rng.randint(1, 9)
+        px = [
+            [[rng.randint(0, 255) for _ in range(3)] for _ in range(w)]
+            for _ in range(h)
+        ]
+        feats = multimodal.bmp_features(multimodal.encode_bmp(px), grid=2)
+        n = w * h
+        sums = [0, 0, 0]
+        for row in px:
+            for p in row:
+                for c in range(3):
+                    sums[c] += p[c]
+        assert (feats["width"], feats["height"]) == (w, h), trial
+        for c, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(feats[col] - sums[c] / n) < 1e-9, (trial, col)
+        luma = [
+            [0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2] for p in row]
+            for row in px
+        ]
+        bright = sum(v for row in luma for v in row) / n
+        assert abs(feats["brightness"] - bright) < 1e-9, trial
+        # the same int-truncated linspace boundaries bmp_features uses
+        ys = [0, int(h * 0.5), h]
+        xs = [0, int(w * 0.5), w]
+        want_tiles = []
+        for a, b in zip(ys[:-1], ys[1:]):
+            for c, d in zip(xs[:-1], xs[1:]):
+                if b > a and d > c:
+                    vals = [luma[y][x] for y in range(a, b) for x in range(c, d)]
+                    want_tiles.append(sum(vals) / len(vals))
+                else:
+                    want_tiles.append(0.0)
+        assert len(feats["feature"]) == 4, trial
+        for k in range(4):
+            assert abs(feats["feature"][k] - want_tiles[k]) < 1e-9, (trial, k)

@@ -28,6 +28,7 @@ ARROW_PYTHON_OK = {
     "q_pack_sequences",
     "q_udtf_chunk",  # ArrowEvalPythonUDTF — the lateral table-function API
     "q_wav_decode",  # r14: the REAL-codec decode IS the declared Python stage
+    "q_bmp_decode",  # r15: same class — the BMP decode IS the Python stage
 }
 
 # Streaming queries produce no batch plan to inspect the same way.
@@ -416,6 +417,8 @@ SHUFFLE_BUDGET = {
     "q_hll_partitioned": 4,     # partial sketches + merge (2) + the r14 contract upgrade's exact count_distinct probe (2); estimate side joins back by broadcast
     "q_hll_rollup_merge": 5,    # register build (g,part,bucket) + cell agg (g,part) at gold-write; read-back merge (g,bucket)->(g) + coverage (g) + exact probe — everything after stage 1 moves <=256 registers/cell
     "q_wav_decode": 0,          # driver-minted bounded corpus -> mapInPandas decode; no exchange
+    "q_bmp_decode": 0,          # r15: same class — bounded corpus -> mapInPandas decode; no exchange
+    "q_streaming_hll_upsert": 6,  # r15 read-back rollup: register merge (g,bucket)->(g) 2 + coverage (g,part)->(g) 2 + exact probe 1 + final small joins 1 — everything after the drain moves <=256 registers/cell
     "q_hll_union_portable": 5,  # register build/merge/rollup + exact-probe distinct pair; post-stage-1 volume is O(groups x 256 registers)
     "q_kmv_overlap": 6,         # one (tag,hash) distinct + per-set TakeOrderedAndProject min-k heaps + union-sketch distinct + exact-probe distinct pair; every post-stage-1 exchange moves <=2k sketch rows
     "q_bm25": 6,                # tf/df/len aggs over ONE text scan (plan-tested)

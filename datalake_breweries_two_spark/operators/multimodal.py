@@ -131,18 +131,50 @@ def encode_wav(
     sample_rate: int = 16000,
     n_channels: int = 1,
     sampwidth: int = 2,
+    ieee_float: bool = False,
 ) -> bytes:
     """Encode float samples in [-1, 1] as PCM WAV bytes (stdlib ``wave``
     writer) — the test-side twin of :func:`decode_wav`, and a
     deterministic way to mint REAL media payloads without codec deps.
     ``sampwidth`` 2 (16-bit, default) or 3 (24-bit packed little-endian —
-    the r14 codec-boundary widening's round-trip source)."""
+    the r14 codec-boundary widening's round-trip source); with
+    ``ieee_float=True``, 4 (float32) or 8 (float64) in a hand-built
+    WAVE_FORMAT_IEEE_FLOAT (fmt 3) container (r15 widening — scientific
+    audio's common interchange format)."""
     import io
     import wave
 
     import numpy as np
 
     arr = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if ieee_float:
+        # stdlib ``wave`` cannot WRITE fmt-3 containers either — mint the
+        # RIFF by hand (fmt + data chunks, word-aligned; the same layout
+        # decode_wav's fallback parser reads back)
+        import struct
+
+        if sampwidth == 4:
+            frames = arr.astype("<f4").tobytes()
+        elif sampwidth == 8:
+            frames = arr.astype("<f8").tobytes()
+        else:
+            raise NotImplementedError(
+                f"encode_wav ieee_float sampwidth {sampwidth}"
+            )
+        fmt = struct.pack(
+            "<HHIIHH",
+            3,  # WAVE_FORMAT_IEEE_FLOAT
+            n_channels,
+            sample_rate,
+            sample_rate * sampwidth * n_channels,
+            sampwidth * n_channels,
+            sampwidth * 8,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(frames)) + frames
+        if len(frames) % 2:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     if sampwidth == 2:
         frames = (arr * 32767.0).round().astype("<i2").tobytes()
     elif sampwidth == 3:
@@ -161,18 +193,52 @@ def encode_wav(
     return buf.getvalue()
 
 
+def _parse_riff_ieee_float(payload: bytes):
+    """Minimal RIFF walk for the ONE container stdlib ``wave`` rejects
+    that this codec supports: WAVE_FORMAT_IEEE_FLOAT (fmt tag 3).
+    Returns (sample_rate, n_channels, bits, data_bytes) or None when the
+    payload is not a well-formed fmt-3 WAVE (the caller then reports the
+    stdlib parser's original error)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # chunk header promises more bytes than exist
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, nch, sr, _brate, _balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 3 or nch == 0:
+        return None
+    return sr, nch, bits, data
+
+
 def decode_wav(payload: bytes) -> "tuple[int, int, object]":
     """REAL audio decode: RIFF/WAVE bytes → (sample_rate, n_channels,
-    float64 mono samples in [-1, 1]).
+    float64 mono samples, nominally in [-1, 1]).
 
     Stdlib ``wave`` handles the chunk parsing; PCM widths 1 (unsigned),
     2, 3 (packed 24-bit, r14) and 4 (signed little-endian) decode via
-    numpy. Multi-channel audio downmixes by mean. Anything else raises
-    ``NotImplementedError`` — a genuine codec boundary, not a stub — and
-    that includes non-PCM containers (IEEE-float fmt 3, ADPCM, …), which
-    ``wave.open`` itself rejects: its ``wave.Error`` is re-raised as
+    numpy, and IEEE-float containers (fmt 3, float32/float64 — r15
+    widening, scientific audio's interchange format; stdlib ``wave``
+    rejects the fmt tag, so a minimal RIFF fallback parser handles it)
+    decode as-is — float samples are nominally normalized already and
+    pass through unclipped. Multi-channel audio downmixes by mean.
+    Anything else raises ``NotImplementedError`` — a genuine codec
+    boundary, not a stub — including remaining non-PCM containers
+    (ADPCM, a-law, …): ``wave.open``'s ``wave.Error`` is re-raised as
     ``NotImplementedError`` so callers see ONE exception type at the
-    codec boundary (r14 ADVICE item) — and so does a truncated/corrupt
+    codec boundary (r14 ADVICE item) — and so is a truncated/corrupt
     data chunk whose payload is not a whole number of frames (r15 ADVICE
     item; stdlib wave returns the short buffer without complaint)."""
     import io
@@ -187,7 +253,26 @@ def decode_wav(payload: bytes) -> "tuple[int, int, object]":
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
     except wave.Error as e:
-        raise NotImplementedError(f"unsupported WAV container: {e}") from e
+        parsed = _parse_riff_ieee_float(bytes(payload))
+        if parsed is None:
+            raise NotImplementedError(f"unsupported WAV container: {e}") from e
+        sr, nch, bits, raw = parsed
+        if bits not in (32, 64):
+            raise NotImplementedError(
+                f"unsupported IEEE-float sample width: {bits} bits"
+            ) from e
+        width = bits // 8
+        if len(raw) % (width * nch) != 0:
+            raise NotImplementedError(
+                f"corrupt WAV data chunk: {len(raw)} bytes is not a whole "
+                f"number of frames (sample width {width} × {nch} channel(s))"
+            ) from e
+        x = np.frombuffer(raw, dtype="<f4" if width == 4 else "<f8").astype(
+            np.float64
+        )
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return sr, nch, x
     # Truncated/corrupt data chunks (payload not a whole number of frames)
     # would otherwise escape as raw numpy reshape/frombuffer ValueErrors —
     # normalize them to the one documented boundary exception (r15 ADVICE

@@ -276,7 +276,9 @@ def test_wav_codec_round_trip():
     with pytest.raises(NotImplementedError):
         multimodal.decode_wav(b"RIFF\x24\x00\x00\x00WAVEfmt ")  # truncated
     with pytest.raises(NotImplementedError):
-        multimodal.decode_wav(_wav(32, 3))  # IEEE-float fmt 3 (wave.Error)
+        multimodal.decode_wav(_wav(8, 6))  # a-law fmt 6 (wave.Error)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(_wav(16, 3))  # fmt 3 with a non-float width
     # 64-bit PCM: stdlib wave OPENS it (sampwidth 8) — still a width boundary
     with pytest.raises(NotImplementedError):
         multimodal.decode_wav(_wav(64, 1))
@@ -310,6 +312,57 @@ def test_wav_codec_round_trip():
         _wav_rawdata(2, 2, struct.pack("<4h", 100, -100, 200, -200))
     )
     assert (sr_ok, nch_ok, len(x_ok)) == (8000, 2, 2)
+
+
+def test_wav_codec_ieee_float():
+    """r15 codec widening: WAVE_FORMAT_IEEE_FLOAT (fmt 3) decodes for
+    real — float32 round-trips bit-exactly within float32 precision,
+    float64 exactly, stdlib wave still never sees the container (it
+    rejects the fmt tag; the fallback RIFF parser handles it), and the
+    fmt-3 boundary/corruption cases surface the one documented exception
+    type."""
+    import math
+    import struct
+
+    sr, f, amp, n = 16000, 440, 0.5, 4000
+    sine = [amp * math.sin(2 * math.pi * f * i / sr) for i in range(n)]
+    pay32 = multimodal.encode_wav(sine, sample_rate=sr, sampwidth=4, ieee_float=True)
+    assert pay32[:4] == b"RIFF" and pay32[8:12] == b"WAVE"
+    got_sr, nch, x = multimodal.decode_wav(pay32)
+    assert (got_sr, nch, len(x)) == (sr, 1, n)
+    assert max(abs(a - b) for a, b in zip(x, sine)) < 1e-7  # float32 quantum
+    # float64 payload round-trips exactly
+    pay64 = multimodal.encode_wav(sine, sample_rate=sr, sampwidth=8, ieee_float=True)
+    _, _, x64 = multimodal.decode_wav(pay64)
+    assert list(x64) == pytest.approx(sine, abs=0)
+    # stereo float downmixes by mean like the PCM paths
+    stereo = [v for s in sine for v in (s, -s)]
+    pay2 = multimodal.encode_wav(
+        stereo, sample_rate=sr, n_channels=2, sampwidth=4, ieee_float=True
+    )
+    _, nch2, x2 = multimodal.decode_wav(pay2)
+    assert nch2 == 2 and max(abs(v) for v in x2) == 0.0
+    # features flow through the same downstream path
+    feats = multimodal.wav_features(pay32, dim=4)
+    assert abs(feats["rms"] - amp / math.sqrt(2)) < 1e-3
+    # odd-length float64 data chunk exercises the word-alignment pad
+    pay_odd = multimodal.encode_wav(
+        sine[:3], sample_rate=sr, sampwidth=8, ieee_float=True
+    )
+    _, _, x_odd = multimodal.decode_wav(pay_odd)
+    assert len(x_odd) == 3
+    # corrupt fmt-3 data chunk (not a whole number of frames) is the one
+    # boundary exception, not a numpy error
+    fmtc = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    )
+    with pytest.raises(NotImplementedError, match="corrupt WAV data chunk"):
+        multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # encoder boundary: ieee_float only mints 4/8-byte widths
+    with pytest.raises(NotImplementedError):
+        multimodal.encode_wav(sine, sampwidth=2, ieee_float=True)
 
 
 def test_bmp_codec_round_trip():

@@ -34,7 +34,7 @@ built as TEN DISJOINT TILES of the real sf0.1 tables:
 Output: /root/repo/.scaling/sf1/{documents,embeddings,events,orders,
 lineitem,customer}.parquet (+ symlinked dims). Deterministic — no RNG.
 
-Usage:  python tools/make_sf1_tiles.py [out_root] [n_tiles] [nofacts]
+Usage:  python tools/make_sf1_tiles.py [out_root] [n_tiles] [nofacts|streamfacts]
 (r14: 100-tile "sf10" builds use distinct (letter%26, digit%10) rotation
 pairs — unique below 130 tiles — and negate embedding tiles 64+ so the
 third decade keeps every cross-tile pair non-duplicate.)
@@ -76,8 +76,13 @@ def caesar_maps(t: int) -> tuple[str, str]:
 def main(
     out_root: str = "/root/repo/.scaling/sf1",
     n_tiles: int = N_TILES,
-    facts: bool = True,
+    facts: bool | str = True,
 ) -> None:
+    # facts: True = all four fact tables (the r14 second-decade build);
+    # False = docs/embeddings only (the r14 sf10 dedup-tier build);
+    # "stream" = docs/embeddings + orders/customer only (the r15 sf10
+    # streaming third decade needs the DQ-gate inputs at 100 tiles but
+    # not the 60M-row lineitem or events tiles no study reads there)
     spark = build_session(app_name="make_sf1_tiles")
     os.makedirs(out_root, exist_ok=True)
     # SAFETY: a previous build symlinked fact tables to the read-only
@@ -159,25 +164,26 @@ def main(
         print("wrote", out_root, f"({n_tiles} tiles, docs/embeddings only)")
         spark.stop()
         return
-    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
-    vtiles = []
-    for t in range(n_tiles):
-        vtiles.append(
-            ev.select(
-                (F.col("event_id") + F.lit(t * ID_STRIDE)).alias("event_id"),
-                "ts",
-                (F.col("user_id") + F.lit(t * USER_STRIDE)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
+    if facts != "stream":
+        ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+        vtiles = []
+        for t in range(n_tiles):
+            vtiles.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(t * ID_STRIDE)).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + F.lit(t * USER_STRIDE)).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
             )
+        vout = vtiles[0]
+        for tl in vtiles[1:]:
+            vout = vout.unionByName(tl)
+        vout.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_root, "events.parquet")
         )
-    vout = vtiles[0]
-    for tl in vtiles[1:]:
-        vout = vout.unionByName(tl)
-    vout.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_root, "events.parquet")
-    )
 
     cust = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
     ctiles = [
@@ -216,29 +222,30 @@ def main(
         os.path.join(out_root, "orders.parquet")
     )
 
-    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
-    ltiles = [
-        li.select(
-            (F.col("l_orderkey") + F.lit(t * ID_STRIDE)).alias("l_orderkey"),
-            "l_partkey",
-            "l_suppkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            "l_shipdate",
+    if facts != "stream":
+        li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+        ltiles = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(t * ID_STRIDE)).alias("l_orderkey"),
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+            for t in range(n_tiles)
+        ]
+        lout = ltiles[0]
+        for tl in ltiles[1:]:
+            lout = lout.unionByName(tl)
+        lout.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_root, "lineitem.parquet")
         )
-        for t in range(n_tiles)
-    ]
-    lout = ltiles[0]
-    for tl in ltiles[1:]:
-        lout = lout.unionByName(tl)
-    lout.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_root, "lineitem.parquet")
-    )
 
     # remaining tables (nation/region/supplier/part) are shared dims;
     # symlink them at sf0.1 so _t() resolves whatever a plan touches
@@ -258,4 +265,6 @@ if __name__ == "__main__":
         kw["n_tiles"] = int(args[1])
     if len(args) >= 3 and args[2] == "nofacts":
         kw["facts"] = False
+    elif len(args) >= 3 and args[2] == "streamfacts":
+        kw["facts"] = "stream"
     main(*(args[:1]), **kw)

@@ -264,7 +264,7 @@ QUIET_HOST_REF_SEC = {
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
     "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
     "q_wav_decode": 0.90,  # r14 first entry at the protocol-context band center (0.72/0.82/1.02 quiet + 1.19 noisy across the four entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, same host-phase spread as q_udtf_chunk
-    "q_bmp_decode": 0.90,  # r15 first entry: same bounded-corpus mapInPandas class as q_wav_decode (standalone min-of-4 floor 0.792) — entered at the sibling's protocol band center, provisional until the r15 protocol sessions read it in context
+    "q_bmp_decode": 0.90,  # r15 entry CONFIRMED at protocol: first-contact sessions read 0.86 (1.22x-median session) / 0.91 (1.09x-median) — dead on the band center (standalone min-of-4 floor 0.792; same bounded-corpus mapInPandas class as q_wav_decode)
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
     "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)
     "q_impute_group_mean": 0.19,
@@ -345,7 +345,7 @@ QUIET_HOST_REF_SEC = {
     "q_stats_agg": 0.26,
     "q_stratified_sample": 0.14,
     "q_streaming_upsert": 4.01,
-    "q_streaming_hll_upsert": 5.30,  # r15 first entry: 4-trigger register upsert drive + read-back rollup; standalone min-of-4 floor 5.08, warm band 5.08-5.33 — provisional until the r15 protocol sessions read it in context (streaming-drive class, same state-store-open overhead profile as q_streaming_upsert)
+    "q_streaming_hll_upsert": 4.15,  # r15 RE-TIGHTEN 5.30 -> 4.15 at first protocol contact: in-context sessions read 4.14 (1.22x-median) / 4.00 (1.09x-median) — the 4-trigger register drive rides the suite's already-warm state-store/JVM, well under the cold standalone floor (5.08 min-of-4) the provisional entry was sized from; entries must be protocol-context numbers (q_ann_recall precedent), and the tighter bar means a real 1.5x regression trips at 6.2 s instead of 8 s
     "q_temperature_mix": 0.36,
     "q_text_quality": 0.17,
     "q_text_stats": 0.19,

@@ -9987,6 +9987,106 @@ ORACLE_SQL["q_wav_decode"] = """
 """
 
 
+def q_wav_decode_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float WAV decode as a declared query (r15 growth — the codec
+    widened to WAVE_FORMAT_IEEE_FLOAT this round, so the declared
+    surface pins it the same way q_wav_decode pins the PCM paths): the
+    same bounded analytic corpus shape — constant-DC and period-2
+    signals, mono and stereo — but minted as fmt-3 containers (float32
+    and float64 alternating, encode_wav(ieee_float=True)) that stdlib
+    ``wave`` cannot even open, so the whole decode rides the fallback
+    RIFF parser through the standard Arrow-batched mapInPandas plumbing
+    (multimodal.extract_wav_features).
+
+    The float oracle is STRICTER than the PCM one: there is no
+    quantization step at all — every amplitude (i+1)/32 and stereo
+    downmix 3(i+1)/128 is a dyadic rational exactly representable in
+    float32, every intermediate (square, equal-value mean, sqrt of an
+    exact square, IEEE divide by the frame count) is exact, so
+    rms = peak = envelope = the spec amplitude to the last bit and the
+    DuckDB oracle recomputes it with plain arithmetic; round(·, 7) on
+    both sides is the identity (3/128 = 0.0234375 needs exactly 7
+    decimals) and exists only to normalize the column through the
+    driver's hash. A decode regression in either float width, the
+    chunk walk, or the downmix shifts a full output column.
+
+    Corpus minting is driver-side by design: 24 payloads of ~2-7 KB
+    (the bounded-golden-set class); the DISTRIBUTED part under test is
+    the mapInPandas decode plumbing (reference: the reference has no
+    media path at all; extends SURVEY §2.2's multimodal tier)."""
+    rows = []
+    for i, _w, nch, kind, amp, ns, sr in _wav_corpus_spec():
+        width = 4 if i % 2 == 0 else 8  # float32 / float64 alternating
+        sig = []
+        for j in range(ns):
+            base = amp if kind == "const" else (amp if j % 2 == 0 else -amp)
+            sig.append(base)
+            if nch == 2:
+                sig.append(base / 2.0)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(
+                    multimodal.encode_wav(sig, sr, nch, width, ieee_float=True)
+                ),
+            )
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    feats = multimodal.extract_wav_features(media, dim=4)
+    env = [
+        F.round(F.element_at("feature", k + 1).cast("double"), 7).alias(f"env{k}")
+        for k in range(4)
+    ]
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 7).alias("rms"),
+        F.round("peak", 7).alias("peak"),
+        F.round("zero_crossing_rate", 7).alias("zcr"),
+        *env,
+    )
+
+
+QUERIES["q_wav_decode_float"] = q_wav_decode_float
+
+# Exact golden (no quantization): mono magnitude = amp = (i+1)/32,
+# stereo downmix = (amp + amp/2)/2 = 3*(i+1)/128 — dyadic rationals with
+# at most 7 decimal digits, so round(·, 7) is the identity on both
+# engines and the doubles compare bit-equal.
+ORACLE_SQL["q_wav_decode_float"] = """
+    WITH spec AS (
+        SELECT i AS media_id,
+               CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS nch,
+               (i % 4 < 2) AS is_const,
+               (i + 1) / 32.0 AS amp,
+               400 + 8 * i AS ns
+        FROM generate_series(0, 23) t(i)
+    ),
+    m AS (
+        SELECT media_id, nch, is_const, ns,
+               CASE WHEN nch = 2 THEN amp * 0.75 ELSE amp END AS mag
+        FROM spec
+    )
+    SELECT media_id,
+           8000 AS sample_rate,
+           nch AS n_channels,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(ns / 8 AS INT) AS duration_ms,
+           round(mag, 7) AS rms,
+           round(mag, 7) AS peak,
+           CAST(CASE WHEN is_const THEN 0.0 ELSE 1.0 END AS DOUBLE) AS zcr,
+           round(mag, 7) AS env0, round(mag, 7) AS env1,
+           round(mag, 7) AS env2, round(mag, 7) AS env3
+    FROM m
+"""
+
+
 # q_hll_partitioned rows-only -> oracle upgrade (r14): n_parts counts the
 # (type, day) cells the merge consumed — one per DISTINCT (event_type,
 # to_date(ts)) incl. NULL days (count(DISTINCT x) would skip them, so the

@@ -5344,6 +5344,42 @@ def test_wav_decode_query_analytic_pins(spark):
         assert r["zcr"] == (0.0 if kind == "const" else 1.0), i
 
 
+def test_wav_decode_float_query_analytic_pins(spark):
+    """q_wav_decode_float (r15 growth): every row must equal the
+    analytic expectation computed HERE from the spec — with NO
+    quantization step, unlike the PCM twin: the magnitudes are dyadic
+    rationals exact in float32, so rms = peak = envelope = amp (mono)
+    or 0.75*amp (stereo downmix) BIT-EXACTLY, zcr exactly 0/1, integer
+    duration. Covers both float widths (32/64), both channel layouts,
+    and proves the payloads really are fmt-3 containers stdlib wave
+    rejects (i.e. the fallback RIFF parser is what decoded them)."""
+    import io
+    import wave as _wave
+
+    from datalake_breweries_two_spark import entry_queries as eq
+    from datalake_breweries_two_spark.operators import multimodal as mm
+
+    got = {
+        r["media_id"]: r
+        for r in eq.QUERIES["q_wav_decode_float"](spark, None).collect()
+    }
+    assert len(got) == 24
+    for i, _w, nch, kind, amp, ns, sr in eq._wav_corpus_spec():
+        mag = amp * 0.75 if nch == 2 else amp  # exact dyadic arithmetic
+        r = got[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (sr, nch, ns)
+        assert r["duration_ms"] == ns // 8
+        for col in ("rms", "peak", "env0", "env1", "env2", "env3"):
+            assert r[col] == mag, (i, col, r[col], mag)
+        assert r["zcr"] == (0.0 if kind == "const" else 1.0), i
+        # the container really is fmt 3: stdlib wave must refuse it
+        width = 4 if i % 2 == 0 else 8
+        sig = [amp] * (ns * nch)
+        pay = mm.encode_wav(sig, sr, nch, width, ieee_float=True)
+        with pytest.raises(_wave.Error):
+            _wave.open(io.BytesIO(pay), "rb")
+
+
 # ------------------------------------------------- r15 growth: streaming HLL
 
 def test_streaming_hll_upsert_hand_pins(spark, tmp_path):

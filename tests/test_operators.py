@@ -345,7 +345,9 @@ def test_wav_codec_ieee_float():
     # features flow through the same downstream path
     feats = multimodal.wav_features(pay32, dim=4)
     assert abs(feats["rms"] - amp / math.sqrt(2)) < 1e-3
-    # odd-length float64 data chunk exercises the word-alignment pad
+    # short payloads stay whole frames (4/8-byte samples are always even,
+    # so the encoder's alignment pad is a dormant guard; the DECODER's
+    # odd-chunk alignment skip is pinned in the riff-parser edge test)
     pay_odd = multimodal.encode_wav(
         sine[:3], sample_rate=sr, sampwidth=8, ieee_float=True
     )
@@ -363,6 +365,59 @@ def test_wav_codec_ieee_float():
     # encoder boundary: ieee_float only mints 4/8-byte widths
     with pytest.raises(NotImplementedError):
         multimodal.encode_wav(sine, sampwidth=2, ieee_float=True)
+
+
+def test_wav_ieee_float_riff_parser_edges():
+    """The fmt-3 fallback RIFF parser's chunk-walk edge cases, each
+    hand-minted (no encoder path produces them): unknown chunks are
+    skipped with word-alignment (an ODD-sized junk chunk before fmt must
+    not derail the walk), a zero-frame data chunk decodes to an empty
+    signal that featurizes as silence, the first of duplicate data
+    chunks wins, WAVE_FORMAT_EXTENSIBLE stays a documented boundary, and
+    a chunk header promising more bytes than exist is the boundary
+    exception rather than a slice crash."""
+    import struct
+
+    import numpy as np
+
+    def chunk(cid, body):
+        c = cid + struct.pack("<I", len(body)) + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt32 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = np.array([0.25, -0.5, 0.75], dtype="<f4").tobytes()
+    # odd-sized junk chunk before fmt: the walk must skip its pad byte
+    sr, nch, x = multimodal.decode_wav(
+        riff(chunk(b"JUNK", b"\x01\x02\x03"), chunk(b"fmt ", fmt32), chunk(b"data", data))
+    )
+    assert (sr, nch, list(x)) == (8000, 1, [0.25, -0.5, 0.75])
+    # zero-frame data chunk: empty signal, featurizes as silence
+    sr0, nch0, x0 = multimodal.decode_wav(
+        riff(chunk(b"fmt ", fmt32), chunk(b"data", b""))
+    )
+    assert (sr0, nch0, len(x0)) == (8000, 1, 0)
+    feats = multimodal.wav_features(
+        riff(chunk(b"fmt ", fmt32), chunk(b"data", b""))
+    )
+    assert feats["n_samples"] == 0 and feats["rms"] == 0.0
+    # duplicate data chunks: first wins (stdlib wave behaves the same)
+    other = np.array([1.0], dtype="<f4").tobytes()
+    _, _, xd = multimodal.decode_wav(
+        riff(chunk(b"fmt ", fmt32), chunk(b"data", data), chunk(b"data", other))
+    )
+    assert list(xd) == [0.25, -0.5, 0.75]
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) is not fmt 3 — documented boundary
+    fmt_ext = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+    with pytest.raises(NotImplementedError, match="unsupported WAV container"):
+        multimodal.decode_wav(riff(chunk(b"fmt ", fmt_ext), chunk(b"data", data)))
+    # chunk header promising more bytes than exist: boundary, not a crash
+    lying = riff(chunk(b"fmt ", fmt32)) + b"data" + struct.pack("<I", 999) + data
+    with pytest.raises(NotImplementedError, match="unsupported WAV container"):
+        multimodal.decode_wav(lying)
 
 
 def test_bmp_codec_round_trip():

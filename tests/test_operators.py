@@ -418,6 +418,23 @@ def test_wav_ieee_float_riff_parser_edges():
     lying = riff(chunk(b"fmt ", fmt32)) + b"data" + struct.pack("<I", 999) + data
     with pytest.raises(NotImplementedError, match="unsupported WAV container"):
         multimodal.decode_wav(lying)
+    # r16 (r15 ADVICE): bytes appended AFTER the declared RIFF body must
+    # not contribute chunks — a well-formed data chunk concatenated past
+    # the header's size field is trailing garbage, not audio
+    trailing = riff(chunk(b"fmt ", fmt32)) + chunk(b"data", data)
+    with pytest.raises(NotImplementedError, match="unsupported WAV container"):
+        multimodal.decode_wav(trailing)
+    # ...and a partly-out-of-bounds data chunk (header inside the declared
+    # body, payload spilling past it) is the same boundary
+    half_in = riff(chunk(b"fmt ", fmt32), chunk(b"data", data))
+    clipped = half_in[:4] + struct.pack("<I", len(fmt32) + 8 + 4 + 8) + half_in[8:]
+    with pytest.raises(NotImplementedError, match="unsupported WAV container"):
+        multimodal.decode_wav(clipped)
+    # a clearly bogus RIFF size (too small to hold the WAVE form tag)
+    # falls back to the buffer end — the container still decodes
+    bogus = half_in[:4] + struct.pack("<I", 0) + half_in[8:]
+    srb, nchb, xb = multimodal.decode_wav(bogus)
+    assert (srb, nchb, list(xb)) == (8000, 1, [0.25, -0.5, 0.75])
 
 
 def test_bmp_codec_round_trip():

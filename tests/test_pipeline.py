@@ -308,15 +308,47 @@ def test_cli_surface(spark, tmp_path):
     assert rc == 0
 
 
-def test_bench_reference_covers_headline():
-    """Every bench HEADLINE query needs a QUIET_HOST_REF_SEC entry — a
-    missing entry silently falls back to the 0.3 s floor, making the
-    stall detector retry slow-by-design queries on every run."""
+def test_bench_noise_canary_shape(spark):
+    """The r16 noise canary must produce the machine-readable
+    host-condition stamp BENCH_DETAIL.json promises: all documented keys,
+    n_runs samples, index = median/ref, and a positive ref constant (the
+    job is engine-independent, so only the shape is assertable here)."""
     import bench
 
-    missing = [n for n in bench.HEADLINE if n not in bench.QUIET_HOST_REF_SEC]
+    assert bench.CANARY_REF_SEC > 0
+    c = bench._noise_canary(spark, cpus=4, n_runs=3)
+    assert sorted(c) == [
+        "max_index", "max_sec", "median_sec", "noise_index", "ref_sec", "runs",
+    ]
+    assert len(c["runs"]) == 3 and all(s > 0 for s in c["runs"])
+    assert c["ref_sec"] == bench.CANARY_REF_SEC
+    assert c["noise_index"] == round(c["median_sec"] / c["ref_sec"], 3)
+    assert c["max_sec"] == max(c["runs"]) and c["max_index"] >= c["noise_index"]
+
+
+def test_bench_reference_covers_headline():
+    """Every bench HEADLINE query needs a ref entry — a missing entry
+    silently falls back to the 0.3 s floor, making the stall detector
+    retry slow-by-design queries on every run. r16 (r15 ADVICE): the ref
+    lives in exactly ONE of QUIET_HOST_REF_SEC (protocol-context numbers)
+    or PROVISIONAL_REF_SEC (cold standalone floors awaiting protocol
+    contact) — disjointness makes 'sized off a cold floor' a visible,
+    greppable state instead of a comment-only convention, and promotion
+    a deliberate move."""
+    import bench
+
+    confirmed, provisional = bench.QUIET_HOST_REF_SEC, bench.PROVISIONAL_REF_SEC
+    both = sorted(set(confirmed) & set(provisional))
+    assert not both, f"refs present in BOTH confirmed and provisional: {both}"
+    missing = [
+        n for n in bench.HEADLINE if n not in confirmed and n not in provisional
+    ]
     assert not missing, f"headline queries without a quiet-host ref: {missing}"
-    stale = [n for n in bench.QUIET_HOST_REF_SEC if n not in bench.HEADLINE]
+    stale = [
+        n
+        for n in list(confirmed) + list(provisional)
+        if n not in bench.HEADLINE
+    ]
     assert not stale, f"refs for queries no longer in headline: {stale}"
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "q_streaming_hll_upsert",
     "q_bmp_decode",
     "q_wav_decode_float",
+    "q_png_decode",
     "q_media_checksum",
     "q_media_features",
     "q_media_frame_sample",
@@ -424,24 +425,34 @@ QUIET_HOST_REF_SEC = {
 # the mechanical guard the r15 ADVICE asked for: a cold-floor number can
 # no longer masquerade as a protocol-context bar (see
 # q_streaming_hll_upsert's 5.30 -> 4.15 re-tighten for why that matters).
-PROVISIONAL_REF_SEC: "dict[str, float]" = {}
+PROVISIONAL_REF_SEC: "dict[str, float]" = {
+    "q_png_decode": 1.05,  # r16 growth, cold standalone floor 0.939 (min-of-4, quiet host) x the mapInPandas-decode class's typical ~1.1x protocol uplift; siblings q_bmp_decode/q_wav_decode sit at 0.90 with ~0.79 floors — the zlib inflate + per-byte defilter loops price the difference; promote on first in-context protocol reading
+}
 
-# Quiet-host reference for the noise canary below: min-of-20 of the fixed
-# canary job on a quiet host (r16, measured after the opening-gate pytest
-# JVMs exited). The canary is engine-independent context, never a grade.
-CANARY_REF_SEC = 0.085
+# Quiet-host references for the noise canary below, measured r16 with the
+# opening-gate pytest JVMs exited. The canary job keeps JIT-warming well
+# past the battery's 2 untimed runs, so a session-START battery on a QUIET
+# host reads ~0.22-0.24 median while a fully-warm (session-end) battery
+# reads ~0.14-0.17 — one shared ref would mislabel every quiet start as
+# noisy. Each battery therefore normalizes against its own phase:
+# START = median of three fresh-session batteries (0.236/0.223/0.227),
+# END = steady-state band center of repeated in-session batteries
+# (0.168/0.149/0.144). Engine-independent context, never a grade.
+CANARY_REF_START_SEC = 0.225
+CANARY_REF_END_SEC = 0.15
 
 
-def _noise_canary(spark, cpus: int, n_runs: int = 12) -> dict:
+def _noise_canary(spark, cpus: int, ref_sec: float, n_runs: int = 12) -> dict:
     """Fixed trivial battery that stamps the HOST's condition into the
     bench artifact (r15 VERDICT item: a 190 s driver snapshot should carry
     its own host-condition context instead of needing BASELINE.md
     archaeology). The job is deterministic, all-JVM (whole-stage codegen
     over ``spark.range``), touches no input data and no engine code under
     test — its runtime varies only with host load and the documented
-    random 1-5 s pauses. ``noise_index`` = median run / CANARY_REF_SEC
-    (quiet ~1.0-1.2; a noisy session reads 1.4+ and/or a large
-    ``max_index`` spike). Costs ~1-2 s per battery."""
+    random 1-5 s pauses. ``noise_index`` = battery median / ``ref_sec``
+    (the caller passes the quiet-host ref for its phase — START vs
+    warmed END; quiet ~1.0-1.2, a noisy session reads 1.4+ and/or a
+    large ``max_index`` spike). Costs ~2-4 s per battery."""
     import statistics
 
     def job() -> None:
@@ -462,9 +473,9 @@ def _noise_canary(spark, cpus: int, n_runs: int = 12) -> dict:
         "runs": [round(s, 4) for s in samples],
         "median_sec": med,
         "max_sec": mx,
-        "ref_sec": CANARY_REF_SEC,
-        "noise_index": round(med / CANARY_REF_SEC, 3),
-        "max_index": round(mx / CANARY_REF_SEC, 3),
+        "ref_sec": ref_sec,
+        "noise_index": round(med / ref_sec, 3),
+        "max_index": round(mx / ref_sec, 3),
     }
 
 
@@ -479,7 +490,7 @@ def main() -> None:
     # Host-condition stamp at session start (and again at session end, to
     # catch drift ACROSS the ~3 min suite) — context for every reading
     # below, recorded machine-readably in BENCH_DETAIL.json.
-    canary_start = _noise_canary(spark, cpus)
+    canary_start = _noise_canary(spark, cpus, CANARY_REF_START_SEC)
 
     # Warmup: run every headline query once at the smallest SF so JVM JIT +
     # whole-stage-codegen compilation (dominant one-time costs for the wide
@@ -555,8 +566,13 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
-    canary_end = _noise_canary(spark, cpus)
+    canary_end = _noise_canary(spark, cpus, CANARY_REF_END_SEC)
     # Full-precision detail for the repo (BASELINE.md refreshes read this).
+    # retry_budget_left: the stall detector starts with 90 extra runs; a
+    # session that exhausts them mid-suite leaves every LATER sub-second
+    # stall unretried — the r16 session-1 fingerprint (inflated tail block
+    # between two quiet canaries). Recording the remainder makes that
+    # failure mode visible without archaeology.
     detail = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -564,6 +580,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "noise_canary": {"start": canary_start, "end": canary_end},
+        "retry_budget_left": retry_budget,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

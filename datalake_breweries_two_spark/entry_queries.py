@@ -10273,3 +10273,125 @@ ORACLE_SQL["q_bmp_decode"] = """
            round(luma2, 4) AS tile3
     FROM l
 """
+
+
+def _png_corpus_spec(n: int = 24) -> list[tuple]:
+    """Deterministic analytic PNG corpus spec, shared by the Spark query
+    and (re-derived arithmetically) the DuckDB oracle: per media_id —
+    width 2..7, even height 4..10 (so the 2×2 luminance grid splits
+    exactly on the color boundary), constant-color vs top/bottom
+    two-tone, with channel values from fixed modular ramps DISTINCT from
+    the BMP corpus's so the two image queries never hash-collide."""
+    specs = []
+    for i in range(n):
+        w = 2 + (i % 6)
+        h = 4 + 2 * (i % 4)
+        top = ((19 * i + 7) % 256, (31 * i + 50) % 256, (59 * i + 80) % 256)
+        bot = (
+            top
+            if i % 4 == 0
+            else ((13 * i + 21) % 256, (37 * i + 9) % 256, (11 * i + 180) % 256)
+        )
+        specs.append((i, w, h, top, bot))
+    return specs
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec COMPRESSED image decode as a declared query (r16 growth
+    — the r15 verdict's named candidate, copying q_bmp_decode's
+    computed-golden construction onto the first container with an actual
+    compression stage): a bounded corpus of genuine 8-bit truecolor PNG
+    payloads (minted by the encode_png twin — CRC-checked chunks, one
+    zlib-deflated IDAT, per-row filter types cycling 0-4 so ALL FIVE
+    scanline reconstructions — None/Sub/Up/Average/Paeth — sit under the
+    oracle hash, not just the trivial one) flows through the standard
+    Arrow-batched mapInPandas plumbing (multimodal.extract_png_features)
+    and the decoded features come out ANALYTICALLY checkable: images are
+    constant-color or exact top/bottom two-tone with even heights, so
+    per-channel means are half-sums of integers, Rec. 601 luma is a
+    3-decimal rational, and every 2×2 grid tile mean equals its half's
+    luma exactly. The oracle recomputes all of it from the spec's modular
+    ramps — a regression in chunk walking, CRC verification, inflate,
+    any filter reconstruction, or the luma constants breaks the hash
+    (reference: the reference has no media path at all; this completes
+    SURVEY §2.2's multimodal tier with a compressed image container
+    alongside the uncompressed BMP).
+
+    Corpus minting is driver-side by design: 24 payloads of ≤ ~200 bytes
+    (the bounded-golden-set class); the DISTRIBUTED part under test is
+    the mapInPandas decode plumbing."""
+    rows = []
+    for i, w, h, top, bot in _png_corpus_spec():
+        pixels = [[list(top)] * w for _ in range(h // 2)] + [
+            [list(bot)] * w for _ in range(h // 2)
+        ]
+        rows.append((i, "image", bytearray(multimodal.encode_png(pixels))))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    feats = multimodal.extract_png_features(media, grid=2)
+    tiles = [
+        F.round(F.element_at("feature", k + 1).cast("double"), 4).alias(f"tile{k}")
+        for k in range(4)
+    ]
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("brightness", 4).alias("brightness"),
+        *tiles,
+    )
+
+
+QUERIES["q_png_decode"] = q_png_decode
+
+# Computed golden, same arithmetic argument as q_bmp_decode's oracle:
+# channel means are integer half-sums, luma is the Rec. 601 dot product
+# of integers (exactly 3 decimals — never at a 4dp rounding boundary, so
+# float eval order and the feature array's float32 truncation, error
+# <= ~1.5e-5, both round away), brightness is the 4-decimal half-sum of
+# the two half lumas, and each grid tile is its half's luma verbatim.
+# Only the modular ramps differ from the BMP spec (see _png_corpus_spec).
+ORACLE_SQL["q_png_decode"] = """
+    WITH spec AS (
+        SELECT i AS media_id,
+               CAST(2 + (i % 6) AS INT) AS w,
+               CAST(4 + 2 * (i % 4) AS INT) AS h,
+               (i % 4 = 0) AS is_const,
+               CAST((19*i + 7) % 256 AS DOUBLE) AS r1,
+               CAST((31*i + 50) % 256 AS DOUBLE) AS g1,
+               CAST((59*i + 80) % 256 AS DOUBLE) AS b1,
+               CAST((13*i + 21) % 256 AS DOUBLE) AS r2x,
+               CAST((37*i + 9) % 256 AS DOUBLE) AS g2x,
+               CAST((11*i + 180) % 256 AS DOUBLE) AS b2x
+        FROM generate_series(0, 23) t(i)
+    ),
+    c AS (
+        SELECT media_id, w, h, r1, g1, b1,
+               CASE WHEN is_const THEN r1 ELSE r2x END AS r2,
+               CASE WHEN is_const THEN g1 ELSE g2x END AS g2,
+               CASE WHEN is_const THEN b1 ELSE b2x END AS b2
+        FROM spec
+    ),
+    l AS (
+        SELECT media_id, w, h, r1, g1, b1, r2, g2, b2,
+               0.299*r1 + 0.587*g1 + 0.114*b1 AS luma1,
+               0.299*r2 + 0.587*g2 + 0.114*b2 AS luma2
+        FROM c
+    )
+    SELECT media_id,
+           w AS width,
+           h AS height,
+           round((r1 + r2) / 2, 4) AS mean_r,
+           round((g1 + g2) / 2, 4) AS mean_g,
+           round((b1 + b2) / 2, 4) AS mean_b,
+           round((luma1 + luma2) / 2, 4) AS brightness,
+           round(luma1, 4) AS tile0,
+           round(luma1, 4) AS tile1,
+           round(luma2, 4) AS tile2,
+           round(luma2, 4) AS tile3
+    FROM l
+"""

@@ -504,6 +504,152 @@ def test_extract_bmp_features_spark_plumbing(spark):
         assert r["feature"] == [float(shade)] * 4
 
 
+def test_png_codec_round_trip():
+    """REAL compressed image codec (r16): encode_png → decode_png is
+    lossless for every per-row filter type — the default cycling 0-4
+    AND each type fixed for all rows — so None/Sub/Up/Average/Paeth
+    reconstructions are each exercised in isolation; the container is
+    genuine PNG (signature + CRC-checked chunks + deflated IDAT)."""
+    import numpy as np
+
+    w, h = 5, 6
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 50, y * 40, (x * y * 31) % 256)
+    payload = multimodal.encode_png(img)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    w2, h2, back = multimodal.decode_png(payload)
+    assert (w2, h2) == (w, h) and (back == img).all()
+    for ft in range(5):
+        p = multimodal.encode_png(img, filters=[ft] * h)
+        _, _, b2 = multimodal.decode_png(p)
+        assert (b2 == img).all(), f"filter {ft} round-trip"
+    feats = multimodal.png_features(payload)
+    assert feats["mean_r"] == img[:, :, 0].mean()
+    luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    assert abs(feats["brightness"] - luma.mean()) < 1e-9
+
+
+def test_png_decode_boundaries():
+    """decode_png's codec boundary is ONE exception type (the decode_wav
+    discipline): bad signature, unsupported color modes (palette,
+    16-bit, Adam7), CRC corruption, a chunk promising more bytes than
+    exist, a bad filter byte, and a filtered-size mismatch all raise
+    NotImplementedError; trailing bytes after IEND are IGNORED (the
+    spec's end-of-datastream, mirroring the r16 RIFF-bound rule)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = multimodal.encode_png(img)
+
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        multimodal.decode_png(b"BM not a png")
+    # IHDR variants: palette (3), 16-bit, interlaced — re-CRC'd so only
+    # the header field is wrong, not the checksum
+    for field_off, val, label in ((9, 3, "palette"), (8, 16, "16-bit"),
+                                  (12, 1, "Adam7")):
+        ihdr = bytearray(good[16:29])
+        ihdr[field_off] = val
+        patched = good[:8] + chunk(b"IHDR", bytes(ihdr)) + good[33:]
+        with pytest.raises(NotImplementedError, match="only 8-bit truecolor"):
+            multimodal.decode_png(patched), label
+    # CRC corruption
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(NotImplementedError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(corrupt))
+    # chunk promising more bytes than exist
+    with pytest.raises(NotImplementedError, match="promises more bytes"):
+        multimodal.decode_png(good[:8] + struct.pack(">I", 999) + b"IDATxxxx")
+    # trailing garbage after IEND is outside the datastream: still decodes
+    w2, h2, back = multimodal.decode_png(good + b"GARBAGE" * 3)
+    assert (back == img).all()
+    # bad filter byte inside an otherwise-valid stream
+    raw = b"\x09" + bytes(9) + b"\x00" + bytes(9)  # filter 9 on row 0
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    bad_filter = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="filter type 9"):
+        multimodal.decode_png(bad_filter)
+    # filtered-size mismatch (one row short)
+    short = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\x00" + bytes(9)))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="filtered size"):
+        multimodal.decode_png(short)
+    # corrupt deflate stream
+    bad_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", b"\xff\xfe\xfd\xfc") + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="IDAT stream"):
+        multimodal.decode_png(bad_idat)
+
+
+def test_png_features_matches_python_reference_randomized():
+    """Property check for the PNG feature path under arbitrary pixels and
+    dimensions: png_features' output must match a pure-Python
+    recomputation from the raw pixel list through the real
+    encode→decode round trip — with the default cycling filters, every
+    trial defilters Sub/Up/Average/Paeth on RANDOM data, the adversarial
+    case for the sequential reconstruction arithmetic."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(12):
+        w = rng.randint(1, 9)
+        h = rng.randint(1, 9)
+        px = [
+            [[rng.randint(0, 255) for _ in range(3)] for _ in range(w)]
+            for _ in range(h)
+        ]
+        feats = multimodal.png_features(multimodal.encode_png(px), grid=2)
+        n = w * h
+        sums = [0, 0, 0]
+        for row in px:
+            for p in row:
+                for c in range(3):
+                    sums[c] += p[c]
+        assert (feats["width"], feats["height"]) == (w, h), trial
+        for c, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(feats[col] - sums[c] / n) < 1e-9, (trial, col)
+
+
+def test_extract_png_features_spark_plumbing(spark):
+    """The real PNG codec rides the same mapInPandas plumbing as the BMP
+    path: image rows with genuine PNG payloads decode distributedly;
+    non-image blobs are filtered JVM-side."""
+    import numpy as np
+
+    rows = []
+    for i, shade in enumerate([0, 100, 200]):
+        img = np.full((8, 8, 3), shade, dtype=np.uint8)
+        rows.append(
+            (i, "image", "image/png", 8, 8, 0, multimodal.encode_png(img))
+        )
+    rows.append((99, "audio", "audio/fake", 0, 0, 9, b"not-a-png"))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(2)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_png_features(media, grid=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for i, shade in enumerate([0, 100, 200]):
+        r = got[i]
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == float(shade)
+        assert abs(r["brightness"] - shade) < 1e-9
+        assert r["feature"] == [float(shade)] * 4
+
+
 def test_auto_signature_planes_and_recall(spark):
     """The corpus-sized LSH signature width (r13 SCALING remediation):
     the helper keeps bucket occupancy ~constant (width grows with
@@ -5607,6 +5753,36 @@ def test_bmp_decode_query_analytic_pins(spark):
     got = {r["media_id"]: r for r in eq.QUERIES["q_bmp_decode"](spark, None).collect()}
     assert len(got) == 24
     for i, w, h, top, bot in eq._bmp_corpus_spec():
+        luma1 = Fraction(299 * top[0] + 587 * top[1] + 114 * top[2], 1000)
+        luma2 = Fraction(299 * bot[0] + 587 * bot[1] + 114 * bot[2], 1000)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h), i
+        for col, a, b in (("mean_r", top[0], bot[0]),
+                          ("mean_g", top[1], bot[1]),
+                          ("mean_b", top[2], bot[2])):
+            assert abs(r[col] - float(Fraction(a + b, 2))) < 1e-9, (i, col)
+        assert abs(r["brightness"] - float((luma1 + luma2) / 2)) < 1e-9, i
+        for col, want in (("tile0", luma1), ("tile1", luma1),
+                          ("tile2", luma2), ("tile3", luma2)):
+            assert abs(r[col] - float(want)) < 1e-9, (i, col)
+
+
+def test_png_decode_query_analytic_pins(spark):
+    """q_png_decode (r16 growth): every row of the declared query must
+    equal the analytic expectation computed HERE from the spec with
+    exact rational arithmetic (Fraction — independent of both the
+    decode math and the DuckDB oracle): channel means are integer
+    half-sums, luma is the exact (299r+587g+114b)/1000 rational, grid
+    tiles equal their half's luma. The corpus encodes with cycling
+    per-row filters, so a regression in ANY of the five scanline
+    reconstructions shifts pixels and breaks these pins."""
+    from fractions import Fraction
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    got = {r["media_id"]: r for r in eq.QUERIES["q_png_decode"](spark, None).collect()}
+    assert len(got) == 24
+    for i, w, h, top, bot in eq._png_corpus_spec():
         luma1 = Fraction(299 * top[0] + 587 * top[1] + 114 * top[2], 1000)
         luma2 = Fraction(299 * bot[0] + 587 * bot[1] + 114 * bot[2], 1000)
         r = got[i]

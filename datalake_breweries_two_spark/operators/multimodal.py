@@ -649,6 +649,10 @@ def decode_png(payload: bytes) -> "tuple[int, int, object]":
             f"only 8-bit truecolor non-interlaced PNG supported (depth="
             f"{depth}, color_type={color_type}, interlace={interlace})"
         )
+    if w == 0 or h == 0:
+        # the PNG spec requires nonzero dimensions; a 0×N image would
+        # otherwise flow NaN means into the feature path downstream
+        raise NotImplementedError(f"corrupt PNG: zero dimension {w}x{h}")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:

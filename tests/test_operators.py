@@ -592,6 +592,12 @@ def test_png_decode_boundaries():
                 + chunk(b"IDAT", b"\xff\xfe\xfd\xfc") + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="IDAT stream"):
         multimodal.decode_png(bad_idat)
+    # zero-dimension IHDR (spec-invalid; would flow NaN means downstream)
+    ihdr0 = struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0)
+    zero_dim = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr0)
+                + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="zero dimension"):
+        multimodal.decode_png(zero_dim)
 
 
 def test_png_features_matches_python_reference_randomized():

@@ -315,13 +315,17 @@ def test_bench_noise_canary_shape(spark):
     job is engine-independent, so only the shape is assertable here)."""
     import bench
 
-    assert bench.CANARY_REF_SEC > 0
-    c = bench._noise_canary(spark, cpus=4, n_runs=3)
+    assert 0 < bench.CANARY_REF_END_SEC < bench.CANARY_REF_START_SEC
+    c = bench._noise_canary(
+        spark, cpus=4, ref_sec=bench.CANARY_REF_START_SEC, n_runs=3
+    )
     assert sorted(c) == [
-        "max_index", "max_sec", "median_sec", "noise_index", "ref_sec", "runs",
+        "cpus", "max_index", "max_sec", "median_sec", "noise_index",
+        "ref_sec", "runs",
     ]
+    assert c["cpus"] == 4
     assert len(c["runs"]) == 3 and all(s > 0 for s in c["runs"])
-    assert c["ref_sec"] == bench.CANARY_REF_SEC
+    assert c["ref_sec"] == bench.CANARY_REF_START_SEC
     assert c["noise_index"] == round(c["median_sec"] / c["ref_sec"], 3)
     assert c["max_sec"] == max(c["runs"]) and c["max_index"] >= c["noise_index"]
 

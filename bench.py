@@ -144,6 +144,7 @@ HEADLINE = [
     "q_bmp_decode",
     "q_wav_decode_float",
     "q_png_decode",
+    "q_gif_decode",
     "q_media_checksum",
     "q_media_features",
     "q_media_frame_sample",
@@ -426,7 +427,9 @@ QUIET_HOST_REF_SEC = {
 # the mechanical guard the r15 ADVICE asked for: a cold-floor number can
 # no longer masquerade as a protocol-context bar (see
 # q_streaming_hll_upsert's 5.30 -> 4.15 re-tighten for why that matters).
-PROVISIONAL_REF_SEC: "dict[str, float]" = {}
+PROVISIONAL_REF_SEC: "dict[str, float]" = {
+    "q_gif_decode": 1.0,  # r16 growth #2, cold standalone floor 0.914 (min-of-4, quiet host) x the mapInPandas-decode class's typical ~1.1x protocol uplift; the hand-rolled LZW per-index loops price it just above the 0.85-0.90 image-codec band; promote on first in-context protocol reading
+}
 
 # Quiet-host references for the noise canary below, measured r16 with the
 # opening-gate pytest JVMs exited. The canary job keeps JIT-warming well

@@ -10395,3 +10395,126 @@ ORACLE_SQL["q_png_decode"] = """
            round(luma2, 4) AS tile3
     FROM l
 """
+
+
+def _gif_corpus_spec(n: int = 24) -> list[tuple]:
+    """Deterministic analytic GIF corpus spec, shared by the Spark query
+    and (re-derived arithmetically) the DuckDB oracle: per media_id —
+    width 4..7, even height 6..10 (the 2×2 luminance grid splits exactly
+    on the color boundary), constant-color vs top/bottom two-tone, with
+    channel values from fixed modular ramps DISTINCT from the BMP and
+    PNG corpora so the three image queries never hash-collide. Two-tone
+    images have a ≤2-color palette (LZW minimum code size floor = 2),
+    the densest compression case the codec supports."""
+    specs = []
+    for i in range(n):
+        w = 4 + (i % 4)
+        h = 6 + 2 * (i % 3)
+        top = ((23 * i + 13) % 256, (43 * i + 60) % 256, (61 * i + 70) % 256)
+        bot = (
+            top
+            if i % 5 == 0
+            else ((17 * i + 31) % 256, (29 * i + 17) % 256, (13 * i + 160) % 256)
+        )
+        specs.append((i, w, h, top, bot))
+    return specs
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec palette-indexed image decode as a declared query (r16
+    growth #2, completing the stdlib-feasible image-container triple
+    BMP/PNG/GIF): a bounded corpus of genuine GIF89a payloads (minted by
+    the encode_gif twin — global color table built from the image's
+    distinct colors, a REAL greedy-longest-match LZW stream with
+    variable-width codes, clear/end handling and the KwKwK edge; the
+    decoder is additionally pinned against a canonical third-party GIF
+    in tests so a matched encoder/decoder off-by-one cannot hide) flows
+    through the standard Arrow-batched mapInPandas plumbing
+    (multimodal.extract_gif_features) and the decoded features come out
+    ANALYTICALLY checkable, same construction as q_bmp_decode /
+    q_png_decode: constant or exact top/bottom two-tone images with even
+    heights, so per-channel means are half-sums of integers, Rec. 601
+    luma is a 3-decimal rational, and every 2×2 grid tile mean equals
+    its half's luma exactly. The oracle recomputes it all from the
+    spec's modular ramps — a regression in header/palette parsing, LZW
+    reconstruction, width growth, or index→RGB mapping breaks the hash
+    (reference: the reference has no media path at all).
+
+    Corpus minting is driver-side by design: 24 payloads of ≤ ~120 bytes
+    (the bounded-golden-set class); the DISTRIBUTED part under test is
+    the mapInPandas decode plumbing."""
+    rows = []
+    for i, w, h, top, bot in _gif_corpus_spec():
+        pixels = [[list(top)] * w for _ in range(h // 2)] + [
+            [list(bot)] * w for _ in range(h // 2)
+        ]
+        rows.append((i, "image", bytearray(multimodal.encode_gif(pixels))))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    feats = multimodal.extract_gif_features(media, grid=2)
+    tiles = [
+        F.round(F.element_at("feature", k + 1).cast("double"), 4).alias(f"tile{k}")
+        for k in range(4)
+    ]
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("brightness", 4).alias("brightness"),
+        *tiles,
+    )
+
+
+QUERIES["q_gif_decode"] = q_gif_decode
+
+# Computed golden, same arithmetic argument as the BMP/PNG oracles:
+# channel means are integer half-sums, luma is the Rec. 601 dot product
+# of integers (exactly 3 decimals — never at a 4dp rounding boundary, so
+# float eval order and the feature array's float32 truncation both round
+# away), brightness is the 4-decimal half-sum of the two half lumas, and
+# each grid tile is its half's luma verbatim. Only the modular ramps and
+# dimension ramps differ (see _gif_corpus_spec).
+ORACLE_SQL["q_gif_decode"] = """
+    WITH spec AS (
+        SELECT i AS media_id,
+               CAST(4 + (i % 4) AS INT) AS w,
+               CAST(6 + 2 * (i % 3) AS INT) AS h,
+               (i % 5 = 0) AS is_const,
+               CAST((23*i + 13) % 256 AS DOUBLE) AS r1,
+               CAST((43*i + 60) % 256 AS DOUBLE) AS g1,
+               CAST((61*i + 70) % 256 AS DOUBLE) AS b1,
+               CAST((17*i + 31) % 256 AS DOUBLE) AS r2x,
+               CAST((29*i + 17) % 256 AS DOUBLE) AS g2x,
+               CAST((13*i + 160) % 256 AS DOUBLE) AS b2x
+        FROM generate_series(0, 23) t(i)
+    ),
+    c AS (
+        SELECT media_id, w, h, r1, g1, b1,
+               CASE WHEN is_const THEN r1 ELSE r2x END AS r2,
+               CASE WHEN is_const THEN g1 ELSE g2x END AS g2,
+               CASE WHEN is_const THEN b1 ELSE b2x END AS b2
+        FROM spec
+    ),
+    l AS (
+        SELECT media_id, w, h, r1, g1, b1, r2, g2, b2,
+               0.299*r1 + 0.587*g1 + 0.114*b1 AS luma1,
+               0.299*r2 + 0.587*g2 + 0.114*b2 AS luma2
+        FROM c
+    )
+    SELECT media_id,
+           w AS width,
+           h AS height,
+           round((r1 + r2) / 2, 4) AS mean_r,
+           round((g1 + g2) / 2, 4) AS mean_g,
+           round((b1 + b2) / 2, 4) AS mean_b,
+           round((luma1 + luma2) / 2, 4) AS brightness,
+           round(luma1, 4) AS tile0,
+           round(luma1, 4) AS tile1,
+           round(luma2, 4) AS tile2,
+           round(luma2, 4) AS tile3
+    FROM l
+"""

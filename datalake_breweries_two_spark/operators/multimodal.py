@@ -708,6 +708,263 @@ def extract_png_features(media: DataFrame, grid: int = 2) -> DataFrame:
     return _extract_image_features(media, png_features, grid)
 
 
+def _lzw_compress(indices, mcs: int) -> bytes:
+    """GIF-variant LZW compress a sequence of palette indices at minimum
+    code size ``mcs``: variable-width codes (mcs+1 .. 12 bits), LSB-first
+    bit packing, a leading clear code, dictionary reset on overflow, and
+    the end-of-information code — a REAL compressor (greedy longest-match
+    dictionary), so round-trips exercise compound codes and the KwKwK
+    first-use edge, not just literals."""
+    clear = 1 << mcs
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decompress (the inverse of :func:`_lzw_compress`,
+    and of every spec-conforming GIF writer): LSB-first variable-width
+    codes, clear/end handling, the KwKwK (code == next unassigned entry)
+    reconstruction, and width growth mirroring the encoder's schedule.
+    Stops after ``n_expected`` indices; a code outside the live table or
+    a stream ending early is reported to the caller via ValueError (the
+    caller owns the codec-boundary exception)."""
+    clear = 1 << mcs
+    end = clear + 1
+
+    pos = 0  # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("LZW stream ended mid-code")
+        v = 0
+        for b in range(width):
+            byte = data[(pos + b) >> 3]
+            v |= ((byte >> ((pos + b) & 7)) & 1) << b
+        pos += width
+        return v
+
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    out = bytearray()
+    prev = None
+    while len(out) < n_expected:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            raise ValueError(
+                f"LZW end code after {len(out)} of {n_expected} indices"
+            )
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK first-use edge
+        else:
+            raise ValueError(f"LZW code {code} outside live table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_expected])
+
+
+def encode_gif(pixels) -> bytes:
+    """Encode an H×W×3 RGB uint8 array as REAL GIF89a bytes (pure
+    struct packing + the :func:`_lzw_compress` LZW stream; no codec
+    deps): header, logical screen descriptor, a global color table built
+    from the image's distinct colors (≤256 required), one image
+    descriptor, LZW sub-blocks, trailer. The test-side twin of
+    :func:`decode_gif`."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3, "RGB expected"
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    n_colors = len(palette)
+    assert n_colors <= 256, "GIF palette is at most 256 colors"
+    size_bits = max(1, (int(n_colors) - 1).bit_length())  # table = 2^size_bits
+    table_n = 1 << size_bits
+    mcs = max(2, size_bits)  # spec: LZW minimum code size >= 2
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += palette.tobytes() + b"\x00\x00\x00" * (table_n - n_colors)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _lzw_compress(indices.tolist(), mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> "tuple[int, int, object]":
+    """REAL image decode: GIF bytes → (width, height, H×W×3 uint8 RGB).
+
+    Pure stdlib: parses the GIF87a/GIF89a header, logical screen
+    descriptor and global color table, skips extension blocks, and
+    LZW-decompresses the FIRST image descriptor's data (first frame
+    wins, the duplicate-chunk precedent; the walk stops there, so
+    animation frames and trailing bytes never contribute). Supported
+    surface is non-interlaced frames drawing from the global color
+    table; interlaced frames, local color tables, a missing global
+    table, truncated streams, and corrupt LZW codes all raise
+    ``NotImplementedError`` — ONE exception type at the codec boundary
+    (the decode_wav discipline). The LZW path is pinned against a
+    canonical third-party GIF in tests, not just this repo's encoder.
+    Reference: the reference repo has no media path at all; this widens
+    SURVEY §2.2's multimodal tier with the palette-indexed container
+    class alongside PNG (zlib) and BMP (uncompressed)."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload (missing GIF87a/89a)")
+    if len(buf) < 13:
+        raise NotImplementedError("corrupt GIF: truncated screen descriptor")
+    _sw, _sh, packed, _bg, _par = struct.unpack("<HHBBB", buf[6:13])
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    table_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * table_n > len(buf):
+        raise NotImplementedError("corrupt GIF: truncated global color table")
+    palette = np.frombuffer(buf, np.uint8, 3 * table_n, pos).reshape(-1, 3)
+    pos += 3 * table_n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(buf):
+                raise NotImplementedError("corrupt GIF: unterminated sub-blocks")
+            n = buf[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        if pos >= len(buf):
+            raise NotImplementedError("corrupt GIF: missing image descriptor")
+        block = buf[pos]
+        if block == 0x3B:  # trailer before any image
+            raise NotImplementedError("corrupt GIF: no image descriptor")
+        if block == 0x21:  # extension: label byte, then sub-blocks
+            if pos + 2 > len(buf):
+                raise NotImplementedError("corrupt GIF: truncated extension")
+            pos = skip_subblocks(pos + 2)
+            continue
+        if block == 0x2C:
+            break
+        raise NotImplementedError(f"corrupt GIF: unknown block 0x{block:02x}")
+    if pos + 10 > len(buf):
+        raise NotImplementedError("corrupt GIF: truncated image descriptor")
+    _left, _top, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if w == 0 or h == 0:
+        raise NotImplementedError(f"corrupt GIF: zero dimension {w}x{h}")
+    if pos >= len(buf):
+        raise NotImplementedError("corrupt GIF: missing LZW minimum code size")
+    mcs = buf[pos]
+    pos += 1
+    if not 2 <= mcs <= 11:
+        raise NotImplementedError(f"corrupt GIF: LZW minimum code size {mcs}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise NotImplementedError("corrupt GIF: unterminated image data")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(buf):
+            raise NotImplementedError("corrupt GIF: truncated image sub-block")
+        lzw += buf[pos : pos + n]
+        pos += n
+    try:
+        idx = _lzw_decompress(bytes(lzw), mcs, w * h)
+    except ValueError as e:
+        raise NotImplementedError(f"corrupt GIF LZW stream: {e}") from e
+    indices = np.frombuffer(idx, dtype=np.uint8)
+    if int(indices.max(initial=0)) >= table_n:
+        raise NotImplementedError(
+            f"corrupt GIF: palette index {int(indices.max())} >= {table_n}"
+        )
+    img = palette[indices].reshape(h, w, 3)
+    return w, h, img
+
+
+def gif_features(payload: bytes, grid: int = 2) -> dict:
+    """Decode + featurize one GIF payload (see :func:`_image_features`)."""
+    w, h, img = decode_gif(payload)
+    return _image_features(w, h, img, grid)
+
+
+def extract_gif_features(media: DataFrame, grid: int = 2) -> DataFrame:
+    """REAL-codec GIF featurize over the standard media plumbing — the
+    palette-indexed sibling of :func:`extract_bmp_features` and
+    :func:`extract_png_features`, same Arrow-batched ``mapInPandas``
+    shape and feature schema."""
+    return _extract_image_features(media, gif_features, grid)
+
+
 def media_metadata_summary(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — reads zero payload bytes thanks to parquet
     column pruning (the reason metadata lives outside the blob)."""

@@ -656,6 +656,190 @@ def test_extract_png_features_spark_plumbing(spark):
         assert r["feature"] == [float(shade)] * 4
 
 
+def test_gif_codec_round_trip():
+    """REAL palette-indexed codec (r16): encode_gif → decode_gif is
+    lossless for gradients (many colors, dictionary compression),
+    constant runs (the KwKwK first-use edge — the first compound code is
+    consumed the moment it is defined), and a >256-index stream long
+    enough to force LZW code-width growth past the initial width."""
+    import numpy as np
+
+    w, h = 6, 5
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 40, y * 50, (x + y) * 20)
+    payload = multimodal.encode_gif(img)
+    assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+    w2, h2, back = multimodal.decode_gif(payload)
+    assert (w2, h2) == (w, h) and (back == img).all()
+    # constant image: the LZW stream is pure KwKwK chains
+    const = np.full((9, 9, 3), 77, dtype=np.uint8)
+    _, _, cback = multimodal.decode_gif(multimodal.encode_gif(const))
+    assert (cback == const).all()
+    # two-tone stripes, 64x64 = 4096 indices: code width must grow
+    stripes = np.zeros((64, 64, 3), dtype=np.uint8)
+    stripes[::2] = (255, 0, 0)
+    _, _, sback = multimodal.decode_gif(multimodal.encode_gif(stripes))
+    assert (sback == stripes).all()
+    feats = multimodal.gif_features(payload)
+    assert feats["mean_r"] == img[:, :, 0].mean()
+
+
+def test_gif_decode_third_party_golden():
+    """The LZW path decodes a CANONICAL GIF minted by neither side of
+    this repo's codec pair — the classic 35-byte 1×1 white GIF89a that
+    circulates as the minimal spec example — so a matched encoder/decoder
+    off-by-one (the classic LZW failure) cannot hide behind green
+    round-trips: bit order, clear-code reset, literal decode, and palette
+    mapping are pinned against the wild."""
+    golden = bytes([
+        0x47, 0x49, 0x46, 0x38, 0x39, 0x61,  # GIF89a
+        0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00,  # LSD: 1x1, GCT of 2
+        0xFF, 0xFF, 0xFF, 0x00, 0x00, 0x00,  # palette: white, black
+        0x2C, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+        0x02,  # LZW minimum code size
+        0x02, 0x44, 0x01,  # one 2-byte sub-block: clear, index 0, end
+        0x00, 0x3B,
+    ])
+    w, h, img = multimodal.decode_gif(golden)
+    assert (w, h) == (1, 1)
+    assert img.tolist() == [[[255, 255, 255]]]
+
+
+def test_gif_lzw_randomized_round_trip():
+    """Property check for the raw LZW pair across minimum code sizes and
+    palette densities: random index streams (including long repetitive
+    tails that force dictionary growth and width bumps) survive
+    compress→decompress bit-exactly."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(10):
+        mcs = rng.choice([2, 3, 5, 8])
+        n_sym = 1 << mcs
+        n = rng.randint(1, 3000)
+        if trial % 2:
+            seq = [rng.randrange(n_sym) for _ in range(n)]
+        else:  # repetitive: exercises KwKwK + deep dictionary chains
+            unit = [rng.randrange(n_sym) for _ in range(rng.randint(1, 4))]
+            seq = (unit * (n // len(unit) + 1))[:n]
+        blob = multimodal._lzw_compress(seq, mcs)
+        back = multimodal._lzw_decompress(blob, mcs, n)
+        assert list(back) == seq, (trial, mcs, n)
+
+
+def test_gif_decode_boundaries():
+    """decode_gif's codec boundary is ONE exception type: bad magic,
+    missing global color table, interlaced frames, local color tables,
+    truncated sub-blocks, a trailer before any image, and corrupt LZW
+    codes all raise NotImplementedError; extension blocks are skipped
+    and bytes after the first frame never contribute (first frame
+    wins)."""
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = bytearray(multimodal.encode_gif(img))
+
+    with pytest.raises(NotImplementedError, match="not a GIF"):
+        multimodal.decode_gif(b"PNG not a gif")
+    # no global color table
+    no_gct = bytearray(good)
+    no_gct[10] &= 0x7F
+    with pytest.raises(NotImplementedError, match="global color table"):
+        multimodal.decode_gif(bytes(no_gct))
+    # image-descriptor flags: find the 0x2C block (fixed offset here:
+    # 13 + 3 * table size)
+    table_n = 2 << (good[10] & 7)
+    desc = 13 + 3 * table_n
+    assert good[desc] == 0x2C
+    interlaced = bytearray(good)
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_gif(bytes(interlaced))
+    local_ct = bytearray(good)
+    local_ct[desc + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color table"):
+        multimodal.decode_gif(bytes(local_ct))
+    # truncation inside the image data
+    with pytest.raises(NotImplementedError, match="corrupt GIF"):
+        multimodal.decode_gif(bytes(good[: desc + 14]))
+    # trailer with no image descriptor at all
+    with pytest.raises(NotImplementedError, match="no image descriptor"):
+        multimodal.decode_gif(bytes(good[:desc]) + b"\x3b")
+    # an extension block before the image is skipped cleanly
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    with_ext = bytes(good[:desc]) + gce + bytes(good[desc:])
+    _, _, back = multimodal.decode_gif(with_ext)
+    assert (back == img).all()
+    # bytes after the first frame are outside the decoded surface
+    _, _, back2 = multimodal.decode_gif(bytes(good[:-1]) + good[desc:-1] + b"\x3b")
+    assert (back2 == img).all()
+    # corrupt LZW: a code outside the live table
+    bad = bytearray(good)
+    bad[desc + 11] = 0xFF  # smash the first LZW data byte
+    try:
+        multimodal.decode_gif(bytes(bad))
+    except NotImplementedError:
+        pass  # either the LZW stream or the palette range rejects it
+
+
+def test_gif_features_matches_python_reference_randomized():
+    """Property check for the GIF feature path under arbitrary
+    small-palette pixels and dimensions: gif_features' output must match
+    a pure-Python recomputation through the real encode→decode round
+    trip (palette build, LZW, index→RGB mapping all under test)."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(10):
+        w = rng.randint(1, 9)
+        h = rng.randint(1, 9)
+        colors = [
+            tuple(rng.randrange(256) for _ in range(3))
+            for _ in range(rng.randint(1, 6))
+        ]
+        px = [
+            [list(rng.choice(colors)) for _ in range(w)] for _ in range(h)
+        ]
+        feats = multimodal.gif_features(multimodal.encode_gif(px), grid=2)
+        n = w * h
+        sums = [0, 0, 0]
+        for row in px:
+            for p in row:
+                for c in range(3):
+                    sums[c] += p[c]
+        assert (feats["width"], feats["height"]) == (w, h), trial
+        for c, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(feats[col] - sums[c] / n) < 1e-9, (trial, col)
+
+
+def test_extract_gif_features_spark_plumbing(spark):
+    """The real GIF codec rides the same mapInPandas plumbing as the BMP
+    and PNG paths: image rows with genuine GIF payloads decode
+    distributedly; non-image blobs are filtered JVM-side."""
+    import numpy as np
+
+    rows = []
+    for i, shade in enumerate([0, 100, 200]):
+        img = np.full((8, 8, 3), shade, dtype=np.uint8)
+        rows.append(
+            (i, "image", "image/gif", 8, 8, 0, multimodal.encode_gif(img))
+        )
+    rows.append((99, "audio", "audio/fake", 0, 0, 9, b"not-a-gif"))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(2)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_gif_features(media, grid=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for i, shade in enumerate([0, 100, 200]):
+        r = got[i]
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == float(shade)
+        assert r["feature"] == [float(shade)] * 4
+
+
 def test_auto_signature_planes_and_recall(spark):
     """The corpus-sized LSH signature width (r13 SCALING remediation):
     the helper keeps bucket occupancy ~constant (width grows with
@@ -5789,6 +5973,35 @@ def test_png_decode_query_analytic_pins(spark):
     got = {r["media_id"]: r for r in eq.QUERIES["q_png_decode"](spark, None).collect()}
     assert len(got) == 24
     for i, w, h, top, bot in eq._png_corpus_spec():
+        luma1 = Fraction(299 * top[0] + 587 * top[1] + 114 * top[2], 1000)
+        luma2 = Fraction(299 * bot[0] + 587 * bot[1] + 114 * bot[2], 1000)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h), i
+        for col, a, b in (("mean_r", top[0], bot[0]),
+                          ("mean_g", top[1], bot[1]),
+                          ("mean_b", top[2], bot[2])):
+            assert abs(r[col] - float(Fraction(a + b, 2))) < 1e-9, (i, col)
+        assert abs(r["brightness"] - float((luma1 + luma2) / 2)) < 1e-9, i
+        for col, want in (("tile0", luma1), ("tile1", luma1),
+                          ("tile2", luma2), ("tile3", luma2)):
+            assert abs(r[col] - float(want)) < 1e-9, (i, col)
+
+
+def test_gif_decode_query_analytic_pins(spark):
+    """q_gif_decode (r16 growth #2): every row of the declared query must
+    equal the analytic expectation computed HERE from the spec with
+    exact rational arithmetic (Fraction — independent of both the
+    decode math and the DuckDB oracle). The two-tone corpus compresses
+    through the real LZW path, so a regression in palette build, code
+    reconstruction, or width growth shifts pixels and breaks these
+    pins."""
+    from fractions import Fraction
+
+    from datalake_breweries_two_spark import entry_queries as eq
+
+    got = {r["media_id"]: r for r in eq.QUERIES["q_gif_decode"](spark, None).collect()}
+    assert len(got) == 24
+    for i, w, h, top, bot in eq._gif_corpus_spec():
         luma1 = Fraction(299 * top[0] + 587 * top[1] + 114 * top[2], 1000)
         luma2 = Fraction(299 * bot[0] + 587 * bot[1] + 114 * bot[2], 1000)
         r = got[i]

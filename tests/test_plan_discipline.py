@@ -31,6 +31,7 @@ ARROW_PYTHON_OK = {
     "q_bmp_decode",  # r15: same class — the BMP decode IS the Python stage
     "q_wav_decode_float",  # r15: fmt-3 decode IS the declared Python stage
     "q_png_decode",  # r16: same class — the PNG decode IS the Python stage
+    "q_gif_decode",  # r16: same class — the GIF decode IS the Python stage
 }
 
 # Streaming queries produce no batch plan to inspect the same way.
@@ -422,6 +423,7 @@ SHUFFLE_BUDGET = {
     "q_bmp_decode": 0,          # r15: same class — bounded corpus -> mapInPandas decode; no exchange
     "q_wav_decode_float": 0,    # r15: same class — fmt-3 corpus -> mapInPandas decode; no exchange
     "q_png_decode": 0,          # r16: same class — compressed-corpus -> mapInPandas decode; no exchange
+    "q_gif_decode": 0,          # r16: same class — palette-indexed corpus -> mapInPandas decode; no exchange
     "q_streaming_hll_upsert": 6,  # r15 read-back rollup: register merge (g,bucket)->(g) 2 + coverage (g,part)->(g) 2 + exact probe 1 + final small joins 1 — everything after the drain moves <=256 registers/cell
     "q_hll_union_portable": 5,  # register build/merge/rollup + exact-probe distinct pair; post-stage-1 volume is O(groups x 256 registers)
     "q_kmv_overlap": 6,         # one (tag,hash) distinct + per-set TakeOrderedAndProject min-k heaps + union-sketch distinct + exact-probe distinct pair; every post-stage-1 exchange moves <=2k sketch rows

@@ -276,6 +276,7 @@ QUIET_HOST_REF_SEC = {
     "q_hll_rollup_merge": 1.88,  # r14 first entry: day-partitioned gold register write + merge-on-read + exact probe (standalone min-of-4 1.876)
     "q_wav_decode": 0.90,  # r14 first entry at the protocol-context band center (0.72/0.82/1.02 quiet + 1.19 noisy across the four entry-round sessions; standalone min-of-4 floor 0.659) — table entries must be protocol-context numbers per the q_ann_recall precedent; mapInPandas class, same host-phase spread as q_udtf_chunk
     "q_wav_decode_float": 0.90,  # r15 growth entry at the mapInPandas-decode class band center (standalone min-of-4 floor 0.758; siblings q_wav_decode/q_bmp_decode both 0.90); protocol contacts read 0.65 (noisy 1.27x-median session) and 0.59 = 0.66x (QUIET 1.10x-median) — entry CONFIRMED at the class band center
+    "q_gif_decode": 0.85,  # r16 growth #2, PROMOTED from PROVISIONAL_REF_SEC (cold floor 0.914 -> provisional 1.0) on a QUIET in-context contact (0.59 s = 0.59x, s5 median 1.09x); entry at the image-codec class band center (q_png_decode/q_bmp_decode precedent) so the warm host phase doesn't cry wolf — the codec pair is bimodal across phases like its siblings
     "q_png_decode": 0.85,  # r16 growth, PROMOTED from PROVISIONAL_REF_SEC (cold floor 0.939 -> provisional 1.05) on two in-context protocol contacts: 0.886 (s2, 1.125x-median) and 0.650 (s3, noisy 1.22x-median — inflation-only, so the true quiet read is <=0.65); entry at the contact midpoint, just under the 0.90 sibling class center — the zlib inflate rides the same mapInPandas batch
     "q_bmp_decode": 0.90,  # r15 entry CONFIRMED at protocol: first-contact sessions read 0.86 (1.22x-median session) / 0.91 (1.09x-median) — dead on the band center (standalone min-of-4 floor 0.792; same bounded-corpus mapInPandas class as q_wav_decode)
     "q_kll_rollup_merge": 1.60,  # r13 first entry: day-partitioned gold sketch write + merge-on-read + bounded-rank probe (standalone min-of-4 1.607)
@@ -427,9 +428,7 @@ QUIET_HOST_REF_SEC = {
 # the mechanical guard the r15 ADVICE asked for: a cold-floor number can
 # no longer masquerade as a protocol-context bar (see
 # q_streaming_hll_upsert's 5.30 -> 4.15 re-tighten for why that matters).
-PROVISIONAL_REF_SEC: "dict[str, float]" = {
-    "q_gif_decode": 1.0,  # r16 growth #2, cold standalone floor 0.914 (min-of-4, quiet host) x the mapInPandas-decode class's typical ~1.1x protocol uplift; the hand-rolled LZW per-index loops price it just above the 0.85-0.90 image-codec band; promote on first in-context protocol reading
-}
+PROVISIONAL_REF_SEC: "dict[str, float]" = {}
 
 # Quiet-host references for the noise canary below, measured r16 with the
 # opening-gate pytest JVMs exited. The canary job keeps JIT-warming well

@@ -832,7 +832,12 @@ def encode_gif(pixels) -> bytes:
     flat = arr.reshape(-1, 3)
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
     n_colors = len(palette)
-    assert n_colors <= 256, "GIF palette is at most 256 colors"
+    if n_colors > 256:
+        # a bare assert would vanish under python -O and mint a corrupt
+        # GCT-size field (3 bits) -- this is a genuine codec boundary
+        raise NotImplementedError(
+            f"GIF palette is at most 256 colors (image has {n_colors})"
+        )
     size_bits = max(1, (int(n_colors) - 1).bit_length())  # table = 2^size_bits
     table_n = 1 << size_bits
     mcs = max(2, size_bits)  # spec: LZW minimum code size >= 2
@@ -924,7 +929,9 @@ def decode_gif(payload: bytes) -> "tuple[int, int, object]":
         raise NotImplementedError("corrupt GIF: missing LZW minimum code size")
     mcs = buf[pos]
     pos += 1
-    if not 2 <= mcs <= 11:
+    if not 2 <= mcs <= 8:
+        # spec caps the root table at 256 entries (mcs 8); 9-11 would also
+        # overflow the bytes-based literal table in _lzw_decompress
         raise NotImplementedError(f"corrupt GIF: LZW minimum code size {mcs}")
     lzw = bytearray()
     while True:

@@ -563,11 +563,18 @@ def test_png_decode_boundaries():
         patched = good[:8] + chunk(b"IHDR", bytes(ihdr)) + good[33:]
         with pytest.raises(NotImplementedError, match="only 8-bit truecolor"):
             multimodal.decode_png(patched), label
-    # CRC corruption
+    # CRC corruption -- flip a byte of IEND's actual CRC field (the
+    # chunk's last 4 bytes), so the stored-vs-computed path is what fires
     corrupt = bytearray(good)
-    corrupt[-5] ^= 0xFF  # inside IEND's CRC
+    corrupt[-2] ^= 0xFF
     with pytest.raises(NotImplementedError, match="CRC mismatch"):
         multimodal.decode_png(bytes(corrupt))
+    # ...and a corrupted chunk TYPE lands on the same boundary (the
+    # computed crc32(type+data) diverges from the stored value)
+    badtype = bytearray(good)
+    badtype[-5] ^= 0xFF  # last byte of the b"IEND" type field
+    with pytest.raises(NotImplementedError, match="CRC mismatch"):
+        multimodal.decode_png(bytes(badtype))
     # chunk promising more bytes than exist
     with pytest.raises(NotImplementedError, match="promises more bytes"):
         multimodal.decode_png(good[:8] + struct.pack(">I", 999) + b"IDATxxxx")
@@ -727,6 +734,23 @@ def test_gif_lzw_randomized_round_trip():
         blob = multimodal._lzw_compress(seq, mcs)
         back = multimodal._lzw_decompress(blob, mcs, n)
         assert list(back) == seq, (trial, mcs, n)
+    # dictionary-overflow reset: a high-entropy 20k-symbol stream at mcs 8
+    # drives next_code past 4096, forcing the mid-stream clear emit and
+    # both-side table rebuild (the capped randomized sizes above never
+    # reach it)
+    long_seq = [(i * 37 + (i >> 3)) % 256 for i in range(20_000)]
+    blob = multimodal._lzw_compress(long_seq, 8)
+    assert list(multimodal._lzw_decompress(blob, 8, len(long_seq))) == long_seq
+    # and through the full container: an 80x80 gradient GIF (6400 indices,
+    # wide palette) round-trips across the reset
+    import numpy as np
+    big = np.zeros((80, 80, 3), dtype=np.uint8)
+    for y in range(80):
+        for x in range(80):
+            v = (x * 31 + y * 17 + x * y) % 251  # <=251 distinct colors,
+            big[y, x] = (v, (v * 7) % 256, (v * 13) % 256)  # near-random seq
+    _, _, bb = multimodal.decode_gif(multimodal.encode_gif(big))
+    assert (bb == big).all()
 
 
 def test_gif_decode_boundaries():
@@ -775,13 +799,25 @@ def test_gif_decode_boundaries():
     # bytes after the first frame are outside the decoded surface
     _, _, back2 = multimodal.decode_gif(bytes(good[:-1]) + good[desc:-1] + b"\x3b")
     assert (back2 == img).all()
-    # corrupt LZW: a code outside the live table
+    # corrupt LZW: a code outside the live table -- MUST raise (either the
+    # LZW stream or the palette range rejects it; a silent garbage decode
+    # would pass a bare try/except vacuously)
     bad = bytearray(good)
     bad[desc + 11] = 0xFF  # smash the first LZW data byte
-    try:
+    with pytest.raises(NotImplementedError):
         multimodal.decode_gif(bytes(bad))
-    except NotImplementedError:
-        pass  # either the LZW stream or the palette range rejects it
+    # spec caps the LZW minimum code size at 8
+    bad_mcs = bytearray(good)
+    bad_mcs[desc + 10] = 9
+    with pytest.raises(NotImplementedError, match="minimum code size"):
+        multimodal.decode_gif(bytes(bad_mcs))
+    # encoder boundary: >256 distinct colors raises even under python -O
+    # (a real exception, not a bare assert)
+    big = np.zeros((20, 20, 3), dtype=np.uint8)
+    big[:, :, 0] = (np.arange(400) % 256).reshape(20, 20)
+    big[:, :, 1] = (np.arange(400) // 256).reshape(20, 20)
+    with pytest.raises(NotImplementedError, match="at most 256 colors"):
+        multimodal.encode_gif(big)
 
 
 def test_gif_features_matches_python_reference_randomized():

@@ -549,6 +549,7 @@ def main() -> None:
         return sec > 2.0 * ref + 0.4
 
     timings: dict[str, float] = {}
+    multi_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = entry_queries.QUERIES[name]
         runs: list[float] = []
@@ -567,6 +568,8 @@ def main() -> None:
                 break
             retry_budget -= 1
         timings[name] = round(min(runs), 4)
+        if len(runs) > 1:
+            multi_runs[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 4)
     canary_end = _noise_canary(spark, cpus, CANARY_REF_END_SEC)
@@ -584,6 +587,11 @@ def main() -> None:
         "sf": float(sf),
         "noise_canary": {"start": canary_start, "end": canary_end},
         "retry_budget_left": retry_budget,
+        # raw run lists for every query that ran more than once (ALWAYS_3
+        # or stall-retried): min-of-runs alone cannot distinguish a caught
+        # spike (20.4/4.1/4.0) from a sustained pause streak
+        # (20.4/21.1/20.9) — the r16-s7 contamination forensic needed this
+        "retried_runs": multi_runs,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -604,6 +612,7 @@ def main() -> None:
     # Compact host-condition stamp on the driver line itself: [start, end]
     # noise_index (full battery detail stays in BENCH_DETAIL.json).
     del payload["noise_canary"]
+    del payload["retried_runs"]  # full lists live in BENCH_DETAIL.json
     payload["noise_index"] = [
         canary_start["noise_index"],
         canary_end["noise_index"],

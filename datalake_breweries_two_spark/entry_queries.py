@@ -1051,7 +1051,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.col("event_id")).alias("n"))
     )
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_enrich_sink", output_mode="update"
+        spark, agg, "q_streaming_enrich_sink", output_mode="update", no_data_batches=False
     )
     # update-mode sink holds one row per trigger; final state = max n per tier
     return out.groupBy("tier").agg(F.max("n").alias("n"))
@@ -1135,7 +1135,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "1 hour", "3650 days", slide="30 minutes"
     )
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_sliding_sink", output_mode="update"
+        spark, agg, "q_streaming_sliding_sink", output_mode="update", no_data_batches=False
     )
     return out.groupBy("window_start", "event_type").agg(
         F.max("n").alias("n"),
@@ -2410,7 +2410,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_windows.read_events_stream(spark, stage_dir)
     agg = stream_windows.windowed_event_counts(stream, "1 hour", "10 minutes")
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_tumbling_sink", output_mode="update"
+        spark, agg, "q_streaming_tumbling_sink", output_mode="update", no_data_batches=False
     )
     # update-mode sink holds every intermediate emission; the final state
     # per key is the row with the largest (strictly increasing) count
@@ -7261,7 +7261,7 @@ def q_streaming_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("dau"))
     )
     out = stream_windows.run_stream_to_memory(
-        spark, per_day, "q_streaming_dau_sink", output_mode="update"
+        spark, per_day, "q_streaming_dau_sink", output_mode="update", no_data_batches=False
     )
     return out.groupBy("day").agg(F.max("dau").cast("long").alias("dau"))
 
@@ -9328,7 +9328,7 @@ def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_contam_sink", output_mode="update"
+        spark, agg, "q_streaming_contam_sink", output_mode="update", no_data_batches=False
     )
     # update-mode sink holds one row per trigger a key was touched; each
     # doc's text is staged as ONE parquet row, so every emission for a doc
@@ -9524,7 +9524,7 @@ def q_streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_dq_sink", output_mode="update"
+        spark, agg, "q_streaming_dq_sink", output_mode="update", no_data_batches=False
     )
     # update-mode sink holds one row per trigger a key was touched, each
     # carrying the key's RUNNING quad; every component is monotone
@@ -9757,7 +9757,7 @@ def q_streaming_shard_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = stream_windows.run_stream_to_memory(
-        spark, agg, "q_streaming_shard_progress_sink", output_mode="update"
+        spark, agg, "q_streaming_shard_progress_sink", output_mode="update", no_data_batches=False
     )
     # update-mode sink: one row per trigger a shard was touched, each
     # carrying the shard's RUNNING card; count/sum only grow, min only

@@ -229,6 +229,23 @@ def shingle_docs_exploded(
     (distinct); both carry short strings, and the downstream minhash agg
     reuses the distinct's partitioning.
     """
+    kept = _shingled_rows(docs, text_col, id_col, n, tokenizer)
+    return kept.select(F.col(id_col), F.col("shingle")).distinct()
+
+
+def _shingled_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """NON-distinct (id, shingle) rows from the codegen'd window shingler —
+    the shared prefix of :func:`shingle_docs_exploded` (which distincts
+    them) and :func:`shingle_sets_with_size` (which set-aggregates them
+    on the window's own id partitioning, r16). Output partitioning is
+    hashpartitioning(id) from the lead window — downstream id-keyed
+    aggregates reuse it with no new exchange."""
     tokens = _tokens_expr(text_col, tokenizer)
     ex = docs.select(F.col(id_col), F.posexplode(tokens).alias("pos", "token"))
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -240,7 +257,41 @@ def shingle_docs_exploded(
         leads[-1].isNotNull().alias("_full"),
     )
     kept = shingled.filter(F.col("_full") | (F.col("pos") == 0))
-    return kept.select(F.col(id_col), F.col("shingle")).distinct()
+    return kept.select(F.col(id_col), F.col("shingle"))
+
+
+def shingle_sets_with_size(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """DISTINCT (id, set_size, shingle) rows in one aggregate (r16, guide
+    §1.2 "per-task work" + §2.4): the old exact-Jaccard prefix was
+    shingler window → ``distinct()`` (a partial+final HashAggregate pair
+    keyed (id, shingle)) → set-size count window (a second Sort+Window
+    pipeline). Catalyst already reused the shingler's
+    hashpartitioning(id) for all of it (one Exchange either way —
+    ClusteredDistribution on (id, shingle) is satisfied by the id
+    partitioning; see plans/r16/q_ngram_jaccard_prefix_before.txt), so
+    the win is operator work, not shuffles: ONE ``collect_set`` aggregate
+    replaces the distinct-aggregate pair AND the second Sort+Window pass,
+    and set_size falls out as ``size()`` (measured −13% on the pair
+    pipeline at sf0.1, plan: 2 HashAggregate + Sort + Window →
+    1 ObjectHashAggregate + Generate). Per-group memory is one doc's
+    shingle set — the same bound ``near_duplicates_verified``'s array
+    tier already holds."""
+    sets = (
+        _shingled_rows(docs, text_col, id_col, n, tokenizer)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("shingle")).alias("_shs"))
+    )
+    return sets.select(
+        F.col(id_col),
+        F.size(F.col("_shs")).cast("int").alias("set_size"),
+        F.explode(F.col("_shs")).alias("shingle"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -298,11 +349,21 @@ def minhash_signatures(
         exploded = shingled.select(
             F.col(id_col), F.explode(F.col("shingles")).alias("shingle")
         )
-    # Each min column is ONE F.expr SQL string, not a Column-algebra
-    # chain: the per-seed loop over py4j round-trips was the dominant
-    # DataFrame-construction cost of the whole near-dup tier (~0.4 ms per
-    # JVM call × ~15 calls × 64 seeds, measured via cProfile — the same
-    # chatter mechanism as similarity._signature_expr).
+    agg = exploded.groupBy(id_col).agg(*_minhash_min_exprs(num_hashes, hash_fn))
+    return agg.select(F.col(id_col), _minhash_signature_expr(num_hashes))
+
+
+def _minhash_min_exprs(num_hashes: int, hash_fn: str) -> list:
+    """The per-seed ``min(hash_s(shingle)) AS _h{s}`` aggregate columns —
+    extracted (r16) so :func:`near_duplicates_verified` can ride them on
+    the SAME ``groupBy(id)`` that builds the shingle-set arrays (one pass
+    over the shingle table instead of two). Each min column is ONE F.expr
+    SQL string, not a Column-algebra chain: the per-seed loop over py4j
+    round-trips was the dominant DataFrame-construction cost of the whole
+    near-dup tier (~0.4 ms per JVM call × ~15 calls × 64 seeds, measured
+    via cProfile — the same chatter mechanism as
+    similarity._signature_expr). min() is duplicate-insensitive, so the
+    exprs are valid over both distinct and raw (id, shingle) rows."""
     if hash_fn == "portable":
         # Overflow bound: h1 + s*h2 < 2^60 + s*2^55 must stay under
         # 2^63-1, i.e. s ≤ 224. Enforced, not just documented — a
@@ -318,24 +379,24 @@ def minhash_signatures(
             "(CAST(conv(substring(md5(concat('#', shingle)), 1, 15), 16, 10)"
             f" AS BIGINT) % {_MINHASH_H2_FOLD})"
         )
-        mins = [
+        return [
             F.expr(
                 f"min(({h1_sql} + {s} * {h2_sql}) % {_MINHASH_P}) AS _h{s}"
             )
             for s in range(num_hashes)
         ]
-    elif hash_fn == "xx":
-        mins = [
+    if hash_fn == "xx":
+        return [
             F.expr(f"min(xxhash64(shingle, {s})) AS _h{s}")
             for s in range(num_hashes)
         ]
-    else:
-        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    agg = exploded.groupBy(id_col).agg(*mins)
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def _minhash_signature_expr(num_hashes: int) -> Column:
+    """``array(_h0, ..., _h{n-1}) AS signature`` over the min columns."""
     sig_list = ", ".join(f"_h{s}" for s in range(num_hashes))
-    return agg.select(
-        F.col(id_col), F.expr(f"array({sig_list}) AS signature")
-    )
+    return F.expr(f"array({sig_list}) AS signature")
 
 
 def minhash_signatures_portable(
@@ -854,12 +915,13 @@ def ngram_jaccard_pairs(
     """
     # _stage: both sides of the self-join re-derive the shingling
     # otherwise; checkpoint/parquet-stage (not persist) so nothing leaks
-    # into the session CacheManager across queries
-    sized = shingle_docs_exploded(docs, text_col, id_col, n, tokenizer).withColumn(
-        "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("int")
-    )
+    # into the session CacheManager across queries. shingle_sets_with_size
+    # (r16) produces the distinct rows + set sizes with one collect_set
+    # aggregate where the old distinct()+count-window prefix paid a
+    # distinct-aggregate pair plus a second Sort+Window pass (see its
+    # docstring; −13% measured on this pipeline at sf0.1).
     exploded = _stage(
-        sized.select(F.col(id_col), F.col("set_size"), F.col("shingle")),
+        shingle_sets_with_size(docs, text_col, id_col, n, tokenizer),
         "jaccard_shingles", stage_dir,
     )
     a = exploded.select(
@@ -921,22 +983,34 @@ def near_duplicates_verified(
     """
     if num_hashes is None:
         num_hashes = bands * auto_band_rows(docs.count(), threshold)
-    # materialize the exploded shingle table ONCE: both the signature
-    # pipeline and the shingle-set agg consume it, and the window+distinct
-    # shingler is the expensive common prefix. This is the LARGEST
-    # intermediate in the tier (~|corpus| × shingles/doc rows) — at 100 TB
-    # pass stage_dir so it lands in a parquet stage, not executor heap
-    shingled = _stage(
-        shingle_docs_exploded(docs, text_col, id_col, shingle_n, tokenizer),
-        "verified_shingles", stage_dir,
+    # ONE pass over the shingle multiset (r16, guide §2.3 "aggregate
+    # before you shuffle"): the shingle-set arrays AND all num_hashes
+    # signature mins ride a single groupBy(id) placed directly on the
+    # shingler window's output, reusing its hashpartitioning(id). The old
+    # shape staged the exploded DISTINCT rows and then ran TWO separate
+    # id-keyed aggregates over that stage (collect_set for the verify
+    # tier, the min battery for signatures) — two full scans + aggregate
+    # passes over the tier's LARGEST intermediate, plus the distinct
+    # aggregate itself. min() is duplicate-insensitive and collect_set
+    # dedups, so skipping the distinct changes nothing. The staged medium
+    # now holds ONE doc-grain row (set + num_hashes longs) instead of the
+    # per-shingle multiset — strictly smaller at any scale. Measured −21%
+    # on the end-to-end tier at sf0.1 (3.26 → 2.57 s interleaved A/B);
+    # plan evidence: plans/r16/q_dedup_near_verified_{arrs,sigs}_before
+    # vs _combined_after.txt.
+    combined = _stage(
+        _shingled_rows(docs, text_col, id_col, shingle_n, tokenizer)
+        .groupBy(id_col)
+        .agg(
+            F.collect_set(F.col("shingle")).alias("shingles"),
+            *_minhash_min_exprs(num_hashes, hash_fn),
+        ),
+        "verified_doc_sigs", stage_dir,
     )
-    # (id, shingle-set array) via codegen'd shingler + one collect_set agg —
-    # the array form lets the verify tier be a per-pair array_intersect
-    # instead of a shingle self-join
-    arrs = shingled.groupBy(id_col).agg(
-        F.collect_set(F.col("shingle")).alias("shingles")
-    )
-    sigs = minhash_signatures(shingled, num_hashes, id_col, hash_fn)
+    # (id, shingle-set array) — the array form lets the verify tier be a
+    # per-pair array_intersect instead of a shingle self-join
+    arrs = combined.select(F.col(id_col), F.col("shingles"))
+    sigs = combined.select(F.col(id_col), _minhash_signature_expr(num_hashes))
     # _stage: the candidate set feeds THREE consumers below (two id-list
     # prunes + the verify chain); it is candidate-bounded (small), and the
     # accurate post-materialization stats keep AQE building the verify
@@ -1013,24 +1087,39 @@ def connected_components(
         eager=True
     )
     sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("s").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
     nodes = nodes.localCheckpoint(eager=True)
+    # SELF-EDGES fold the node's own label into the neighbor-min pass
+    # (r16, guide §2.4): each iteration is then ONE join + ONE aggregate —
+    # min(comp) over neighbors∪self IS least(own, neighbor-min), and the
+    # old label (for the convergence count) rides the same aggregate as
+    # min(comp) over the self-edge row — where the previous shape needed a
+    # second (nodes ⋈ neighbor-min) join per iteration to re-attach own
+    # labels. One fewer shuffle join × iterations, at +|V| rows unioned
+    # into the 2|E| relation. A NULL-id node behaves as before: its
+    # self-edge never equi-matches, so its comp stays the neighbor min
+    # and it never enters the change count (NULL comparison).
+    sym = sym.union(
+        nodes.select(F.col("id").alias("s"), F.col("id").alias("d"))
+    ).localCheckpoint(eager=True)
     n_changed = 0
     for _ in range(max_iter):
-        nbr = (
+        updated = (
             sym.join(nodes, sym["d"] == nodes["id"])
             .groupBy("s")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        updated = nodes.join(nbr, nodes["id"] == nbr["s"], "left").select(
-            nodes["id"],
-            F.least(nodes["comp"], F.coalesce(F.col("nbr_comp"), nodes["comp"])).alias(
-                "comp"
-            ),
-            (F.col("nbr_comp") < nodes["comp"]).alias("_changed"),
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("d") == F.col("s"), F.col("comp"))).alias(
+                    "_old"
+                ),
+            )
+            .select(
+                F.col("s").alias("id"),
+                F.col("comp"),
+                (F.col("comp") < F.col("_old")).alias("_changed"),
+            )
         )
         obs = Observation()
         updated = updated.observe(

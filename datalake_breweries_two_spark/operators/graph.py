@@ -93,12 +93,17 @@ def pagerank(
     has_dangling = (
         nodes.join(out_nodes, "node", "left_anti").limit(1).count() > 0
     )
+    # out-degree is STATIC across iterations — attach it to the edge list
+    # ONCE (r16, guide §2.4): the old loop re-joined deg to the
+    # (edges ⋈ ranks) result every iteration, paying num_iter extra joins
+    # for a value that never changes. One upfront join + checkpoint;
+    # each iteration is then one join + one aggregate.
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
     teleport = (100 - d_pct) * UNIT // (100 * n)
     ranks = nodes.withColumn("rank_e8", F.lit(UNIT // n).cast("long"))
     for i in range(num_iter):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(

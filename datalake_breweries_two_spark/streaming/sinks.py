@@ -39,6 +39,7 @@ def stream_upsert_versioned(
     query_name: str = "stream_upsert",
     keep_versions: int = 2,
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = False,
 ) -> None:
     """Drive an update-mode streaming aggregate to completion, MERGEing
     each micro-batch's emitted rows into the versioned table at ``root``.
@@ -55,6 +56,16 @@ def stream_upsert_versioned(
     version plus enough history for readers mid-swap. Pass
     ``keep_versions=0`` to disable (e.g. when a time-travel consumer owns
     retention).
+
+    ``no_data_batches=False`` by default (r16 optimization): Spark's
+    trailing watermark-advance micro-batch carries an EMPTY delta by
+    construction here (update-mode aggregates emit only on state change,
+    which requires data), yet ``apply_batch`` would still run a full
+    read→merge→write→vacuum cycle on it — publishing a redundant
+    byte-identical table version. For THIS sink the empty batch is a
+    provable no-op on the published state, so it is skipped for every
+    caller; pass ``True`` only if a future sink variant reacts to
+    watermark movement itself (none does).
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -75,8 +86,11 @@ def stream_upsert_versioned(
     # (partition x operator x batch) otherwise dominates (measured ~1.8x
     # at sf0.1). Safe: the conf freezes into this query's own checkpoint.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             updates.writeStream.outputMode("update")
@@ -90,3 +104,6 @@ def stream_upsert_versioned(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )

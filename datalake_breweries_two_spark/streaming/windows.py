@@ -128,6 +128,7 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drive a stream to completion synchronously against the memory sink
     (test/backfill harness): availableNow semantics via processAllAvailable.
@@ -140,10 +141,31 @@ def run_stream_to_memory(
     on the multi-operator chains at sf0.1). The conf is fixed into a
     streaming query's checkpoint at first start, so pinning here cannot
     affect any other (or resumed) query. Pass ``None`` to inherit the
-    session setting."""
+    session setting.
+
+    ``no_data_batches=False`` (r16 optimization) disables the trailing
+    empty micro-batch Spark runs after the last data batch to advance the
+    watermark. That batch exists so APPEND-mode stateful operators can
+    emit rows whose window/session closed (``sessionize_stream``'s
+    EventTimeTimeout, outer stream-stream joins, append windowed aggs) —
+    those callers MUST keep the default. An UPDATE-mode drive whose
+    consumer reads the sink's per-key emission extremes (the
+    contamination / DQ / shard-progress gate pattern: every component of
+    the state is monotone, the final data batch already emitted each
+    touched key's final value, and a no-data batch emits nothing in
+    update mode) gets identical results without it — saving one full
+    state-store open/commit cycle across every partition per drive (at
+    scale: thousands of stores), ~0.4-0.5 s per drive here and, worse,
+    the trailing batch fires nondeterministically (watermark-advance
+    timing), so skipping it also removes run-to-run variance. Restored
+    after the drive like the partition pin; the flag is runtime-read per
+    trigger, so scoping it to the synchronous drive is exact."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -157,6 +179,9 @@ def run_stream_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     return spark.sql(f"SELECT * FROM {query_name}")
 
 

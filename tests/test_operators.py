@@ -1408,7 +1408,11 @@ def test_dedup_stage_dir_parquet_medium(spark, tmp_path):
     stages = sorted(os.listdir(stage_root))
     tags = {s.split("_", 2)[2].rsplit("_", 1)[0] for s in stages}
     assert {
-        "verified_shingles",
+        # r16: near_duplicates_verified fused its shingle-set and
+        # signature aggregates into ONE doc-grain staged relation
+        # (verified_doc_sigs replaced the per-shingle verified_shingles
+        # stage + the separate sig pass)
+        "verified_doc_sigs",
         "verified_cands",
         "minhash_sigs",
         "lsh_cands",

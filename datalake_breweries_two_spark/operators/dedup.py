@@ -994,7 +994,9 @@ def near_duplicates_verified(
     # aggregate itself. min() is duplicate-insensitive and collect_set
     # dedups, so skipping the distinct changes nothing. The staged medium
     # now holds ONE doc-grain row (set + num_hashes longs) instead of the
-    # per-shingle multiset — strictly smaller at any scale. Measured −21%
+    # per-shingle multiset — comparable or smaller (the array still
+    # carries every distinct shingle string plus the num_hashes int64s;
+    # what is saved is the repeated per-shingle id column). Measured −21%
     # on the end-to-end tier at sf0.1 (3.26 → 2.57 s interleaved A/B);
     # plan evidence: plans/r16/q_dedup_near_verified_{arrs,sigs}_before
     # vs _combined_after.txt.

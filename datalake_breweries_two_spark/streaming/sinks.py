@@ -39,7 +39,7 @@ def stream_upsert_versioned(
     query_name: str = "stream_upsert",
     keep_versions: int = 2,
     shuffle_partitions: int | None = 8,
-    no_data_batches: bool = False,
+    no_data_batches: bool = True,
 ) -> None:
     """Drive an update-mode streaming aggregate to completion, MERGEing
     each micro-batch's emitted rows into the versioned table at ``root``.
@@ -57,15 +57,17 @@ def stream_upsert_versioned(
     ``keep_versions=0`` to disable (e.g. when a time-travel consumer owns
     retention).
 
-    ``no_data_batches=False`` by default (r16 optimization): Spark's
-    trailing watermark-advance micro-batch carries an EMPTY delta by
-    construction here (update-mode aggregates emit only on state change,
-    which requires data), yet ``apply_batch`` would still run a full
-    read→merge→write→vacuum cycle on it — publishing a redundant
-    byte-identical table version. For THIS sink the empty batch is a
-    provable no-op on the published state, so it is skipped for every
-    caller; pass ``True`` only if a future sink variant reacts to
-    watermark movement itself (none does).
+    ``no_data_batches`` defaults to ``True`` — Spark's own default
+    (restored r17 per the r16 ADVICE: a sink-level default flip silently
+    changed behavior for every existing caller). Passing ``False`` skips
+    the trailing watermark-advance micro-batch, which carries an EMPTY
+    delta by construction here (update-mode aggregates emit only on
+    state change, which requires data), yet would still run a full
+    read→merge→write→vacuum cycle — publishing a redundant
+    byte-identical table version. The drive call sites that can prove
+    that no-op (q_streaming_upsert, hll_streaming_merge_on_read) opt out
+    explicitly, mirroring the ``run_stream_to_memory`` call-site
+    pattern.
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -5372,10 +5372,18 @@ ORACLE_SQL["q_python_datasource"] = """
 
 def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING custom Python DataSource (SimpleDataSourceStreamReader):
-    the paginated API as a micro-batch stream — each trigger ingests one
-    page, the stream offset IS the page number (checkpointable: a crashed
-    ingest resumes at the recorded page). Drained stream == batch scan,
-    so this streaming extension point carries a FULL oracle."""
+    the paginated API as a micro-batch stream — each trigger ingests
+    ``pages_per_trigger`` pages, the stream offset IS the page number
+    (checkpointable: a crashed ingest resumes at the recorded page
+    boundary). Drained stream == batch scan, so this streaming extension
+    point carries a FULL oracle.
+
+    pages_per_trigger=2 (r17, guide §5): each micro-batch pays a fixed
+    WAL/offset-commit + planning + Python-runner cycle (~0.35 s at the
+    quiet floor, several× that under host I/O pressure) regardless of
+    row count — 8 one-page triggers were pure fixed cost for 25-row
+    batches. Batching 2 pages per trigger halves the trigger count; the
+    drained result is batching-invariant (the oracle re-verifies)."""
     from datalake_breweries_two_spark.sources.paged_api import (
         HAVE_PYTHON_DATASOURCE,
         PagedApiStreamDataSource,
@@ -5391,6 +5399,7 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("paged_api_stream")
         .option("n_pages", "8")
         .option("per_page", "25")
+        .option("pages_per_trigger", "2")
         .load()
     )
     return stream_windows.run_stream_to_memory(
@@ -6469,8 +6478,10 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq_audit,
         duplicate_key_count,
         fk_orphan_count,
-        non_finite_count,
+        non_finite_flag,
         predicate_violation_count,
+        row_invariant_counts,
+        violation_flag,
     )
 
     orders = _t(spark, sf_dir, "orders")
@@ -6496,23 +6507,27 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             duplicate_key_count(lineitem, ["l_orderkey", "l_linenumber"]),
         ),
         (
-            "orders_totalprice_positive",
-            predicate_violation_count(orders, F.col("o_totalprice") <= 0),
-        ),
-        (
             "lineitem_discount_range",
             predicate_violation_count(
                 lineitem, (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
             ),
         ),
-        # NaN/Inf corrupt every decimal-exact aggregate downstream (both
-        # this engine and DuckDB/Postgres RAISE on them) — gate here first
-        (
-            "orders_totalprice_finite",
-            non_finite_count(orders, "o_totalprice"),
-        ),
     ]
-    return dq_audit(checks)
+    # Both orders row-level invariants from ONE scan + ONE aggregate
+    # (r17, guide §2.4: they were two separate full-orders branches for
+    # conditional sums that coexist in one partial-agg pass). NaN/Inf
+    # corrupt every decimal-exact aggregate downstream (both this engine
+    # and DuckDB/Postgres RAISE on them) — gate here first. NULL stances
+    # unchanged: NULL price violates positivity (unknown = broken) and
+    # does NOT count as non-finite.
+    orders_row_checks = row_invariant_counts(
+        orders,
+        [
+            ("orders_totalprice_positive", violation_flag(F.col("o_totalprice") <= 0)),
+            ("orders_totalprice_finite", non_finite_flag("o_totalprice")),
+        ],
+    )
+    return dq_audit(checks).unionByName(orders_row_checks)
 
 
 QUERIES["q_sql_tpch_q4"] = q_sql_tpch_q4

@@ -57,8 +57,20 @@ def kmeans_1d(
         raise ValueError(f"k and iters must be >= 1; got k={k}, iters={iters}")
     x = F.col(value_col).cast("double")
     # NULL values have no cluster: excluded up front (they would form a
-    # NULL-assignment group whose NULL mean crashes the iteration collect)
-    pts = points.select(x.alias("x")).filter(F.col("x").isNotNull())
+    # NULL-assignment group whose NULL mean crashes the iteration collect).
+    # Materialize the projected point column ONCE before iterating (r17,
+    # guide §5 — the MLlib KMeans pattern: cache the training input, then
+    # iterate): every Lloyd round plus the bounds job re-executes this
+    # subtree, so without the checkpoint the loop re-reads and re-projects
+    # the SOURCE TABLE iters+1 times — at 100 TB that is iters extra full
+    # scans for a single double column. The checkpoint holds 8 bytes/row
+    # and lives only for this invocation (no cross-run reuse). Measured
+    # 1.78 -> 1.43 s min-of-4 at sf0.1/local[32].
+    pts = (
+        points.select(x.alias("x"))
+        .filter(F.col("x").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     row = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
     if row["lo"] is None or row["hi"] is None:
         raise ValueError(f"{value_col}: no non-NULL points to cluster")

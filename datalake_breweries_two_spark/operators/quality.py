@@ -186,6 +186,54 @@ def non_finite_count(df: DataFrame, numeric_col: str) -> DataFrame:
     )
 
 
+def violation_flag(violation: "F.Column") -> "F.Column":
+    """Per-row 0/1 flag with :func:`predicate_violation_count`'s NULL
+    stance: a NULL predicate result (NULL operands) counts as a
+    violation — unknown = broken."""
+    return F.when(F.coalesce(violation, F.lit(True)), 1).otherwise(0)
+
+
+def non_finite_flag(numeric_col: str) -> "F.Column":
+    """Per-row 0/1 flag with :func:`non_finite_count`'s NULL stance:
+    NULLs are NOT counted (they have their own null-count check) — only
+    genuinely non-finite doubles."""
+    c = F.col(numeric_col)
+    non_finite = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(non_finite, 1).otherwise(0)
+
+
+def row_invariant_counts(
+    df: DataFrame, checks: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Several row-level invariant counts from ONE scan + ONE aggregate —
+    the multi-check sibling of :func:`predicate_violation_count` (r17,
+    guide §2.4: N audit checks over the same table were paying N full
+    scans + N aggregate branches for conditional sums that coexist in
+    one partial-aggregate pass). ``checks`` pairs each name with a
+    per-row 0/1 flag column (:func:`violation_flag` /
+    :func:`non_finite_flag` keep each check's documented NULL stance).
+    Emits one (check, n_violations, passed) row per check,
+    union-compatible with :func:`dq_audit` parts."""
+    aggs = [
+        F.coalesce(F.sum(flag), F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, (_, flag) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        # check names are engine-internal literals, never user data
+        f"'{name}', _c{i}" for i, (name, _) in enumerate(checks)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (check, n_violations)"
+        )
+    ).select(
+        "check",
+        F.col("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def dq_audit(checks: list[tuple[str, DataFrame]]) -> DataFrame:
     """Union the named single-row check counts into one (check, n_violations)
     relation and flag each row. The composite stays ONE declarative plan —

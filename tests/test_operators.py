@@ -2720,6 +2720,51 @@ def test_paged_api_stream_resumes_at_page_offset(spark, tmp_path):
     )
 
 
+def test_paged_api_stream_pages_per_trigger_batches_invariantly(spark):
+    """r17: ``pages_per_trigger`` groups several pages into one
+    micro-batch (fixed per-trigger cost amortization). The drained rows
+    must equal the batch scan for ANY batching, offsets must stay
+    page-aligned, and a ragged final batch (4 pages in batches of 3)
+    must deliver exactly the remainder."""
+    from datalake_breweries_two_spark.sources.paged_api import (
+        PagedApiStreamDataSource,
+        PagedApiStreamReader,
+    )
+
+    try:
+        spark.dataSource.register(PagedApiStreamDataSource)
+    except Exception:
+        pass
+
+    # protocol-level: read() advances by min(pages_per_trigger, remaining)
+    r = PagedApiStreamReader({"n_pages": "4", "per_page": "10",
+                              "pages_per_trigger": "3"})
+    rows1, off1 = r.read({"page": 0})
+    assert off1 == {"page": 3} and len(rows1) == 30
+    rows2, off2 = r.read(off1)
+    assert off2 == {"page": 4} and len(rows2) == 10  # ragged remainder
+    _, off3 = r.read(off2)
+    assert off3 == {"page": 4}  # exhausted: no progress
+
+    # end-to-end: drained stream == one-page-per-trigger drain
+    from datalake_breweries_two_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    got = {}
+    for ppt, sink in (("1", "pyds_ppt1"), ("3", "pyds_ppt3")):
+        stream = (
+            spark.readStream.format("paged_api_stream")
+            .option("n_pages", "4")
+            .option("per_page", "10")
+            .option("pages_per_trigger", ppt)
+            .load()
+        )
+        out = run_stream_to_memory(spark, stream, sink, output_mode="append")
+        got[ppt] = sorted(tuple(row) for row in out.collect())
+    assert got["1"] == got["3"] and len(got["1"]) == 40
+
+
 def test_coalesce_intervals_merges_touching_and_overlapping(spark):
     from datetime import datetime
 

@@ -5155,7 +5155,17 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     lake.write_versioned(per_user, root)
-    forget = per_user.select("user_id").filter(F.col("user_id") % 10 == 0)
+    # derive the forget set from the PUBLISHED v1, not by re-running the
+    # per-user aggregate (r17, guide §2.4): the staged table already
+    # holds exactly per_user's rows, so re-deriving from it reads one
+    # pruned column of the published parquet instead of re-scanning and
+    # re-shuffling the raw events — at 100 TB the erasure pass must never
+    # recompute the table it is deleting from. Same rows by construction.
+    forget = (
+        lake.read_versioned(spark, root)
+        .select("user_id")
+        .filter(F.col("user_id") % 10 == 0)
+    )
     lake.delete_keys_versioned(spark, root, "user_id", forget)
     final = lake.read_versioned(spark, root)
     return final.select(
